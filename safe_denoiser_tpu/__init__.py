@@ -1,0 +1,24 @@
+"""safe_denoiser_tpu — TPU-native Safe Denoiser framework.
+
+A from-scratch JAX/Flax/Pallas rebuild of the capabilities of
+MingyuKim87/Safe_Denoiser (NeurIPS 2025, arXiv:2502.08011): training-free
+safe text-to-image diffusion sampling via an empirical "negative denoiser"
+over a cached bank of negative VAE latents, plus the SAFREE / SLD text-space
+safety baselines and the full benchmark/evaluation harness.
+
+Design (TPU-first, not a port):
+  * One pure-functional sampling core: a single jitted ``lax.scan`` over
+    timesteps; safety machinery (CFG, SLD momentum guidance, SAFREE
+    projection, repellency) composes as step transforms selected by config,
+    replacing the reference's 16 near-duplicate pipeline files
+    (reference: models/textuals_visual/*.py).
+  * The repellency kernel (reference: repellency/repellency_methods_threshold.py:309-349)
+    is a fused Pallas TPU kernel streaming the negative-latent bank through
+    VMEM — no [N, M, D+1] materialization.
+  * Data-parallel prompt sharding over a ``jax.sharding.Mesh``; CFG pairs are
+    folded into the batch axis; weights and the negative bank are replicated.
+  * bf16 weights / fp32 accumulation; static shapes; branchless gating via
+    ``jnp.where`` so the scan stays trace-static.
+"""
+
+__version__ = "0.1.0"
