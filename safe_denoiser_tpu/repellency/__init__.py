@@ -1,0 +1,15 @@
+from .methods import (
+    RepellencyConfig,
+    RepellencyProcessor,
+    apply_repellency,
+    get_repellency_method,
+    register_conditioning_method,
+)
+
+__all__ = [
+    "RepellencyConfig",
+    "RepellencyProcessor",
+    "apply_repellency",
+    "get_repellency_method",
+    "register_conditioning_method",
+]
