@@ -1,0 +1,179 @@
+"""Shared neural-net building blocks (Flax linen), TPU-first.
+
+Conventions (differ deliberately from the torch reference):
+  * Convolutions are NHWC — the TPU-native layout (the reference's diffusers
+    stack is NCHW; layout conversion happens only at the .pt cache / image IO
+    boundary).
+  * Mixed precision: ``dtype`` is the compute dtype (bf16 on TPU),
+    ``param_dtype`` the storage dtype; normalizations and softmax always
+    accumulate in fp32.
+  * Attention is a single batched einsum formulation so XLA can tile it onto
+    the MXU; no per-head Python loops.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int,
+                       max_period: float = 10000.0,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0,
+                       scale: float = 1.0) -> jax.Array:
+    """Sinusoidal timestep embedding (diffusers get_timestep_embedding semantics;
+    reference consumes it via diffusers Timesteps — e.g. models/unet.py usage)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    emb = scale * emb
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm computed in fp32 regardless of compute dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        x = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon,
+                         dtype=jnp.float32, param_dtype=jnp.float32)(
+            x.astype(jnp.float32))
+        return x.astype(orig_dtype)
+
+
+class LayerNormFp32(nn.Module):
+    epsilon: float = 1e-5
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        x = nn.LayerNorm(epsilon=self.epsilon, use_bias=self.use_bias,
+                         dtype=jnp.float32, param_dtype=jnp.float32)(
+            x.astype(jnp.float32))
+        return x.astype(orig_dtype)
+
+
+class RMSNormFp32(nn.Module):
+    epsilon: float = 1e-6
+    use_scale: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        x = x * jax.lax.rsqrt(var + self.epsilon)
+        if self.use_scale:
+            scale = self.param("scale", nn.initializers.ones, (x.shape[-1],),
+                               jnp.float32)
+            x = x * scale
+        return x.astype(orig_dtype)
+
+
+def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                          mask: Optional[jax.Array] = None) -> jax.Array:
+    """[B, S, H, D] attention with fp32 softmax. XLA fuses this into an MXU
+    pipeline; a Pallas flash-attention path can be swapped in via ops/."""
+    depth = q.shape[-1]
+    q = q * (depth ** -0.5)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)
+
+
+class Attention(nn.Module):
+    """Multi-head attention over [B, S, C] with optional cross-attention
+    context [B, S_kv, C_kv]."""
+
+    num_heads: int
+    head_dim: int
+    out_dim: Optional[int] = None
+    context_dim: Optional[int] = None
+    use_qkv_bias: bool = False
+    use_out_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, mask=None):
+        context = x if context is None else context
+        inner = self.num_heads * self.head_dim
+        dense = lambda feats, bias, name: nn.Dense(
+            feats, use_bias=bias, dtype=self.dtype, name=name)
+        q = dense(inner, self.use_qkv_bias, "to_q")(x)
+        k = dense(inner, self.use_qkv_bias, "to_k")(context)
+        v = dense(inner, self.use_qkv_bias, "to_v")(context)
+        b, s, _ = q.shape
+        q = q.reshape(b, s, self.num_heads, self.head_dim)
+        k = k.reshape(b, context.shape[1], self.num_heads, self.head_dim)
+        v = v.reshape(b, context.shape[1], self.num_heads, self.head_dim)
+        out = dot_product_attention(q, k, v, mask=mask)
+        out = out.reshape(b, s, inner)
+        return dense(self.out_dim or x.shape[-1], self.use_out_bias, "to_out")(out)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate, approximate=False)
+
+
+class FeedForward(nn.Module):
+    dim_out: Optional[int] = None
+    mult: int = 4
+    activation: str = "geglu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = x.shape[-1] * self.mult
+        dim_out = self.dim_out or x.shape[-1]
+        if self.activation == "geglu":
+            h = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
+        elif self.activation == "gelu":
+            h = nn.gelu(nn.Dense(inner, dtype=self.dtype, name="net_0")(x),
+                        approximate=False)
+        elif self.activation == "gelu-approximate":
+            h = nn.gelu(nn.Dense(inner, dtype=self.dtype, name="net_0")(x),
+                        approximate=True)
+        else:
+            raise ValueError(self.activation)
+        return nn.Dense(dim_out, dtype=self.dtype, name="net_2")(h)
+
+
+ACT2FN: dict[str, Callable] = {
+    "silu": nn.silu,
+    "swish": nn.silu,
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: nn.gelu(x, approximate=True),
+    "quick_gelu": lambda x: x * nn.sigmoid(1.702 * x),
+    "relu": nn.relu,
+    "mish": lambda x: x * jnp.tanh(nn.softplus(x)),
+}

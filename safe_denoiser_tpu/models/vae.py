@@ -1,0 +1,187 @@
+"""AutoencoderKL VAE (Flax, NHWC), SD-v1.x / SD3 configurable.
+
+The reference consumes the VAE through two hooks:
+  * ``embed_fn = vae.encode(x).latent_dist.sample() * scaling_factor``
+    (run_nudity.py:308) — builds the negative-latent bank;
+  * ``vae.decode(latents / scaling_factor)`` at the end of sampling
+    (decode_latents in every pipeline; SD3 additionally applies shift_factor,
+    models/sdv3/sdv3_pipeline.py:1146-1148).
+
+TPU-first: NHWC convolutions, bf16 compute with fp32 GroupNorm, attention in
+the mid-block as one fused einsum over the flattened spatial axis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import Attention, GroupNorm32
+
+
+@dataclass(frozen=True)
+class VAEConfig:
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    scaling_factor: float = 0.18215
+    shift_factor: float = 0.0
+    sample_size: int = 512
+
+
+SD14_VAE = VAEConfig()
+SD3_VAE = VAEConfig(latent_channels=16, scaling_factor=1.5305,
+                    shift_factor=0.0609, sample_size=1024)
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = GroupNorm32(self.groups, name="norm1")(x)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(nn.silu(h))
+        h = GroupNorm32(self.groups, name="norm2")(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(nn.silu(h))
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        res = x
+        x = GroupNorm32(self.groups, name="group_norm")(x)
+        x = x.reshape(b, h * w, c)
+        x = Attention(num_heads=1, head_dim=c, use_qkv_bias=True,
+                      dtype=self.dtype, name="attention")(x)
+        return res + x.reshape(b, h, w, c)
+
+
+class Downsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # diffusers pads (0,1,0,1) then uses stride-2 VALID conv
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                       padding="VALID", dtype=self.dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv")(x)
+
+
+class MidBlock(nn.Module):
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        x = ResnetBlock(c, self.groups, dtype=self.dtype, name="resnets_0")(x)
+        x = AttnBlock(self.groups, dtype=self.dtype, name="attentions_0")(x)
+        return ResnetBlock(c, self.groups, dtype=self.dtype, name="resnets_1")(x)
+
+
+class Encoder(nn.Module):
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
+                    dtype=self.dtype, name="conv_in")(x)
+        for i, ch in enumerate(cfg.block_out_channels):
+            for j in range(cfg.layers_per_block):
+                x = ResnetBlock(ch, cfg.norm_num_groups, dtype=self.dtype,
+                                name=f"down_{i}_resnets_{j}")(x)
+            if i < len(cfg.block_out_channels) - 1:
+                x = Downsample(ch, dtype=self.dtype,
+                               name=f"down_{i}_downsample")(x)
+        x = MidBlock(cfg.norm_num_groups, dtype=self.dtype, name="mid_block")(x)
+        x = GroupNorm32(cfg.norm_num_groups, name="conv_norm_out")(x)
+        return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
+                       dtype=self.dtype, name="conv_out")(nn.silu(x))
+
+
+class Decoder(nn.Module):
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        cfg = self.config
+        chans = list(reversed(cfg.block_out_channels))
+        x = nn.Conv(chans[0], (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_in")(z)
+        x = MidBlock(cfg.norm_num_groups, dtype=self.dtype, name="mid_block")(x)
+        for i, ch in enumerate(chans):
+            for j in range(cfg.layers_per_block + 1):
+                x = ResnetBlock(ch, cfg.norm_num_groups, dtype=self.dtype,
+                                name=f"up_{i}_resnets_{j}")(x)
+            if i < len(chans) - 1:
+                x = Upsample(ch, dtype=self.dtype, name=f"up_{i}_upsample")(x)
+        x = GroupNorm32(cfg.norm_num_groups, name="conv_norm_out")(x)
+        return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv_out")(nn.silu(x))
+
+
+class AutoencoderKL(nn.Module):
+    """``method``-dispatched so one param tree serves encode and decode."""
+
+    config: VAEConfig = field(default_factory=VAEConfig)
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(self.config, dtype=self.dtype)
+        self.decoder = Decoder(self.config, dtype=self.dtype)
+        self.quant_conv = nn.Conv(2 * self.config.latent_channels, (1, 1),
+                                  dtype=self.dtype)
+        self.post_quant_conv = nn.Conv(self.config.latent_channels, (1, 1),
+                                       dtype=self.dtype)
+
+    def encode(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """NHWC image in [-1, 1] → (mean, logvar) of the latent Gaussian."""
+        moments = self.quant_conv(self.encoder(x))
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
+
+    def sample_latent(self, x: jax.Array, rng: jax.Array) -> jax.Array:
+        """latent_dist.sample() — used by the reference ``embed_fn``."""
+        mean, logvar = self.encode(x)
+        std = jnp.exp(0.5 * logvar)
+        return mean + std * jax.random.normal(rng, mean.shape, dtype=mean.dtype)
+
+    def decode(self, z: jax.Array) -> jax.Array:
+        return self.decoder(self.post_quant_conv(z))
+
+    def __call__(self, x, rng):
+        return self.decode(self.sample_latent(x, rng))
