@@ -61,11 +61,13 @@ class GroupNorm32(nn.Module):
 class LayerNormFp32(nn.Module):
     epsilon: float = 1e-5
     use_bias: bool = True
+    use_scale: bool = True
 
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
         x = nn.LayerNorm(epsilon=self.epsilon, use_bias=self.use_bias,
+                         use_scale=self.use_scale,
                          dtype=jnp.float32, param_dtype=jnp.float32)(
             x.astype(jnp.float32))
         return x.astype(orig_dtype)

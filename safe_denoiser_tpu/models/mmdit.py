@@ -52,7 +52,8 @@ class AdaLayerNormZero(nn.Module):
             nn.silu(emb))
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
             jnp.split(mod, 6, axis=-1))
-        h = LayerNormFp32(epsilon=1e-6, use_bias=False, name="norm")(x)
+        h = LayerNormFp32(epsilon=1e-6, use_bias=False, use_scale=False,
+                          name="norm")(x)
         h = h * (1 + scale_msa[:, None]) + shift_msa[:, None]
         return h, gate_msa, shift_mlp, scale_mlp, gate_mlp
 
@@ -66,7 +67,8 @@ class AdaLayerNormContinuous(nn.Module):
         mod = nn.Dense(2 * self.dim, dtype=self.dtype, name="linear")(
             nn.silu(emb))
         scale, shift = jnp.split(mod, 2, axis=-1)
-        h = LayerNormFp32(epsilon=1e-6, use_bias=False, name="norm")(x)
+        h = LayerNormFp32(epsilon=1e-6, use_bias=False, use_scale=False,
+                          name="norm")(x)
         return h * (1 + scale[:, None]) + shift[:, None]
 
 
@@ -124,7 +126,8 @@ class JointBlock(nn.Module):
 
         x_out = nn.Dense(dim, dtype=self.dtype, name="attn_to_out")(x_out)
         x = x + x_gate[:, None] * x_out
-        xh = LayerNormFp32(epsilon=1e-6, use_bias=False, name="norm2")(x)
+        xh = LayerNormFp32(epsilon=1e-6, use_bias=False, use_scale=False,
+                           name="norm2")(x)
         xh = xh * (1 + x_scale_mlp[:, None]) + x_shift_mlp[:, None]
         x = x + x_gate_mlp[:, None] * MLP(dim, dtype=self.dtype, name="ff")(xh)
 
@@ -132,7 +135,7 @@ class JointBlock(nn.Module):
             return x, None
         c_out = nn.Dense(dim, dtype=self.dtype, name="attn_to_add_out")(c_out)
         context = context + c_gate[:, None] * c_out
-        ch = LayerNormFp32(epsilon=1e-6, use_bias=False,
+        ch = LayerNormFp32(epsilon=1e-6, use_bias=False, use_scale=False,
                            name="norm2_context")(context)
         ch = ch * (1 + c_scale_mlp[:, None]) + c_shift_mlp[:, None]
         context = context + c_gate_mlp[:, None] * MLP(

@@ -1,0 +1,317 @@
+"""Torch-checkpoint → Flax param-tree converters.
+
+Maps the HF/diffusers state-dict key layout of every checkpoint the reference
+loads (run_nudity.py:117-130 SD-v1.4 + ESD/RECE UNet swaps;
+run_nudity_sdv3.py:64-91 SD3-medium) onto this framework's module trees.
+
+Pure numpy — no torch import needed: state dicts come from ``.safetensors``
+(via the safetensors lib) or torch-pickle ``.pt``/``.bin`` files (via
+safe_denoiser_tpu.io.load_pt). Conversions:
+  * Linear: torch [out, in]  → flax kernel [in, out]
+  * Conv:   torch OIHW       → flax HWIO
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping
+
+import numpy as np
+
+from ..io import load_pt
+from .clip_text import CLIPTextConfig
+from .mmdit import MMDiTConfig
+from .t5 import T5Config
+from .unet import UNetConfig
+from .vae import VAEConfig
+
+Array = np.ndarray
+StateDict = Mapping[str, Array]
+
+
+def load_state_dict(path: str) -> dict[str, Array]:
+    """Load a flat {key: np.ndarray} state dict from .safetensors/.pt/.bin."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return dict(load_file(path))
+    obj = load_pt(path)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: np.asarray(v) for k, v in obj.items()}
+
+
+def load_sharded_state_dict(model_dir: str) -> dict[str, Array]:
+    """Load all .safetensors shards in a HF model directory."""
+    out: dict[str, Array] = {}
+    for fname in sorted(os.listdir(model_dir)):
+        if fname.endswith(".safetensors"):
+            out.update(load_state_dict(os.path.join(model_dir, fname)))
+    if not out:
+        for fname in sorted(os.listdir(model_dir)):
+            if fname.endswith((".bin", ".pt")):
+                out.update(load_state_dict(os.path.join(model_dir, fname)))
+    return out
+
+
+def _lin(sd: StateDict, key: str, bias: bool = True) -> dict:
+    out = {"kernel": np.ascontiguousarray(sd[f"{key}.weight"].T)}
+    if bias and f"{key}.bias" in sd:
+        out["bias"] = sd[f"{key}.bias"]
+    return out
+
+
+def _conv(sd: StateDict, key: str) -> dict:
+    w = sd[f"{key}.weight"]
+    out = {"kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))}
+    if f"{key}.bias" in sd:
+        out["bias"] = sd[f"{key}.bias"]
+    return out
+
+
+def _gn(sd: StateDict, key: str) -> dict:
+    return {"GroupNorm_0": {"scale": sd[f"{key}.weight"],
+                            "bias": sd[f"{key}.bias"]}}
+
+
+def _ln(sd: StateDict, key: str) -> dict:
+    return {"LayerNorm_0": {"scale": sd[f"{key}.weight"],
+                            "bias": sd[f"{key}.bias"]}}
+
+
+def _attn(sd: StateDict, key: str, out_key: str = "to_out.0") -> dict:
+    return {"to_q": _lin(sd, f"{key}.to_q"),
+            "to_k": _lin(sd, f"{key}.to_k"),
+            "to_v": _lin(sd, f"{key}.to_v"),
+            "to_out": _lin(sd, f"{key}.{out_key}")}
+
+
+# ---------------------------------------------------------------------------
+# CLIP text encoder (HF transformers CLIPTextModel[WithProjection] keys)
+# ---------------------------------------------------------------------------
+
+
+def convert_clip_text(sd: StateDict, cfg: CLIPTextConfig) -> dict:
+    p = "text_model." if any(k.startswith("text_model.") for k in sd) else ""
+    params: dict = {
+        "token_embedding": {
+            "embedding": sd[f"{p}embeddings.token_embedding.weight"]},
+        "position_embedding": sd[f"{p}embeddings.position_embedding.weight"],
+        "final_layer_norm": _ln(sd, f"{p}final_layer_norm"),
+    }
+    if "text_projection.weight" in sd:
+        params["text_projection"] = {
+            "kernel": np.ascontiguousarray(sd["text_projection.weight"].T)}
+    else:  # checkpoint without projection head (SD-v1 text encoder)
+        params["text_projection"] = {
+            "kernel": np.eye(cfg.hidden_size, cfg.projection_dim,
+                             dtype=np.float32)}
+    for i in range(cfg.num_layers):
+        lk = f"{p}encoder.layers.{i}"
+        params[f"layers_{i}"] = {
+            "layer_norm1": _ln(sd, f"{lk}.layer_norm1"),
+            "layer_norm2": _ln(sd, f"{lk}.layer_norm2"),
+            "self_attn": {
+                "to_q": _lin(sd, f"{lk}.self_attn.q_proj"),
+                "to_k": _lin(sd, f"{lk}.self_attn.k_proj"),
+                "to_v": _lin(sd, f"{lk}.self_attn.v_proj"),
+                "to_out": _lin(sd, f"{lk}.self_attn.out_proj"),
+            },
+            "mlp_fc1": _lin(sd, f"{lk}.mlp.fc1"),
+            "mlp_fc2": _lin(sd, f"{lk}.mlp.fc2"),
+        }
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# T5 encoder (HF transformers T5EncoderModel keys)
+# ---------------------------------------------------------------------------
+
+
+def convert_t5(sd: StateDict, cfg: T5Config) -> dict:
+    p = "encoder." if any(k.startswith("encoder.") for k in sd) else ""
+    embed_key = "shared.weight" if "shared.weight" in sd else f"{p}embed_tokens.weight"
+    params: dict = {
+        "token_embedding": {"embedding": sd[embed_key]},
+        "relative_attention_bias": sd[
+            f"{p}block.0.layer.0.SelfAttention.relative_attention_bias.weight"],
+        "final_layer_norm": {"scale": sd[f"{p}final_layer_norm.weight"]},
+    }
+    for i in range(cfg.num_layers):
+        lk = f"{p}block.{i}"
+        params[f"blocks_{i}"] = {
+            "ln_attn": {"scale": sd[f"{lk}.layer.0.layer_norm.weight"]},
+            "attn": {
+                "q": _lin(sd, f"{lk}.layer.0.SelfAttention.q", bias=False),
+                "k": _lin(sd, f"{lk}.layer.0.SelfAttention.k", bias=False),
+                "v": _lin(sd, f"{lk}.layer.0.SelfAttention.v", bias=False),
+                "o": _lin(sd, f"{lk}.layer.0.SelfAttention.o", bias=False),
+            },
+            "ln_ff": {"scale": sd[f"{lk}.layer.1.layer_norm.weight"]},
+            "wi_0": _lin(sd, f"{lk}.layer.1.DenseReluDense.wi_0", bias=False),
+            "wi_1": _lin(sd, f"{lk}.layer.1.DenseReluDense.wi_1", bias=False),
+            "wo": _lin(sd, f"{lk}.layer.1.DenseReluDense.wo", bias=False),
+        }
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# VAE (diffusers AutoencoderKL keys)
+# ---------------------------------------------------------------------------
+
+
+def _resnet(sd: StateDict, key: str) -> dict:
+    out = {"norm1": _gn(sd, f"{key}.norm1"), "conv1": _conv(sd, f"{key}.conv1"),
+           "norm2": _gn(sd, f"{key}.norm2"), "conv2": _conv(sd, f"{key}.conv2")}
+    if f"{key}.conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = _conv(sd, f"{key}.conv_shortcut")
+    if f"{key}.time_emb_proj.weight" in sd:
+        out["time_emb_proj"] = _lin(sd, f"{key}.time_emb_proj")
+    return out
+
+
+def _vae_mid(sd: StateDict, key: str) -> dict:
+    return {
+        "resnets_0": _resnet(sd, f"{key}.resnets.0"),
+        "resnets_1": _resnet(sd, f"{key}.resnets.1"),
+        "attentions_0": {
+            "group_norm": _gn(sd, f"{key}.attentions.0.group_norm"),
+            "attention": _attn(sd, f"{key}.attentions.0"),
+        },
+    }
+
+
+def convert_vae(sd: StateDict, cfg: VAEConfig) -> dict:
+    n = len(cfg.block_out_channels)
+    enc: dict = {"conv_in": _conv(sd, "encoder.conv_in"),
+                 "mid_block": _vae_mid(sd, "encoder.mid_block"),
+                 "conv_norm_out": _gn(sd, "encoder.conv_norm_out"),
+                 "conv_out": _conv(sd, "encoder.conv_out")}
+    for i in range(n):
+        for j in range(cfg.layers_per_block):
+            enc[f"down_{i}_resnets_{j}"] = _resnet(
+                sd, f"encoder.down_blocks.{i}.resnets.{j}")
+        if i < n - 1:
+            enc[f"down_{i}_downsample"] = {
+                "conv": _conv(sd, f"encoder.down_blocks.{i}.downsamplers.0.conv")}
+    dec: dict = {"conv_in": _conv(sd, "decoder.conv_in"),
+                 "mid_block": _vae_mid(sd, "decoder.mid_block"),
+                 "conv_norm_out": _gn(sd, "decoder.conv_norm_out"),
+                 "conv_out": _conv(sd, "decoder.conv_out")}
+    for i in range(n):
+        for j in range(cfg.layers_per_block + 1):
+            dec[f"up_{i}_resnets_{j}"] = _resnet(
+                sd, f"decoder.up_blocks.{i}.resnets.{j}")
+        if i < n - 1:
+            dec[f"up_{i}_upsample"] = {
+                "conv": _conv(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv")}
+    return {"params": {"encoder": enc, "decoder": dec,
+                       "quant_conv": _conv(sd, "quant_conv"),
+                       "post_quant_conv": _conv(sd, "post_quant_conv")}}
+
+
+# ---------------------------------------------------------------------------
+# SD UNet (diffusers UNet2DConditionModel keys)
+# ---------------------------------------------------------------------------
+
+
+def _transformer2d(sd: StateDict, key: str, n_layers: int) -> dict:
+    out = {"norm": _gn(sd, f"{key}.norm"),
+           "proj_in": _conv(sd, f"{key}.proj_in"),
+           "proj_out": _conv(sd, f"{key}.proj_out")}
+    for k in range(n_layers):
+        bk = f"{key}.transformer_blocks.{k}"
+        out[f"blocks_{k}"] = {
+            "norm1": _ln(sd, f"{bk}.norm1"),
+            "norm2": _ln(sd, f"{bk}.norm2"),
+            "norm3": _ln(sd, f"{bk}.norm3"),
+            "attn1": _attn(sd, f"{bk}.attn1"),
+            "attn2": _attn(sd, f"{bk}.attn2"),
+            "ff": {"net_0": {"proj": _lin(sd, f"{bk}.ff.net.0.proj")},
+                   "net_2": _lin(sd, f"{bk}.ff.net.2")},
+        }
+    return out
+
+
+def convert_unet(sd: StateDict, cfg: UNetConfig) -> dict:
+    n = len(cfg.block_out_channels)
+    params: dict = {
+        "conv_in": _conv(sd, "conv_in"),
+        "time_emb_1": _lin(sd, "time_embedding.linear_1"),
+        "time_emb_2": _lin(sd, "time_embedding.linear_2"),
+        "conv_norm_out": _gn(sd, "conv_norm_out"),
+        "conv_out": _conv(sd, "conv_out"),
+        "mid_resnets_0": _resnet(sd, "mid_block.resnets.0"),
+        "mid_resnets_1": _resnet(sd, "mid_block.resnets.1"),
+        "mid_attentions_0": _transformer2d(sd, "mid_block.attentions.0",
+                                           cfg.transformer_layers),
+    }
+    for i in range(n):
+        has_attn = i < n - 1
+        for j in range(cfg.layers_per_block):
+            params[f"down_{i}_resnets_{j}"] = _resnet(
+                sd, f"down_blocks.{i}.resnets.{j}")
+            if has_attn:
+                params[f"down_{i}_attentions_{j}"] = _transformer2d(
+                    sd, f"down_blocks.{i}.attentions.{j}",
+                    cfg.transformer_layers)
+        if i < n - 1:
+            params[f"down_{i}_downsample"] = {
+                "conv": _conv(sd, f"down_blocks.{i}.downsamplers.0.conv")}
+    for i in range(n):
+        has_attn = i > 0  # up_blocks.0 is the plain UpBlock2D in SD-v1
+        for j in range(cfg.layers_per_block + 1):
+            params[f"up_{i}_resnets_{j}"] = _resnet(
+                sd, f"up_blocks.{i}.resnets.{j}")
+            if has_attn:
+                params[f"up_{i}_attentions_{j}"] = _transformer2d(
+                    sd, f"up_blocks.{i}.attentions.{j}",
+                    cfg.transformer_layers)
+        if i < n - 1:
+            params[f"up_{i}_upsample"] = {
+                "conv": _conv(sd, f"up_blocks.{i}.upsamplers.0.conv")}
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# SD3 MMDiT (diffusers SD3Transformer2DModel keys)
+# ---------------------------------------------------------------------------
+
+
+def convert_mmdit(sd: StateDict, cfg: MMDiTConfig) -> dict:
+    params: dict = {
+        "pos_embed_proj": _conv(sd, "pos_embed.proj"),
+        "time_embed_1": _lin(sd, "time_text_embed.timestep_embedder.linear_1"),
+        "time_embed_2": _lin(sd, "time_text_embed.timestep_embedder.linear_2"),
+        "text_embed_1": _lin(sd, "time_text_embed.text_embedder.linear_1"),
+        "text_embed_2": _lin(sd, "time_text_embed.text_embedder.linear_2"),
+        "context_embedder": _lin(sd, "context_embedder"),
+        "norm_out": {"linear": _lin(sd, "norm_out.linear")},
+        "proj_out": _lin(sd, "proj_out"),
+    }
+    for i in range(cfg.num_layers):
+        bk = f"transformer_blocks.{i}"
+        last = i == cfg.num_layers - 1
+        blk: dict = {
+            "norm1": {"linear": _lin(sd, f"{bk}.norm1.linear")},
+            "norm1_context": {"linear": _lin(sd, f"{bk}.norm1_context.linear")},
+            "attn_q": _lin(sd, f"{bk}.attn.to_q"),
+            "attn_k": _lin(sd, f"{bk}.attn.to_k"),
+            "attn_v": _lin(sd, f"{bk}.attn.to_v"),
+            "attn_add_q": _lin(sd, f"{bk}.attn.add_q_proj"),
+            "attn_add_k": _lin(sd, f"{bk}.attn.add_k_proj"),
+            "attn_add_v": _lin(sd, f"{bk}.attn.add_v_proj"),
+            "attn_to_out": _lin(sd, f"{bk}.attn.to_out.0"),
+            "ff": {"fc1": _lin(sd, f"{bk}.ff.net.0.proj"),
+                   "fc2": _lin(sd, f"{bk}.ff.net.2")},
+        }
+        if cfg.qk_norm == "rms_norm":
+            blk["attn_norm_q"] = {"scale": sd[f"{bk}.attn.norm_q.weight"]}
+            blk["attn_norm_k"] = {"scale": sd[f"{bk}.attn.norm_k.weight"]}
+            blk["attn_add_norm_q"] = {"scale": sd[f"{bk}.attn.norm_added_q.weight"]}
+            blk["attn_add_norm_k"] = {"scale": sd[f"{bk}.attn.norm_added_k.weight"]}
+        if not last:
+            blk["attn_to_add_out"] = _lin(sd, f"{bk}.attn.to_add_out")
+            blk["ff_context"] = {"fc1": _lin(sd, f"{bk}.ff_context.net.0.proj"),
+                                 "fc2": _lin(sd, f"{bk}.ff_context.net.2")}
+        params[f"blocks_{i}"] = blk
+    return {"params": params}

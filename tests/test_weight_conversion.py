@@ -1,0 +1,76 @@
+"""Golden parity tests: tiny HF transformers models (torch CPU, random
+weights) vs. this framework's Flax modules after state-dict conversion.
+
+This is the activation-level golden-test strategy SURVEY.md §4 calls for:
+the reference has no tests, so numeric parity with the upstream encoder
+implementations is our ground truth for attention/norm conventions.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from safe_denoiser_tpu.models import CLIPTextConfig, CLIPTextModel, T5Config, T5Encoder
+from safe_denoiser_tpu.models.weights import convert_clip_text, convert_t5
+
+
+def _to_np_sd(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+def test_clip_text_parity_with_hf():
+    # NOTE: eos_token_id=119 (not 2) so HF takes its modern first-EOS pooling
+    # path; with eos_token_id==2 HF falls back to legacy argmax(input_ids)
+    # pooling, which only coincides with first-EOS for real CLIP vocabularies
+    # where EOS (49407) is the largest token id.
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=120, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=16, hidden_act="quick_gelu",
+        projection_dim=24, eos_token_id=119, bos_token_id=0, pad_token_id=1)
+    torch.manual_seed(0)
+    hf = transformers.CLIPTextModelWithProjection(hf_cfg).eval()
+
+    cfg = CLIPTextConfig(vocab_size=120, hidden_size=32, num_layers=2,
+                         num_heads=4, intermediate_size=64,
+                         max_position_embeddings=16, hidden_act="quick_gelu",
+                         projection_dim=24, eos_token_id=119)
+    params = convert_clip_text(_to_np_sd(hf), cfg)
+
+    ids = np.array([[0, 5, 9, 119, 1, 1, 1, 1], [0, 7, 119, 1, 1, 1, 1, 1]])
+    with torch.no_grad():
+        out = hf(torch.tensor(ids), output_hidden_states=True)
+    last, penult, pooled, projected = CLIPTextModel(cfg).apply(
+        params, jnp.asarray(ids))
+
+    np.testing.assert_allclose(np.asarray(last),
+                               out.last_hidden_state.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(penult),
+                               out.hidden_states[-2].numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(projected),
+                               out.text_embeds.numpy(), atol=2e-5)
+
+
+def test_t5_encoder_parity_with_hf():
+    hf_cfg = transformers.T5Config(
+        vocab_size=120, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=20, feed_forward_proj="gated-gelu",
+        is_encoder_decoder=False, use_cache=False, dropout_rate=0.0)
+    torch.manual_seed(0)
+    hf = transformers.T5EncoderModel(hf_cfg).eval()
+
+    cfg = T5Config(vocab_size=120, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+                   num_heads=4, relative_attention_num_buckets=8,
+                   relative_attention_max_distance=20)
+    params = convert_t5(_to_np_sd(hf), cfg)
+
+    ids = np.array([[3, 14, 15, 9, 2, 6, 5, 1]])
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).last_hidden_state.numpy()
+    out = T5Encoder(cfg).apply(params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
