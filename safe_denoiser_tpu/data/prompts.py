@@ -1,0 +1,85 @@
+"""Benchmark prompt-CSV loading with the reference's column-sniffing rules.
+
+The reference iterates pandas rows and sniffs the schema per row
+(run_nudity.py:377-412): MMA-Diffusion (``adv_prompt``), Ring-A-Bell
+(``sensitive prompt``), I2P/UnlearnDiffAtk/COCO (``prompt`` +
+``case_number``), per-row ``guidance``/``evaluation_seed``/``sd_seed`` with
+fallbacks, ``categories`` split on ', ', and a broken-row skip. This module
+reproduces those exact rules as one typed iterator.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import pandas as pd
+
+
+@dataclass
+class PromptCase:
+    case_number: int | str
+    prompt: str
+    seed: int
+    guidance: float
+    categories: list[str]
+    row_index: int
+
+
+def load_prompt_csv(path: str) -> pd.DataFrame:
+    return pd.read_csv(path)
+
+
+def iter_prompt_cases(dataset: pd.DataFrame,
+                      default_guidance: Optional[float] = None,
+                      valid_case_numbers: Optional[str] = None,
+                      logger=None) -> Iterator[PromptCase]:
+    """Yield benchmark cases with the reference's sniffing/fallback semantics."""
+    if valid_case_numbers:
+        vstart, vend = valid_case_numbers.split(",")
+        dataset = dataset[int(vstart):][:int(vend)]
+
+    for _iter, data in dataset.iterrows():
+        if "adv_prompt" in data:                       # MMA-Diffusion
+            target_prompt = data["adv_prompt"]
+            case_num = _iter
+        elif "sensitive prompt" in data:               # Ring-A-Bell
+            target_prompt = data["sensitive prompt"]
+            case_num = _iter
+        elif "prompt" in data:                         # I2P / COCO / nudity
+            target_prompt = data["prompt"]
+            case_num = data["case_number"] if "case_number" in data else _iter
+        else:
+            continue
+
+        if hasattr(data, "guidance"):
+            guidance = data.guidance
+        elif default_guidance is not None:
+            guidance = default_guidance
+        else:
+            guidance = 7.5
+
+        try:
+            seed = data.evaluation_seed if hasattr(data, "evaluation_seed") \
+                else data.sd_seed
+        except Exception:
+            seed = 42
+
+        if "categories" in data.keys():
+            categories = str(data["categories"]).split(", ")
+        else:
+            categories = ["nudity"]
+
+        if logger is not None:
+            logger.log(f"Seed: {seed}, Iter: {_iter}, Case#: {case_num}: "
+                       f"target prompt: {target_prompt}")
+
+        # broken-row skip (reference run_nudity.py:410-412)
+        if not isinstance(target_prompt, str) \
+                or not isinstance(seed, (int,)) and not (
+                    hasattr(seed, "item") and isinstance(seed.item(), int)) \
+                or not isinstance(guidance, (int, float)):
+            continue
+        yield PromptCase(case_number=case_num, prompt=target_prompt,
+                         seed=int(seed), guidance=float(guidance),
+                         categories=categories, row_index=int(_iter))
