@@ -13,14 +13,19 @@ img/s (diffusers A100 benchmarks) — used as the vs_baseline denominator.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_IMG_PER_SEC = 1.5  # A100-class 50-step SD-v1.4 fp16 batched
 STEPS = 50
-BATCH = 4
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 BANK_M = 515  # i2p_sexual bank size (reference caches/sd/i2p_sexual)
 
 

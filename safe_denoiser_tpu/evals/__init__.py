@@ -1,0 +1,14 @@
+"""Evaluation stack: online gates (NudeNet/Q16) + offline metrics (FID/KID/
+CLIPScore/AES/IS), rebuilt on the framework's own CLIP/Inception towers."""
+
+from .metrics import (
+    frechet_distance,
+    inception_score_from_logits,
+    kid_from_features,
+    stats_from_features,
+)
+
+__all__ = [
+    "frechet_distance", "stats_from_features", "kid_from_features",
+    "inception_score_from_logits",
+]

@@ -122,6 +122,43 @@ def convert_clip_text(sd: StateDict, cfg: CLIPTextConfig) -> dict:
     return {"params": params}
 
 
+def convert_clip_vision(sd: StateDict, cfg) -> dict:
+    """HF transformers CLIPVisionModel[WithProjection] keys → CLIPVisionModel."""
+    p = "vision_model." if any(k.startswith("vision_model.") for k in sd) else ""
+    # HF ships the pre-LN under a historical typo key ("pre_layrnorm")
+    pre_key = f"{p}pre_layrnorm" if f"{p}pre_layrnorm.weight" in sd \
+        else f"{p}pre_layernorm"
+    params: dict = {
+        "class_embedding": sd[f"{p}embeddings.class_embedding"].reshape(-1),
+        "position_embedding": sd[f"{p}embeddings.position_embedding.weight"],
+        "patch_embedding": _conv(sd, f"{p}embeddings.patch_embedding"),
+        "pre_layernorm": _ln(sd, pre_key),
+        "post_layernorm": _ln(sd, f"{p}post_layernorm"),
+    }
+    if "visual_projection.weight" in sd:
+        params["visual_projection"] = {
+            "kernel": np.ascontiguousarray(sd["visual_projection.weight"].T)}
+    else:
+        params["visual_projection"] = {
+            "kernel": np.eye(cfg.hidden_size, cfg.projection_dim,
+                             dtype=np.float32)}
+    for i in range(cfg.num_layers):
+        lk = f"{p}encoder.layers.{i}"
+        params[f"layers_{i}"] = {
+            "layer_norm1": _ln(sd, f"{lk}.layer_norm1"),
+            "layer_norm2": _ln(sd, f"{lk}.layer_norm2"),
+            "self_attn": {
+                "to_q": _lin(sd, f"{lk}.self_attn.q_proj"),
+                "to_k": _lin(sd, f"{lk}.self_attn.k_proj"),
+                "to_v": _lin(sd, f"{lk}.self_attn.v_proj"),
+                "to_out": _lin(sd, f"{lk}.self_attn.out_proj"),
+            },
+            "mlp_fc1": _lin(sd, f"{lk}.mlp.fc1"),
+            "mlp_fc2": _lin(sd, f"{lk}.mlp.fc2"),
+        }
+    return {"params": params}
+
+
 # ---------------------------------------------------------------------------
 # T5 encoder (HF transformers T5EncoderModel keys)
 # ---------------------------------------------------------------------------

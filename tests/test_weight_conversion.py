@@ -74,3 +74,28 @@ def test_t5_encoder_parity_with_hf():
         ref = hf(torch.tensor(ids)).last_hidden_state.numpy()
     out = T5Encoder(cfg).apply(params, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_clip_vision_parity_with_hf():
+    hf_cfg = transformers.CLIPVisionConfig(
+        image_size=32, patch_size=8, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64, hidden_act="quick_gelu",
+        projection_dim=24)
+    torch.manual_seed(0)
+    hf = transformers.CLIPVisionModelWithProjection(hf_cfg).eval()
+
+    from safe_denoiser_tpu.models import CLIPVisionConfig, CLIPVisionModel
+    from safe_denoiser_tpu.models.weights import convert_clip_vision
+    cfg = CLIPVisionConfig(image_size=32, patch_size=8, hidden_size=32,
+                           num_layers=2, num_heads=4, intermediate_size=64,
+                           hidden_act="quick_gelu", projection_dim=24)
+    params = convert_clip_vision(_to_np_sd(hf), cfg)
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randn(2, 3, 32, 32).astype(np.float32)  # torch NCHW
+    with torch.no_grad():
+        out = hf(torch.tensor(imgs))
+    _, pooled, projected = CLIPVisionModel(cfg).apply(
+        params, jnp.asarray(np.transpose(imgs, (0, 2, 3, 1))))
+    np.testing.assert_allclose(np.asarray(projected),
+                               out.image_embeds.numpy(), atol=3e-5)
