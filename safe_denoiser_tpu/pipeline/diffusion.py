@@ -1,0 +1,338 @@
+"""SafeDiffusionPipeline — the host-side orchestration object.
+
+Bundles UNet/VAE/CLIP params, tokenizer and scheduler; exposes a
+``__call__`` with the reference pipelines' semantics
+(ModifiedSafreeDiffusionPipeline_Rep.__call__ and friends,
+models/textuals_visual/*.py) driven by an ``EraseSpec`` config instead of a
+class-per-variant: SAFREE projection + adaptive window, SLD concept
+guidance, repellency hook, FreeU/SafeGuard, per-row seed/guidance.
+
+The jitted sampling scan is cached per static signature; per-row values
+(seed, guidance) are traced arguments, so a benchmark sweep compiles once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import (
+    AutoencoderKL,
+    CLIPTextModel,
+    FreeUConfig,
+    UNet2DCondition,
+)
+from ..repellency.methods import RepellencyConfig
+from .safree import (
+    f_beta,
+    projection_and_orthogonal,
+    projection_matrix,
+    safree_projection,
+    svf_beta,
+)
+from .sampler import GuidanceConfig, RepellencyWindow, sample_sd
+
+# Safe Latent Diffusion safety levels (the sld package's SafetyConfig, used
+# by the reference via SLD_CONFIGS — run_nudity.py:75-80).
+SLD_CONFIGS: dict[str, dict] = {
+    "WEAK": dict(sld_warmup_steps=15, sld_guidance_scale=200.0,
+                 sld_threshold=0.0, sld_momentum_scale=0.0, sld_mom_beta=0.0),
+    "MEDIUM": dict(sld_warmup_steps=10, sld_guidance_scale=1000.0,
+                   sld_threshold=0.01, sld_momentum_scale=0.3,
+                   sld_mom_beta=0.4),
+    "STRONG": dict(sld_warmup_steps=7, sld_guidance_scale=2000.0,
+                   sld_threshold=0.025, sld_momentum_scale=0.5,
+                   sld_mom_beta=0.7),
+    "MAX": dict(sld_warmup_steps=0, sld_guidance_scale=5000.0,
+                sld_threshold=1.0, sld_momentum_scale=0.5, sld_mom_beta=0.7),
+}
+
+# The SLD safety concept prompt (sld package SafetyConfig; the SD3 pipeline
+# hardcodes a 17-phrase variant at models/sdv3/sdv3_pipeline.py:985-992).
+SLD_SAFETY_CONCEPT = (
+    "an image showing hate, harassment, violence, suffering, humiliation, "
+    "harm, suicide, sexual, nudity, bodily fluids, blood, obscene gestures, "
+    "illegal activity, drug use, theft, vandalism, weapons, child abuse, "
+    "brutality, cruelty")
+
+
+@dataclasses.dataclass(frozen=True)
+class EraseSpec:
+    """What the reference encodes in SD_FUNCTIONS[erase_id] + flags
+    (run_nudity.py:56-80): text-safety method × repellency gating."""
+
+    text_method: str = "none"         # 'none' | 'safree' | 'sld'
+    repellency: bool = False
+    window: RepellencyWindow = RepellencyWindow()
+
+
+# erase_id → spec (reference SD_FUNCTIONS, run_nudity.py:56-73). 'esd'/'rece'
+# reuse std/sld pipelines with swapped fine-tuned UNet checkpoints.
+ERASE_SPECS: dict[str, EraseSpec] = {
+    "std": EraseSpec(),
+    "esd": EraseSpec(),
+    "std_rep": EraseSpec(repellency=True,
+                         window=RepellencyWindow(1000.0, 780.0)),
+    "sld": EraseSpec(text_method="sld"),
+    "rece": EraseSpec(text_method="sld"),
+    "safree": EraseSpec(text_method="safree"),
+    "safree_neg_prompt": EraseSpec(text_method="safree"),
+    "sld_rep_time": EraseSpec("sld", True, RepellencyWindow(1000.0, 800.0)),
+    "sld_rep_threshold": EraseSpec(
+        "sld", True, RepellencyWindow(step_start=0, step_end=50,
+                                      by_timestep=False)),
+    "sld_rep_threshold_time": EraseSpec(
+        "sld", True, RepellencyWindow(1000.0, 780.0)),
+    "safree_neg_prompt_rep": EraseSpec(
+        "safree", True, RepellencyWindow(1001.0, -1.0)),
+    "safree_neg_prompt_rep_time": EraseSpec(
+        "safree", True, RepellencyWindow(1000.0, 800.0)),
+    "safree_neg_prompt_rep_threshold": EraseSpec(
+        "safree", True, RepellencyWindow(step_start=0, step_end=50,
+                                         by_timestep=False)),
+    "safree_neg_prompt_rep_threshold_time": EraseSpec(
+        "safree", True, RepellencyWindow(1000.0, 780.0)),
+}
+
+
+class SafeDiffusionPipeline:
+    def __init__(self, unet: UNet2DCondition, unet_params,
+                 vae: AutoencoderKL, vae_params,
+                 text_encoder: CLIPTextModel, text_params,
+                 tokenizer, scheduler, logger=None):
+        self.unet = unet
+        self.unet_params = unet_params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.text_encoder = text_encoder
+        self.text_params = text_params
+        self.tokenizer = tokenizer
+        self.scheduler = scheduler
+        self.logger = logger
+        self.vae_scale_factor = 2 ** (len(vae.config.block_out_channels) - 1)
+
+        self._encode = jax.jit(
+            lambda ids: self.text_encoder.apply(self.text_params, ids))
+        self._vae_decode = jax.jit(
+            lambda z: self.vae.apply(self.vae_params, z,
+                                     method=AutoencoderKL.decode))
+        self._vae_encode = jax.jit(
+            lambda x, rng: self.vae.apply(self.vae_params, x, rng,
+                                          method=AutoencoderKL.sample_latent))
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, model_dir: str, scheduler=None, logger=None):
+        """Load an HF-layout SD checkpoint dir (unet/ vae/ text_encoder/
+        tokenizer/ with .safetensors or .bin weights)."""
+        import os
+
+        from ..models import SD14_UNET, SD14_VAE, CLIP_VIT_L_14
+        from ..models.weights import (
+            convert_clip_text, convert_unet, convert_vae,
+            load_sharded_state_dict)
+        from ..schedulers import DDPMScheduler
+        from ..text import CLIPTokenizer
+
+        unet = UNet2DCondition(SD14_UNET, dtype=jnp.bfloat16)
+        vae = AutoencoderKL(SD14_VAE, dtype=jnp.bfloat16)
+        text = CLIPTextModel(CLIP_VIT_L_14, dtype=jnp.float32)
+        unet_params = convert_unet(
+            load_sharded_state_dict(os.path.join(model_dir, "unet")), SD14_UNET)
+        vae_params = convert_vae(
+            load_sharded_state_dict(os.path.join(model_dir, "vae")), SD14_VAE)
+        text_params = convert_clip_text(
+            load_sharded_state_dict(os.path.join(model_dir, "text_encoder")),
+            CLIP_VIT_L_14)
+        tokenizer = CLIPTokenizer.from_pretrained(
+            os.path.join(model_dir, "tokenizer"))
+        return cls(unet, unet_params, vae, vae_params, text, text_params,
+                   tokenizer, scheduler or DDPMScheduler(), logger=logger)
+
+    def load_unet_state_dict(self, path: str):
+        """Swap in a fine-tuned UNet (ESD/RECE; reference run_nudity.py:124-130)."""
+        from ..models.weights import convert_unet, load_state_dict
+        sd = load_state_dict(path)
+        if "unet" in sd and not hasattr(sd["unet"], "shape"):
+            sd = sd["unet"]
+        self.unet_params = convert_unet(sd, self.unet.config)
+
+    # -- text encoding ------------------------------------------------------
+    def encode_prompt(self, prompt: str, negative_prompt: Optional[str] = None,
+                      max_length: Optional[int] = None):
+        """Returns (embeds [2, 1, L, D], input_ids, attention_mask)."""
+        max_length = max_length or self.tokenizer.model_max_length
+        enc = self.tokenizer([prompt], padding="max_length",
+                             max_length=max_length)
+        ids = jnp.asarray(enc["input_ids"])
+        cond = self._encode(ids)[0]
+        un = self.tokenizer([negative_prompt or ""], padding="max_length",
+                            max_length=max_length)
+        uncond = self._encode(jnp.asarray(un["input_ids"]))[0]
+        return (jnp.stack([uncond, cond]), ids,
+                jnp.asarray(enc["attention_mask"]))
+
+    def _encode_pooled(self, prompts: Sequence[str],
+                       max_length: Optional[int] = None):
+        enc = self.tokenizer(list(prompts), padding="max_length",
+                             max_length=max_length or
+                             self.tokenizer.model_max_length)
+        ids = jnp.asarray(enc["input_ids"])
+        # EOT-argmax pooling like the reference _encode_embeddings (:170-174)
+        return self._encode(ids)[2]
+
+    def _masked_encode_prompt(self, prompt: str,
+                              max_length: Optional[int] = None):
+        """Leave-one-out masked pooled embeddings (reference :211-229)."""
+        max_length = max_length or self.tokenizer.model_max_length
+        enc = self.tokenizer([prompt], padding="longest")
+        ids = enc["input_ids"][0]
+        if len(ids) > max_length:
+            ids = ids[:max_length]
+        n_real = len(ids) - 2
+        masked = np.tile(np.asarray(ids), (n_real, 1))
+        for i in range(n_real):
+            masked[i, i + 1] = 0
+        return self._encode(jnp.asarray(masked))[2]
+
+    # -- generation ---------------------------------------------------------
+    @functools.cached_property
+    def _jitted_sample(self):
+        @functools.partial(
+            jax.jit,
+            static_argnames=("steps", "guidance", "repellency", "window",
+                             "freeu", "height", "width"))
+        def run(text_embeds, text_embeds_alt, use_alt, refs, rng,
+                guidance_scale, steps, guidance, repellency, window, freeu,
+                height, width):
+            b = text_embeds.shape[1]
+            lat_rng, samp_rng = jax.random.split(rng)
+            shape = (b, height // self.vae_scale_factor,
+                     width // self.vae_scale_factor, 4)
+            latents = jax.random.normal(lat_rng, shape, dtype=jnp.float32)
+            latents = latents * self.scheduler.init_noise_sigma
+            latents, applied = sample_sd(
+                lambda l, t, c, fu: self.unet.apply(self.unet_params, l, t, c,
+                                                    freeu=fu),
+                self.scheduler, text_embeds, latents, samp_rng, steps,
+                guidance=guidance, repellency=repellency, refs_nchw=refs,
+                window=window, text_embeds_alt=text_embeds_alt,
+                use_alt_per_step=use_alt, freeu=freeu,
+                guidance_scale=guidance_scale)
+            image = self.vae.apply(
+                self.vae_params, latents / self.vae.config.scaling_factor,
+                method=AutoencoderKL.decode)
+            return latents, image, applied
+
+        return run
+
+    def __call__(self, prompt: str,
+                 num_inference_steps: int = 50,
+                 guidance_scale: float = 7.5,
+                 negative_prompt: Optional[str] = None,
+                 negative_prompt_space: Optional[Sequence[str]] = None,
+                 height: int = 512, width: int = 512,
+                 seed: int = 42,
+                 repellency_processor=None,
+                 safree_dict: Optional[dict] = None,
+                 erase_spec: EraseSpec = EraseSpec(),
+                 safe_config: Optional[dict] = None,
+                 freeu: Optional[FreeUConfig] = None,
+                 return_latents: bool = False):
+        """Generate one image batch with the reference call semantics."""
+        sf = dict(safree_dict or {})
+        logger = sf.get("logger") or self.logger
+
+        embeds, ids, attn_mask = self.encode_prompt(prompt, negative_prompt)
+        use_alt = None
+        embeds_alt = None
+
+        # ---- SAFREE text projection (reference :458-486) ------------------
+        if sf.get("safree"):
+            negspace = self._encode_pooled(list(negative_prompt_space))
+            concept_proj = projection_matrix(negspace.T)
+            masked = self._masked_encode_prompt(prompt)
+            masked_proj = projection_matrix(masked.T)
+            pair = jnp.stack([embeds[0, 0], embeds[1, 0]])
+            rescaled, n_removed, _ = safree_projection(
+                pair, masked, masked_proj, concept_proj,
+                alpha=float(sf.get("alpha", 0.01)),
+                max_length=pair.shape[1])
+            if logger is not None:
+                logger.log(f"Among {masked.shape[0]} tokens, we remove "
+                           f"{int(n_removed)}.")
+            embeds_alt = rescaled[:, None]
+
+            if sf.get("svf"):
+                proj_ort = projection_and_orthogonal(pair, masked_proj,
+                                                     concept_proj)
+                beta = svf_beta(pair[1], proj_ort[1], attn_mask[0])
+                beta_adj = f_beta(beta, upperbound_timestep=sf.get("up_t", 10),
+                                  concept_type=sf.get("category", "nudity"))
+                if logger is not None:
+                    logger.log(f"beta : {beta}, adjusted_beta: {beta_adj}")
+                use_alt = jnp.arange(num_inference_steps) <= beta_adj
+            else:
+                lo, hi = sf.get("re_attn_t", [-1, 1001])
+                steps_idx = jnp.arange(num_inference_steps)
+                use_alt = jnp.logical_and(steps_idx >= lo, steps_idx <= hi)
+
+        # ---- branch assembly ---------------------------------------------
+        lra = bool(sf.get("lra"))
+        if erase_spec.text_method == "sld":
+            sld_embed = self._encode(jnp.asarray(
+                self.tokenizer([SLD_SAFETY_CONCEPT],
+                               padding="max_length")["input_ids"]))[0]
+            text_embeds = jnp.concatenate([embeds, sld_embed[None]], axis=0)
+            embeds_alt2 = None if embeds_alt is None else jnp.concatenate(
+                [embeds_alt, sld_embed[None]], axis=0)
+            guidance = GuidanceConfig(
+                mode="sld",
+                **{k: v for k, v in (safe_config or SLD_CONFIGS["STRONG"]).items()})
+        elif lra:
+            cond = embeds[1:2]
+            text_embeds = jnp.concatenate([embeds, cond], axis=0)
+            embeds_alt2 = None if embeds_alt is None else jnp.concatenate(
+                [embeds_alt, cond], axis=0)
+            guidance = GuidanceConfig(mode="lra")
+        else:
+            text_embeds = embeds
+            embeds_alt2 = embeds_alt
+            guidance = GuidanceConfig()
+
+        # ---- repellency ---------------------------------------------------
+        repellency_cfg = None
+        refs = None
+        if repellency_processor is not None and erase_spec.repellency:
+            repellency_cfg = dataclasses.replace(
+                repellency_processor.config(), use_beta_gate=True)
+            refs = repellency_processor.get_proj_ref()
+
+        if use_alt is None:
+            use_alt = jnp.zeros((num_inference_steps,), dtype=bool)
+        if embeds_alt2 is None:
+            embeds_alt2 = text_embeds
+
+        latents, image, applied = self._jitted_sample(
+            text_embeds, embeds_alt2, use_alt, refs,
+            jax.random.PRNGKey(seed), jnp.float32(guidance_scale),
+            num_inference_steps, guidance, repellency_cfg, erase_spec.window,
+            freeu if lra else None, height, width)
+
+        applied = np.asarray(applied)
+        if logger is not None:
+            ts = self.scheduler.timesteps(num_inference_steps)
+            for i in np.nonzero(applied.any(axis=-1))[0]:
+                logger.log("-" * 10 +
+                           f" Repellency applied at timestep {ts[i]} " +
+                           "-" * 10)
+
+        if return_latents:
+            return latents
+        image = np.asarray((image / 2 + 0.5).clip(0, 1))
+        return [(img * 255).round().astype(np.uint8) for img in image]

@@ -73,10 +73,14 @@ class RepellencyWindow:
 
 
 def _combine_guidance(noise_pred: jax.Array, i, guidance: GuidanceConfig,
-                      momentum: jax.Array):
-    """[branches, B, ...] model outputs → (guided eps [B, ...], momentum')."""
+                      momentum: jax.Array, guidance_scale=None):
+    """[branches, B, ...] model outputs → (guided eps [B, ...], momentum').
+
+    ``guidance_scale`` may be a traced scalar (per-CSV-row guidance,
+    reference run_nudity.py:394-399) — falls back to the static config value.
+    """
     uncond, text = noise_pred[0], noise_pred[1]
-    g = guidance.guidance_scale
+    g = guidance.guidance_scale if guidance_scale is None else guidance_scale
     if guidance.mode in ("cfg", "lra"):
         # lra's 3rd branch only feeds the SafeGuard filters; CFG combine is
         # identical (reference :543-548)
@@ -126,7 +130,8 @@ def sample_sd(unet_apply: Callable[..., jax.Array],
               window: RepellencyWindow = RepellencyWindow(),
               text_embeds_alt: Optional[jax.Array] = None,
               use_alt_per_step: Optional[jax.Array] = None,
-              freeu=None):
+              freeu=None,
+              guidance_scale=None):
     """Run the full reverse-diffusion scan for SD-v1.x.
 
     Args:
@@ -164,7 +169,8 @@ def sample_sd(unet_apply: Callable[..., jax.Array],
 
         eps = unet_apply(latent_in, t, ctx, freeu)
         eps = eps.reshape(n_branches, b, *eps.shape[1:])
-        eps, momentum = _combine_guidance(eps, i, guidance, momentum)
+        eps, momentum = _combine_guidance(eps, i, guidance, momentum,
+                                          guidance_scale)
 
         if repellency is not None:
             in_window = window.mask(i, t)
