@@ -1,0 +1,439 @@
+"""Minimal ONNX runtime: protobuf wire-format parser + numpy interpreter.
+
+The reference runs its vendored NudeNet classifier through onnxruntime
+(nudenet/classify_pil.py:37-72). That dependency isn't available here, so
+this module implements the two pieces needed to execute such a model from
+the raw ``.onnx`` file: a generic protobuf wire decoder specialized to the
+ONNX ModelProto schema (field numbers from onnx/onnx.proto — a stable,
+versioned public format), and an interpreter covering the op set that
+CNN-classifier exports (Keras/TF→ONNX and torch exports) use.
+
+Evaluation is not a hot path (the reference runs ORT on CPU), so ops are
+plain numpy; correctness over speed.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# protobuf wire decoding
+# ---------------------------------------------------------------------------
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def iter_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) over a protobuf message."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = _read_varint(buf, pos)
+        fnum, wtype = key >> 3, key & 7
+        if wtype == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wtype == 1:
+            val = buf[pos:pos + 8]
+            pos += 8
+        elif wtype == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos:pos + ln]
+            pos += ln
+        elif wtype == 5:
+            val = buf[pos:pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wtype}")
+        yield fnum, wtype, val
+
+
+def _packed_varints(buf: bytes) -> list[int]:
+    out, pos = [], 0
+    while pos < len(buf):
+        v, pos = _read_varint(buf, pos)
+        out.append(v)
+    return out
+
+
+def _zigzag_to_signed(v: int, bits: int = 64) -> int:
+    # ONNX int64 fields are plain (not zigzag); handle two's complement
+    if v >= 1 << (bits - 1):
+        v -= 1 << bits
+    return v
+
+
+ONNX_DTYPES = {1: np.float32, 2: np.uint8, 3: np.int8, 4: np.uint16,
+               5: np.int16, 6: np.int32, 7: np.int64, 9: np.bool_,
+               10: np.float16, 11: np.float64, 12: np.uint32, 13: np.uint64}
+
+
+def parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
+    dims: list[int] = []
+    dtype = 1
+    raw = b""
+    floats: list[float] = []
+    ints32: list[int] = []
+    ints64: list[int] = []
+    name = ""
+    for fnum, wtype, val in iter_fields(buf):
+        if fnum == 1:
+            if wtype == 0:
+                dims.append(val)
+            else:
+                dims.extend(_packed_varints(val))
+        elif fnum == 2:
+            dtype = val
+        elif fnum == 4:
+            if wtype == 5:
+                floats.append(struct.unpack("<f", val)[0])
+            else:
+                floats.extend(struct.unpack(f"<{len(val) // 4}f", val))
+        elif fnum == 5:
+            if wtype == 0:
+                ints32.append(val)
+            else:
+                ints32.extend(_packed_varints(val))
+        elif fnum == 7:
+            if wtype == 0:
+                ints64.append(_zigzag_to_signed(val))
+            else:
+                ints64.extend(_zigzag_to_signed(v) for v in _packed_varints(val))
+        elif fnum == 8:
+            name = val.decode("utf-8")
+        elif fnum == 9:
+            raw = val
+    np_dtype = ONNX_DTYPES[dtype]
+    if raw:
+        arr = np.frombuffer(raw, dtype=np_dtype)
+    elif floats:
+        arr = np.asarray(floats, dtype=np_dtype)
+    elif ints64:
+        arr = np.asarray(ints64, dtype=np_dtype)
+    elif ints32:
+        arr = np.asarray(ints32, dtype=np_dtype)
+    else:
+        arr = np.zeros(0, dtype=np_dtype)
+    return name, arr.reshape(dims) if dims else arr
+
+
+def parse_attribute(buf: bytes) -> tuple[str, Any]:
+    name = ""
+    a_f = a_i = a_s = a_t = None
+    floats: list[float] = []
+    ints: list[int] = []
+    for fnum, wtype, val in iter_fields(buf):
+        if fnum == 1:
+            name = val.decode("utf-8")
+        elif fnum == 2:
+            a_f = struct.unpack("<f", val)[0]
+        elif fnum == 3:
+            a_i = _zigzag_to_signed(val)
+        elif fnum == 4:
+            a_s = val
+        elif fnum == 5:
+            a_t = parse_tensor(val)[1]
+        elif fnum == 7:
+            if wtype == 5:
+                floats.append(struct.unpack("<f", val)[0])
+            else:
+                floats.extend(struct.unpack(f"<{len(val) // 4}f", val))
+        elif fnum == 8:
+            if wtype == 0:
+                ints.append(_zigzag_to_signed(val))
+            else:
+                ints.extend(_zigzag_to_signed(v) for v in _packed_varints(val))
+    if a_t is not None:
+        return name, a_t
+    if a_s is not None:
+        return name, a_s.decode("utf-8", errors="replace")
+    if floats:
+        return name, floats
+    if ints:
+        return name, ints
+    if a_f is not None:
+        return name, a_f
+    return name, a_i
+
+
+@dataclass
+class Node:
+    op_type: str
+    inputs: list[str]
+    outputs: list[str]
+    attrs: dict[str, Any]
+
+
+@dataclass
+class Graph:
+    nodes: list[Node] = field(default_factory=list)
+    initializers: dict[str, np.ndarray] = field(default_factory=dict)
+    inputs: list[str] = field(default_factory=list)
+    outputs: list[str] = field(default_factory=list)
+
+
+def _value_info_name(buf: bytes) -> str:
+    for fnum, _, val in iter_fields(buf):
+        if fnum == 1:
+            return val.decode("utf-8")
+    return ""
+
+
+def parse_graph(buf: bytes) -> Graph:
+    g = Graph()
+    for fnum, _, val in iter_fields(buf):
+        if fnum == 1:  # node
+            node = Node("", [], [], {})
+            for nf, _, nv in iter_fields(val):
+                if nf == 1:
+                    node.inputs.append(nv.decode("utf-8"))
+                elif nf == 2:
+                    node.outputs.append(nv.decode("utf-8"))
+                elif nf == 4:
+                    node.op_type = nv.decode("utf-8")
+                elif nf == 7:
+                    k, v = parse_attribute(nv)
+                    node.attrs[k] = v
+            g.nodes.append(node)
+        elif fnum == 5:  # initializer
+            name, arr = parse_tensor(val)
+            g.initializers[name] = arr
+        elif fnum == 11:
+            g.inputs.append(_value_info_name(val))
+        elif fnum == 12:
+            g.outputs.append(_value_info_name(val))
+    return g
+
+
+def parse_model(buf: bytes) -> Graph:
+    for fnum, _, val in iter_fields(buf):
+        if fnum == 7:  # ModelProto.graph
+            return parse_graph(val)
+    raise ValueError("no graph found in ONNX model")
+
+
+# ---------------------------------------------------------------------------
+# numpy interpreter
+# ---------------------------------------------------------------------------
+
+
+def _auto_pads(attrs, kernel, strides, in_shape):
+    """Resolve pads from explicit attr or auto_pad (SAME_UPPER/LOWER)."""
+    spatial = len(kernel)
+    pads = attrs.get("pads")
+    if pads is not None:
+        return list(pads)
+    auto = attrs.get("auto_pad", "NOTSET")
+    if auto in ("NOTSET", "VALID"):
+        return [0] * (2 * spatial)
+    begins, ends = [], []
+    for i in range(spatial):
+        out = -(-in_shape[i] // strides[i])
+        total = max(0, (out - 1) * strides[i] + kernel[i] - in_shape[i])
+        if auto == "SAME_UPPER":
+            begins.append(total // 2)
+            ends.append(total - total // 2)
+        else:
+            begins.append(total - total // 2)
+            ends.append(total // 2)
+    return begins + ends
+
+
+def _conv(x, w, b, attrs):
+    """NCHW conv via scipy-free im2col (grouped)."""
+    strides = attrs.get("strides", [1, 1])
+    dil = attrs.get("dilations", [1, 1])
+    group = attrs.get("group", 1)
+    kh, kw = w.shape[2], w.shape[3]
+    pads = _auto_pads(attrs, [kh * dil[0] - dil[0] + 1, kw * dil[1] - dil[1] + 1],
+                      strides, x.shape[2:])
+    x = np.pad(x, ((0, 0), (0, 0), (pads[0], pads[2]), (pads[1], pads[3])))
+    n, c, h, wd = x.shape
+    oc = w.shape[0]
+    oh = (h - (kh - 1) * dil[0] - 1) // strides[0] + 1
+    ow = (wd - (kw - 1) * dil[1] - 1) // strides[1] + 1
+    cg = c // group
+    ocg = oc // group
+    out = np.empty((n, oc, oh, ow), dtype=np.float32)
+    # im2col per group
+    for g in range(group):
+        xg = x[:, g * cg:(g + 1) * cg]
+        cols = np.empty((n, cg * kh * kw, oh * ow), dtype=np.float32)
+        idx = 0
+        for i in range(kh):
+            for j in range(kw):
+                patch = xg[:, :, i * dil[0]:i * dil[0] + oh * strides[0]:strides[0],
+                           j * dil[1]:j * dil[1] + ow * strides[1]:strides[1]]
+                cols[:, idx * cg:(idx + 1) * cg] = patch.reshape(n, cg, -1)
+                idx += 1
+        wg = w[g * ocg:(g + 1) * ocg]
+        # reorder weight to (ocg, kh*kw*cg) matching cols layout (i,j,c)
+        wg2 = wg.transpose(2, 3, 1, 0).reshape(-1, ocg)
+        out[:, g * ocg:(g + 1) * ocg] = np.einsum(
+            "nkp,ko->nop", cols, wg2).astype(np.float32).reshape(n, ocg, oh, ow)
+    if b is not None:
+        out += b.reshape(1, -1, 1, 1)
+    return out
+
+
+def _pool(x, attrs, mode):
+    kernel = attrs["kernel_shape"]
+    strides = attrs.get("strides", [1, 1])
+    pads = _auto_pads(attrs, kernel, strides, x.shape[2:])
+    fill = -np.inf if mode == "max" else 0.0
+    x = np.pad(x, ((0, 0), (0, 0), (pads[0], pads[2]), (pads[1], pads[3])),
+               constant_values=fill)
+    n, c, h, w = x.shape
+    kh, kw = kernel
+    oh = (h - kh) // strides[0] + 1
+    ow = (w - kw) // strides[1] + 1
+    out = np.full((n, c, oh, ow), fill, dtype=np.float32)
+    cnt = np.zeros((oh, ow), dtype=np.float32) if mode == "avg" else None
+    acc = np.zeros((n, c, oh, ow), dtype=np.float32)
+    for i in range(kh):
+        for j in range(kw):
+            patch = x[:, :, i:i + oh * strides[0]:strides[0],
+                      j:j + ow * strides[1]:strides[1]]
+            if mode == "max":
+                out = np.maximum(out, patch)
+            else:
+                acc += patch
+    if mode == "max":
+        return out
+    return acc / (kh * kw)
+
+
+def run_graph(graph: Graph, feeds: dict[str, np.ndarray],
+              outputs: list[str] | None = None) -> list[np.ndarray]:
+    env: dict[str, np.ndarray] = dict(graph.initializers)
+    env.update({k: np.asarray(v) for k, v in feeds.items()})
+    outputs = outputs or graph.outputs
+
+    for node in graph.nodes:
+        i = [env[name] if name else None for name in node.inputs]
+        op = node.op_type
+        a = node.attrs
+        if op == "Conv":
+            r = _conv(i[0], i[1], i[2] if len(i) > 2 else None, a)
+        elif op == "Relu":
+            r = np.maximum(i[0], 0)
+        elif op == "Sigmoid":
+            r = 1 / (1 + np.exp(-i[0]))
+        elif op == "Tanh":
+            r = np.tanh(i[0])
+        elif op == "Clip":
+            lo = i[1] if len(i) > 1 and i[1] is not None else a.get("min", -np.inf)
+            hi = i[2] if len(i) > 2 and i[2] is not None else a.get("max", np.inf)
+            r = np.clip(i[0], lo, hi)
+        elif op == "Add":
+            r = i[0] + i[1]
+        elif op == "Sub":
+            r = i[0] - i[1]
+        elif op == "Mul":
+            r = i[0] * i[1]
+        elif op == "Div":
+            r = i[0] / i[1]
+        elif op == "MatMul":
+            r = i[0] @ i[1]
+        elif op == "Gemm":
+            x, w = i[0], i[1]
+            if a.get("transA", 0):
+                x = x.T
+            if a.get("transB", 0):
+                w = w.T
+            r = a.get("alpha", 1.0) * (x @ w)
+            if len(i) > 2 and i[2] is not None:
+                r = r + a.get("beta", 1.0) * i[2]
+        elif op == "BatchNormalization":
+            x, scale, bias, mean, var = i[:5]
+            eps = a.get("epsilon", 1e-5)
+            shape = [1, -1] + [1] * (x.ndim - 2)
+            r = (x - mean.reshape(shape)) / np.sqrt(var.reshape(shape) + eps)
+            r = r * scale.reshape(shape) + bias.reshape(shape)
+        elif op == "MaxPool":
+            r = _pool(i[0], a, "max")
+        elif op == "AveragePool":
+            r = _pool(i[0], a, "avg")
+        elif op == "GlobalAveragePool":
+            r = i[0].mean(axis=tuple(range(2, i[0].ndim)), keepdims=True)
+        elif op == "GlobalMaxPool":
+            r = i[0].max(axis=tuple(range(2, i[0].ndim)), keepdims=True)
+        elif op == "Softmax":
+            ax = a.get("axis", -1)
+            e = np.exp(i[0] - i[0].max(axis=ax, keepdims=True))
+            r = e / e.sum(axis=ax, keepdims=True)
+        elif op == "Concat":
+            r = np.concatenate([x for x in i if x is not None], axis=a["axis"])
+        elif op == "Reshape":
+            shape = i[1].astype(np.int64) if len(i) > 1 else a["shape"]
+            r = i[0].reshape([int(s) for s in shape])
+        elif op == "Flatten":
+            ax = a.get("axis", 1)
+            r = i[0].reshape(int(np.prod(i[0].shape[:ax]) or 1), -1)
+        elif op == "Transpose":
+            r = np.transpose(i[0], a.get("perm"))
+        elif op == "Squeeze":
+            axes = a.get("axes") or (i[1].tolist() if len(i) > 1 else None)
+            r = np.squeeze(i[0], axis=tuple(axes) if axes else None)
+        elif op == "Unsqueeze":
+            axes = a.get("axes") or i[1].tolist()
+            r = i[0]
+            for ax in sorted(axes):
+                r = np.expand_dims(r, int(ax))
+        elif op == "Pad":
+            pads = a.get("pads") or i[1].tolist()
+            half = len(pads) // 2
+            pad_width = list(zip(pads[:half], pads[half:]))
+            r = np.pad(i[0], pad_width,
+                       constant_values=a.get("value", 0.0))
+        elif op in ("Identity", "Dropout", "Cast"):
+            r = i[0].astype(ONNX_DTYPES.get(a.get("to"), i[0].dtype)) \
+                if op == "Cast" else i[0]
+        elif op == "Shape":
+            r = np.asarray(i[0].shape, dtype=np.int64)
+        elif op == "Gather":
+            r = np.take(i[0], i[1].astype(np.int64), axis=a.get("axis", 0))
+        elif op == "ReduceMean":
+            axes = a.get("axes")
+            r = i[0].mean(axis=tuple(axes) if axes else None,
+                          keepdims=bool(a.get("keepdims", 1)))
+        else:
+            raise NotImplementedError(f"ONNX op {op} not supported")
+        for out_name in node.outputs:
+            if out_name:
+                env[out_name] = r
+
+    return [env[name] for name in outputs]
+
+
+class InferenceSession:
+    """onnxruntime.InferenceSession-shaped wrapper over the interpreter."""
+
+    def __init__(self, model_path: str):
+        with open(model_path, "rb") as f:
+            self.graph = parse_model(f.read())
+
+    def get_inputs(self):
+        init = set(self.graph.initializers)
+        names = [n for n in self.graph.inputs if n not in init]
+        return [type("IO", (), {"name": n})() for n in names]
+
+    def get_outputs(self):
+        return [type("IO", (), {"name": n})() for n in self.graph.outputs]
+
+    def run(self, output_names, feeds):
+        return run_graph(self.graph, feeds,
+                         output_names or self.graph.outputs)
