@@ -53,7 +53,7 @@ class _GlobImageDataset:
     exts = ("png", "jpg")
 
     def __init__(self, root: str, class_info: str = "",
-                 transforms: Optional[Callable] = None):
+                 transforms: Optional[Callable] = None, **_ignored):
         root_path = os.path.join(root, class_info)
         fpaths: list[str] = []
         for ext in self.exts:

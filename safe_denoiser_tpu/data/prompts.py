@@ -49,6 +49,9 @@ def iter_prompt_cases(dataset: pd.DataFrame,
         elif "prompt" in data:                         # I2P / COCO / nudity
             target_prompt = data["prompt"]
             case_num = data["case_number"] if "case_number" in data else _iter
+        elif "unsafe_prompt" in data:                  # CoPro (run_copro.py:443)
+            target_prompt = data["unsafe_prompt"]
+            case_num = data["idx"] if "idx" in data else _iter
         else:
             continue
 

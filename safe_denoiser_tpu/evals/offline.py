@@ -1,0 +1,146 @@
+"""Offline metric orchestrators (reference evaluations/fid.py:18-221 and the
+entry scripts evaluate_coco30k_fid_clip.py / evaluate_copro_aes_clip.py).
+
+Feature extraction runs batched/jitted on the accelerator; the O(D³) sqrtm
+for FID runs on host (evals/metrics.py). Results are written as YAML next to
+the sample dir, matching the reference's metrics_*.yaml outputs
+(evaluations/fid.py:62-67,118-124).
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from .metrics import frechet_distance, kid_from_features, stats_from_features
+
+
+def list_images(root: str) -> list[str]:
+    out: list[str] = []
+    for ext in ("png", "jpg", "jpeg"):
+        out += glob(os.path.join(root, f"*.{ext}"))
+    return sorted(out)
+
+
+def load_image(path: str, size: int | None = None) -> np.ndarray:
+    from PIL import Image
+    img = Image.open(path).convert("RGB")
+    if size is not None:
+        img = img.resize((size, size), Image.BILINEAR)
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+class InceptionFeatures:
+    """Batched pool3/logits extraction with the Flax InceptionV3."""
+
+    def __init__(self, weights_path: str | None = None, batch_size: int = 32):
+        from .inception import InceptionV3, convert_inception
+        self.model = InceptionV3()
+        if weights_path is not None:
+            from ..models.weights import load_state_dict
+            self.params = convert_inception(load_state_dict(weights_path))
+        else:
+            self.params = self.model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+        self.batch_size = batch_size
+        self._fwd = jax.jit(lambda px: self.model.apply(self.params, px))
+
+    def __call__(self, paths: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        feats, logits = [], []
+        bs = self.batch_size
+        for i in range(0, len(paths), bs):
+            batch = np.stack([load_image(p, 299) for p in paths[i:i + bs]])
+            f, l = self._fwd(jnp.asarray(batch))
+            feats.append(np.asarray(f))
+            logits.append(np.asarray(l))
+        return np.concatenate(feats), np.concatenate(logits)
+
+
+def evaluate_fid(sample_dir: str, dataset_root: str,
+                 inception_weights: str | None = None,
+                 save_yaml: bool = True,
+                 tag: str = "org_coco30k_10k") -> dict:
+    """FID + KID between sample_dir and dataset_root images
+    (reference evaluations/fid.py:18-67)."""
+    extractor = InceptionFeatures(inception_weights)
+    sample_feats, _ = extractor(list_images(sample_dir))
+    ref_feats, _ = extractor(list_images(dataset_root))
+
+    mu1, s1 = stats_from_features(sample_feats)
+    mu2, s2 = stats_from_features(ref_feats)
+    fid = frechet_distance(mu1, s1, mu2, s2)
+    kid_mean, kid_std = kid_from_features(ref_feats, sample_feats)
+    result = {"fid": float(fid), "kid": float(kid_mean),
+              "log_kid": float(np.log(max(kid_mean, 1e-12)))}
+    if save_yaml:
+        out = os.path.join(os.path.dirname(sample_dir.rstrip("/")),
+                           f"metrics_{tag}.yaml")
+        with open(out, "w") as f:
+            yaml.dump(result, f)
+    return result
+
+
+def evaluate_clip_score(sample_dir: str, prompts_csv: str,
+                        clip_weights_dir: str,
+                        id_column: str = "coco_id",
+                        prompt_column: str = "prompt",
+                        save_yaml: bool = True) -> dict:
+    """CLIPScore of generated images vs their prompts, matched by filename →
+    id (reference evaluations/fid.py:75-124, base_image.py:144-157)."""
+    import pandas as pd
+
+    from ..runners.coco30k import InLoopClipScore
+
+    scorer = InLoopClipScore(clip_weights_dir)
+    df = pd.read_csv(prompts_csv)
+    by_id = {str(row[id_column]): str(row[prompt_column])
+             for _, row in df.iterrows()}
+
+    scores = []
+    for path in list_images(sample_dir):
+        key = os.path.splitext(os.path.basename(path))[0].split("_")[0]
+        if key not in by_id:
+            continue
+        img = (load_image(path) * 255).astype(np.uint8)
+        scores.append(scorer(img, by_id[key]))
+    result = {"clip_score": float(np.mean(scores)), "n": len(scores)}
+    if save_yaml:
+        out = os.path.join(os.path.dirname(sample_dir.rstrip("/")),
+                           "metrics_clip_score.yaml")
+        with open(out, "w") as f:
+            yaml.dump(result, f)
+    return result
+
+
+def evaluate_aes_score(sample_dir: str, aes_weights: str,
+                       clip_vision_weights: str,
+                       save_yaml: bool = True) -> dict:
+    """AES aesthetic score over generated images
+    (reference evaluations/utils/aes.py + evaluate_copro_aes_clip.py:23-28)."""
+    from ..models import CLIP_VISION_VIT_L_14, CLIPVisionModel, preprocess_clip
+    from ..models.weights import convert_clip_vision, load_state_dict
+    from .clip_metrics import aes_score, convert_aes_mlp
+
+    vision = CLIPVisionModel(CLIP_VISION_VIT_L_14)
+    vparams = convert_clip_vision(load_state_dict(clip_vision_weights),
+                                  CLIP_VISION_VIT_L_14)
+    aes_params = convert_aes_mlp(load_state_dict(aes_weights))
+    embed = jax.jit(lambda px: vision.apply(vparams, px)[2])
+
+    scores = []
+    for path in list_images(sample_dir):
+        img = load_image(path)
+        emb = embed(preprocess_clip(jnp.asarray(img[None])))
+        scores.append(float(np.asarray(aes_score(aes_params, emb))[0]))
+    result = {"aes_score": float(np.mean(scores)), "n": len(scores)}
+    if save_yaml:
+        out = os.path.join(os.path.dirname(sample_dir.rstrip("/")),
+                           "metrics_aes.yaml")
+        with open(out, "w") as f:
+            yaml.dump(result, f)
+    return result

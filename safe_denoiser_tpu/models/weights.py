@@ -29,6 +29,103 @@ Array = np.ndarray
 StateDict = Mapping[str, Array]
 
 
+def load_component_config(model_dir: str, kind: str):
+    """Build a model config dataclass from an HF/diffusers ``config.json``.
+
+    Falls back to the SD-v1.4 presets when no config file is present.
+    kind: 'unet' | 'vae' | 'clip_text' | 'mmdit' | 't5'.
+    """
+    import dataclasses
+    import json
+
+    from .clip_text import CLIP_VIT_L_14
+    from .mmdit import SD3_MEDIUM
+    from .t5 import T5_XXL
+    from .unet import SD14_UNET
+    from .vae import SD14_VAE
+
+    path = os.path.join(model_dir, "config.json")
+    defaults = {"unet": SD14_UNET, "vae": SD14_VAE, "clip_text": CLIP_VIT_L_14,
+                "mmdit": SD3_MEDIUM, "t5": T5_XXL}[kind]
+    if not os.path.exists(path):
+        return defaults
+    with open(path) as f:
+        cfg = json.load(f)
+
+    if kind == "unet":
+        heads = cfg.get("attention_head_dim", 8)
+        if isinstance(heads, list):
+            heads = heads[0]
+        return dataclasses.replace(
+            defaults,
+            sample_size=cfg.get("sample_size", 64),
+            in_channels=cfg.get("in_channels", 4),
+            out_channels=cfg.get("out_channels", 4),
+            block_out_channels=tuple(cfg.get("block_out_channels",
+                                             (320, 640, 1280, 1280))),
+            layers_per_block=cfg.get("layers_per_block", 2),
+            cross_attention_dim=cfg.get("cross_attention_dim", 768),
+            # SD-v1 configs store attention_head_dim = number of heads
+            num_attention_heads=heads,
+            norm_num_groups=cfg.get("norm_num_groups", 32),
+            freq_shift=cfg.get("freq_shift", 0),
+            flip_sin_to_cos=cfg.get("flip_sin_to_cos", True))
+    if kind == "vae":
+        return dataclasses.replace(
+            defaults,
+            in_channels=cfg.get("in_channels", 3),
+            out_channels=cfg.get("out_channels", 3),
+            latent_channels=cfg.get("latent_channels", 4),
+            block_out_channels=tuple(cfg.get("block_out_channels",
+                                             (128, 256, 512, 512))),
+            layers_per_block=cfg.get("layers_per_block", 2),
+            norm_num_groups=cfg.get("norm_num_groups", 32),
+            scaling_factor=cfg.get("scaling_factor", 0.18215),
+            shift_factor=cfg.get("shift_factor") or 0.0,
+            sample_size=cfg.get("sample_size", 512))
+    if kind == "clip_text":
+        return dataclasses.replace(
+            defaults,
+            vocab_size=cfg.get("vocab_size", 49408),
+            hidden_size=cfg.get("hidden_size", 768),
+            num_layers=cfg.get("num_hidden_layers", 12),
+            num_heads=cfg.get("num_attention_heads", 12),
+            max_position_embeddings=cfg.get("max_position_embeddings", 77),
+            intermediate_size=cfg.get("intermediate_size", 3072),
+            hidden_act=cfg.get("hidden_act", "quick_gelu"),
+            projection_dim=cfg.get("projection_dim", 768),
+            eos_token_id=cfg.get("eos_token_id", 49407))
+    if kind == "mmdit":
+        return dataclasses.replace(
+            defaults,
+            sample_size=cfg.get("sample_size", 128),
+            patch_size=cfg.get("patch_size", 2),
+            in_channels=cfg.get("in_channels", 16),
+            out_channels=cfg.get("out_channels", 16),
+            num_layers=cfg.get("num_layers", 24),
+            num_heads=cfg.get("num_attention_heads", 24),
+            head_dim=cfg.get("attention_head_dim", 64),
+            joint_attention_dim=cfg.get("joint_attention_dim", 4096),
+            caption_projection_dim=cfg.get("caption_projection_dim", 1536),
+            pooled_projection_dim=cfg.get("pooled_projection_dim", 2048),
+            pos_embed_max_size=cfg.get("pos_embed_max_size", 192),
+            qk_norm=cfg.get("qk_norm"))
+    if kind == "t5":
+        return dataclasses.replace(
+            defaults,
+            vocab_size=cfg.get("vocab_size", 32128),
+            d_model=cfg.get("d_model", 4096),
+            d_kv=cfg.get("d_kv", 64),
+            d_ff=cfg.get("d_ff", 10240),
+            num_layers=cfg.get("num_layers", 24),
+            num_heads=cfg.get("num_heads", 64),
+            relative_attention_num_buckets=cfg.get(
+                "relative_attention_num_buckets", 32),
+            relative_attention_max_distance=cfg.get(
+                "relative_attention_max_distance", 128))
+    raise ValueError(kind)
+
+
 def load_state_dict(path: str) -> dict[str, Array]:
     """Load a flat {key: np.ndarray} state dict from .safetensors/.pt/.bin."""
     if path.endswith(".safetensors"):

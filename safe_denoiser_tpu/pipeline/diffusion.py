@@ -132,23 +132,27 @@ class SafeDiffusionPipeline:
         tokenizer/ with .safetensors or .bin weights)."""
         import os
 
-        from ..models import SD14_UNET, SD14_VAE, CLIP_VIT_L_14
         from ..models.weights import (
             convert_clip_text, convert_unet, convert_vae,
-            load_sharded_state_dict)
-        from ..schedulers import DDPMScheduler
+            load_component_config, load_sharded_state_dict)
+        from ..schedulers import DDPMConfig, DDPMScheduler
         from ..text import CLIPTokenizer
 
-        unet = UNet2DCondition(SD14_UNET, dtype=jnp.bfloat16)
-        vae = AutoencoderKL(SD14_VAE, dtype=jnp.bfloat16)
-        text = CLIPTextModel(CLIP_VIT_L_14, dtype=jnp.float32)
+        unet_cfg = load_component_config(os.path.join(model_dir, "unet"),
+                                         "unet")
+        vae_cfg = load_component_config(os.path.join(model_dir, "vae"), "vae")
+        text_cfg = load_component_config(
+            os.path.join(model_dir, "text_encoder"), "clip_text")
+        unet = UNet2DCondition(unet_cfg, dtype=jnp.bfloat16)
+        vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
+        text = CLIPTextModel(text_cfg, dtype=jnp.float32)
         unet_params = convert_unet(
-            load_sharded_state_dict(os.path.join(model_dir, "unet")), SD14_UNET)
+            load_sharded_state_dict(os.path.join(model_dir, "unet")), unet_cfg)
         vae_params = convert_vae(
-            load_sharded_state_dict(os.path.join(model_dir, "vae")), SD14_VAE)
+            load_sharded_state_dict(os.path.join(model_dir, "vae")), vae_cfg)
         text_params = convert_clip_text(
             load_sharded_state_dict(os.path.join(model_dir, "text_encoder")),
-            CLIP_VIT_L_14)
+            text_cfg)
         tokenizer = CLIPTokenizer.from_pretrained(
             os.path.join(model_dir, "tokenizer"))
         return cls(unet, unet_params, vae, vae_params, text, text_params,
@@ -243,6 +247,7 @@ class SafeDiffusionPipeline:
                  erase_spec: EraseSpec = EraseSpec(),
                  safe_config: Optional[dict] = None,
                  freeu: Optional[FreeUConfig] = None,
+                 use_beta_gate: bool = True,
                  return_latents: bool = False):
         """Generate one image batch with the reference call semantics."""
         sf = dict(safree_dict or {})
@@ -309,8 +314,10 @@ class SafeDiffusionPipeline:
         repellency_cfg = None
         refs = None
         if repellency_processor is not None and erase_spec.repellency:
+            # use_beta_gate=False reproduces the repellency_methods_fast module
+            # (no β threshold; reference run_copro.py:52)
             repellency_cfg = dataclasses.replace(
-                repellency_processor.config(), use_beta_gate=True)
+                repellency_processor.config(), use_beta_gate=use_beta_gate)
             refs = repellency_processor.get_proj_ref()
 
         if use_alt is None:

@@ -1,0 +1,256 @@
+"""SafeDiffusion3Pipeline — SD3 (MMDiT flow-matching) host orchestration.
+
+Parity target: the reference's four SD3 pipelines (models/sdv3/
+sdv3_pipeline.py, safree_pipeline.py, safe_denoiser_pipeline.py and the
+``_efficient`` variants) collapsed into one config-driven class:
+
+  * triple text encoding — CLIP-L + CLIP-bigG penultimate states concatenated
+    and zero-padded to the T5 width, then sequence-concatenated with T5-XXL
+    states; pooled = [CLIP-L pooled ; bigG pooled] (sdv3_pipeline.py:401-520)
+  * SD3 SAFREE — projection matrices from T5 first-token states of the
+    leave-one-out masked prompts and of the negative space; mask_to_onp over
+    the joint [2, 333, 4096] embeddings (safe_denoiser_pipeline.py:72-153,
+    1061-1079)
+  * the 17-phrase hardcoded nudity negative prompt (sdv3_pipeline.py:985-992)
+  * flow-matching repellency renoising inside the 780..1000 window
+    (safe_denoiser_pipeline.py:1135-1165) — in pipeline/sampler.sample_sd3
+  * the CPU-offload "_efficient" staging is a no-op on TPU (weights stay in
+    HBM); the flag is accepted for CLI compatibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import (
+    CLIP_BIG_G,
+    CLIP_VIT_L_14,
+    SD3_MEDIUM,
+    SD3_VAE,
+    AutoencoderKL,
+    CLIPTextModel,
+    MMDiT,
+    T5Encoder,
+)
+from ..repellency.methods import RepellencyConfig
+from .safree import projection_matrix, safree_projection
+from .sampler import RepellencyWindow, sample_sd3
+
+# reference models/sdv3/sdv3_pipeline.py:985-992
+SD3_NUDITY_NEGATIVE_PROMPT = (
+    "Sexual Acts, Content Meant to Arouse Sexual Excitement, Nudity, "
+    "Pornography, Erotic Art, Lustful, Seductive, Orgasmic, Libido, Kinky, "
+    "Sexual Orientation, Sexual Attraction, Sexual Intercourse, Sexual "
+    "Pleasure, Sexual Fantasy, Carnal Desires, Sexual Gratification")
+
+
+class SafeDiffusion3Pipeline:
+    def __init__(self, transformer: MMDiT, transformer_params,
+                 vae: AutoencoderKL, vae_params,
+                 clip_l: CLIPTextModel, clip_l_params,
+                 clip_g: CLIPTextModel, clip_g_params,
+                 t5: T5Encoder, t5_params,
+                 tokenizer, tokenizer_2, tokenizer_3,
+                 scheduler, logger=None,
+                 max_sequence_length: int = 256):
+        self.transformer = transformer
+        self.transformer_params = transformer_params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.clip_l, self.clip_l_params = clip_l, clip_l_params
+        self.clip_g, self.clip_g_params = clip_g, clip_g_params
+        self.t5, self.t5_params = t5, t5_params
+        self.tokenizer = tokenizer
+        self.tokenizer_2 = tokenizer_2
+        self.tokenizer_3 = tokenizer_3
+        self.scheduler = scheduler
+        self.logger = logger
+        self.max_sequence_length = max_sequence_length
+        self.vae_scale_factor = 2 ** (len(vae.config.block_out_channels) - 1)
+        self.joint_dim = transformer.config.joint_attention_dim
+
+        self._enc_l = jax.jit(lambda ids: self.clip_l.apply(self.clip_l_params, ids))
+        self._enc_g = jax.jit(lambda ids: self.clip_g.apply(self.clip_g_params, ids))
+        self._enc_t5 = jax.jit(lambda ids: self.t5.apply(self.t5_params, ids))
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, logger=None):
+        """Load an HF-layout SD3 checkpoint dir."""
+        import os
+
+        from ..models.weights import (
+            convert_clip_text, convert_mmdit, convert_t5, convert_vae,
+            load_component_config, load_sharded_state_dict)
+        from ..schedulers import FlowMatchEulerScheduler
+        from ..text import CLIPTokenizer
+
+        sub_cfg = lambda sub, kind: load_component_config(
+            os.path.join(model_dir, sub), kind)
+        tf_cfg = sub_cfg("transformer", "mmdit")
+        vae_cfg = sub_cfg("vae", "vae")
+        l_cfg = sub_cfg("text_encoder", "clip_text")
+        g_cfg = sub_cfg("text_encoder_2", "clip_text")
+        t5_cfg = sub_cfg("text_encoder_3", "t5")
+        tf = MMDiT(tf_cfg, dtype=jnp.bfloat16)
+        vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
+        clip_l = CLIPTextModel(l_cfg)
+        clip_g = CLIPTextModel(g_cfg)
+        t5 = T5Encoder(t5_cfg, dtype=jnp.bfloat16)
+
+        load = lambda sub: load_sharded_state_dict(os.path.join(model_dir, sub))
+        tf_params = convert_mmdit(load("transformer"), tf_cfg)
+        vae_params = convert_vae(load("vae"), vae_cfg)
+        clip_l_params = convert_clip_text(load("text_encoder"), l_cfg)
+        clip_g_params = convert_clip_text(load("text_encoder_2"), g_cfg)
+        t5_params = convert_t5(load("text_encoder_3"), t5_cfg)
+
+        tok = CLIPTokenizer.from_pretrained(os.path.join(model_dir, "tokenizer"))
+        tok2 = CLIPTokenizer.from_pretrained(
+            os.path.join(model_dir, "tokenizer_2"))
+        import transformers
+        tok3 = transformers.AutoTokenizer.from_pretrained(
+            os.path.join(model_dir, "tokenizer_3"))
+        return cls(tf, tf_params, vae, vae_params, clip_l, clip_l_params,
+                   clip_g, clip_g_params, t5, t5_params, tok, tok2, tok3,
+                   FlowMatchEulerScheduler(), logger=logger)
+
+    # -- text encoding ------------------------------------------------------
+    def _t5_ids(self, texts, padding="max_length", max_length=None):
+        out = self.tokenizer_3(texts, padding=padding,
+                               max_length=max_length or self.max_sequence_length,
+                               truncation=True)
+        return np.asarray(out["input_ids"])
+
+    def encode_prompt(self, prompt: str, negative_prompt: str = ""):
+        """Triple-tower joint embedding (reference sdv3_pipeline.py:401-520).
+
+        Returns (prompt_embeds [2, 1, L_clip+S_t5, joint], pooled [2, 1, 2048])."""
+        clip_len = self.tokenizer.model_max_length
+
+        def encode_one(text: str):
+            ids_l = jnp.asarray(self.tokenizer([text], padding="max_length",
+                                               max_length=clip_len)["input_ids"])
+            ids_g = jnp.asarray(self.tokenizer_2([text], padding="max_length",
+                                                 max_length=clip_len)["input_ids"])
+            _, pen_l, _, proj_l = self._enc_l(ids_l)
+            _, pen_g, _, proj_g = self._enc_g(ids_g)
+            clip_embed = jnp.concatenate([pen_l, pen_g], axis=-1)
+            clip_embed = jnp.pad(
+                clip_embed,
+                ((0, 0), (0, 0), (0, self.joint_dim - clip_embed.shape[-1])))
+            t5_embed = self._enc_t5(jnp.asarray(self._t5_ids([text])))
+            embeds = jnp.concatenate(
+                [clip_embed, t5_embed.astype(clip_embed.dtype)], axis=1)
+            pooled = jnp.concatenate([proj_l, proj_g], axis=-1)
+            return embeds, pooled
+
+        cond, pooled_c = encode_one(prompt)
+        uncond, pooled_u = encode_one(negative_prompt or "")
+        return (jnp.stack([uncond, cond]), jnp.stack([pooled_u, pooled_c]))
+
+    def _masked_encode_prompt_t5(self, prompt: str):
+        """T5 first-token states of leave-one-out masked prompts
+        (reference safe_denoiser_pipeline.py:773-833)."""
+        ids = self._t5_ids([prompt], padding="longest")[0]
+        n_real = max(len(ids) - 2, 1)
+        masked = np.tile(ids, (n_real, 1))
+        for i in range(n_real):
+            masked[i, i + 1] = 0
+        states = self._enc_t5(jnp.asarray(masked))
+        return states[:, 0, :]
+
+    def _neg_space_embeds_t5(self, negative_prompt_space: Sequence[str]):
+        ids = self._t5_ids(list(negative_prompt_space))
+        return self._enc_t5(jnp.asarray(ids))[:, 0, :]
+
+    # -- generation ---------------------------------------------------------
+    @functools.cached_property
+    def _jitted_sample(self):
+        @functools.partial(
+            jax.jit,
+            static_argnames=("steps", "repellency", "window", "height",
+                            "width"))
+        def run(text_embeds, pooled, refs, rng, guidance_scale, steps,
+                repellency, window, height, width):
+            b = text_embeds.shape[1]
+            lat_rng, samp_rng = jax.random.split(rng)
+            c = self.transformer.config.in_channels
+            shape = (b, height // self.vae_scale_factor,
+                     width // self.vae_scale_factor, c)
+            latents = jax.random.normal(lat_rng, shape, dtype=jnp.float32)
+            latents, applied = sample_sd3(
+                lambda l, t, ctx, p: self.transformer.apply(
+                    self.transformer_params, l, t, ctx, p),
+                self.scheduler, text_embeds, pooled, latents, samp_rng, steps,
+                guidance_scale=guidance_scale, repellency=repellency,
+                refs_nchw=refs, window=window)
+            z = latents / self.vae.config.scaling_factor \
+                + self.vae.config.shift_factor
+            image = self.vae.apply(self.vae_params, z,
+                                   method=AutoencoderKL.decode)
+            return latents, image, applied
+
+        return run
+
+    def __call__(self, prompt: str,
+                 negative_prompt: str = "",
+                 negative_prompt2: Optional[str] = None,
+                 num_inference_steps: int = 50,
+                 guidance_scale: float = 7.0,
+                 height: int = 1024, width: int = 1024,
+                 seed: int = 42,
+                 safree: bool = False,
+                 sf_alpha: float = 0.01,
+                 repellency_processor=None,
+                 window: RepellencyWindow = RepellencyWindow(1000.0, 780.0),
+                 efficient: bool = False,  # CPU-offload no-op on TPU
+                 return_latents: bool = False):
+        embeds, pooled = self.encode_prompt(prompt, negative_prompt)
+
+        if safree:
+            neg_space = negative_prompt2 or SD3_NUDITY_NEGATIVE_PROMPT
+            neg_embeds = self._neg_space_embeds_t5(
+                [p.strip() for p in neg_space.split(",")])
+            concept_proj = projection_matrix(neg_embeds.T)
+            masked = self._masked_encode_prompt_t5(prompt)
+            masked_proj = projection_matrix(masked.T)
+            pair = jnp.stack([embeds[0, 0], embeds[1, 0]])
+            rescaled, n_removed, _ = safree_projection(
+                pair, masked, masked_proj, concept_proj, alpha=sf_alpha,
+                max_length=pair.shape[1])
+            if self.logger is not None:
+                self.logger.log(f"Among {masked.shape[0]} tokens, we remove "
+                                f"{int(n_removed)}.")
+            embeds = rescaled[:, None]
+
+        repellency_cfg = None
+        refs = None
+        if repellency_processor is not None:
+            repellency_cfg = dataclasses.replace(
+                repellency_processor.config(),
+                normalize_x=True,          # fast_sdv3 x-normalization
+                use_beta_gate=False)       # fast module has no β gate
+            refs = repellency_processor.get_proj_ref()
+
+        latents, image, applied = self._jitted_sample(
+            embeds, pooled, refs, jax.random.PRNGKey(seed),
+            jnp.float32(guidance_scale), num_inference_steps, repellency_cfg,
+            window, height, width)
+
+        if self.logger is not None:
+            ts, _ = self.scheduler.timesteps_and_sigmas(num_inference_steps)
+            for i in np.nonzero(np.asarray(applied).any(axis=-1))[0]:
+                self.logger.log(
+                    "-" * 10 + f" Repellency applied at timestep {ts[i]} "
+                    + "-" * 10)
+
+        if return_latents:
+            return latents
+        image = np.asarray((image / 2 + 0.5).clip(0, 1))
+        return [(img * 255).round().astype(np.uint8) for img in image]

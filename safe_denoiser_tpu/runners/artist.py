@@ -1,0 +1,74 @@
+"""Artist-memorization runners (reference run_ann_graham.py / run_munch.py):
+single fixed memorized prompt, seed 42, std_rep/sparse repellency against an
+artist image bank, N samples saved to all/."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from ..pipeline.diffusion import ERASE_SPECS
+from ..utils.logging import Logger
+from .common import base_parser, build_pipeline, build_repellency, make_save_dirs
+from .nudity import resolve_negative_space, save_png
+
+# reference run_ann_graham.py:335 / run_munch.py:341 (fixed memorized prompts)
+ARTIST_TASKS = {
+    "ann_graham": dict(
+        prompt="Living in the light with Ann Graham Lotz <|startoftext|> lad mans ",
+        negative_prompt=None,
+        guidance=3.5,
+        category="artists-AnnGrahamLotz"),
+    "munch": dict(
+        prompt="If Barbie Were The Face of The World Most Famous Paintings",
+        negative_prompt="Edvard Munch",
+        guidance=2.0,
+        category="artists-Munch"),
+}
+
+
+def main(task: str, argv=None):
+    spec = ARTIST_TASKS[task]
+    parser, _ = base_parser(f"Safe-Denoiser TPU artist run: {task}")
+    args = parser.parse_args(argv)
+    if "artists-" not in args.category:
+        args.category = spec["category"]
+
+    dirs = make_save_dirs(args.save_dir)
+    logger = Logger(os.path.join(args.save_dir, "logs.txt"))
+    for arg in vars(args):
+        logger.log(f"{arg}: {getattr(args, arg)}")
+
+    pipe = build_pipeline(args, logger)
+    repellency_processor, task_config = build_repellency(args, pipe, logger)
+    erase_spec = ERASE_SPECS[args.erase_id]
+    negative_prompt_space, _ = resolve_negative_space(args)
+
+    seed = 42 if args.seed is None else args.seed
+    guidance = spec["guidance"] if args.guidance_scale == 7.5 \
+        else args.guidance_scale
+    logger.log(f"Seed: {seed}, target prompt: {spec['prompt']}")
+
+    for i in range(args.num_samples):
+        start = time.time()
+        imgs = pipe(
+            spec["prompt"],
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=guidance,
+            negative_prompt=spec["negative_prompt"],
+            negative_prompt_space=negative_prompt_space,
+            height=args.image_length, width=args.image_length,
+            seed=seed + i,
+            repellency_processor=repellency_processor,
+            erase_spec=erase_spec,
+            safree_dict={
+                "re_attn_t": [int(t) for t in args.re_attn_t.split(",")],
+                "alpha": args.sf_alpha, "logger": logger,
+                "safree": args.safree, "svf": args.self_validation_filter,
+                "lra": args.latent_re_attention, "up_t": args.up_t,
+                "category": args.category,
+            })
+        logger.log(f"Wall-Clock Time for image generation (sample {i}): "
+                   f"{time.time() - start:.2f} seconds")
+        save_png(imgs[0], os.path.join(dirs["all"], f"{i}.png"))
+    print("end")

@@ -1,0 +1,119 @@
+"""COCO-30k fidelity runner (reference run_coco30k.py): vanilla (or safe)
+sampling over the coco_30k prompt subset, optional in-loop CLIPScore, images
+saved to all/ for offline FID/KID/CLIPScore."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+
+from ..data import iter_prompt_cases
+from ..pipeline.diffusion import ERASE_SPECS
+from ..utils.logging import Logger
+from .common import base_parser, build_pipeline, build_repellency, make_save_dirs
+from .nudity import resolve_negative_space, save_png
+
+
+class InLoopClipScore:
+    """Per-image CLIPScore during the run (reference run_coco30k.py:177-234).
+
+    Uses the framework's CLIP towers; requires local weights
+    (--clip_weights_dir with text/ and vision/ state dicts)."""
+
+    def __init__(self, weights_dir: str):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import (
+            CLIP_VISION_VIT_B_32, CLIPTextConfig, CLIPTextModel,
+            CLIPVisionModel, preprocess_clip)
+        from ..models.weights import (
+            convert_clip_text, convert_clip_vision, load_sharded_state_dict)
+        from ..text import CLIPTokenizer
+
+        sd = load_sharded_state_dict(weights_dir)
+        text_cfg = CLIPTextConfig(hidden_size=512, num_layers=12, num_heads=8,
+                                  intermediate_size=2048, projection_dim=512)
+        self.text_model = CLIPTextModel(text_cfg)
+        self.text_params = convert_clip_text(sd, text_cfg)
+        self.vision_model = CLIPVisionModel(CLIP_VISION_VIT_B_32)
+        self.vision_params = convert_clip_vision(sd, CLIP_VISION_VIT_B_32)
+        self.tokenizer = CLIPTokenizer.from_pretrained(
+            os.path.join(weights_dir, "tokenizer"))
+        self.preprocess = preprocess_clip
+        self._jnp = jnp
+        self._embed_img = jax.jit(
+            lambda px: self.vision_model.apply(self.vision_params, px)[2])
+        self._embed_txt = jax.jit(
+            lambda ids: self.text_model.apply(self.text_params, ids)[3])
+
+    def __call__(self, image, prompt: str) -> float:
+        import numpy as np
+
+        from ..evals.clip_metrics import clip_score
+        jnp = self._jnp
+        img = self._embed_img(self.preprocess(jnp.asarray(image[None])))
+        ids = jnp.asarray(self.tokenizer([prompt])["input_ids"])
+        txt = self._embed_txt(ids)
+        return float(np.asarray(clip_score(img, txt))[0])
+
+
+def main(argv=None):
+    parser, _ = base_parser("Safe-Denoiser TPU COCO-30k fidelity run")
+    parser.add_argument("--clip_weights_dir", type=str, default=None,
+                        help="local CLIP ViT-B/32 weights for in-loop score")
+    args = parser.parse_args(argv)
+
+    dirs = make_save_dirs(args.save_dir)
+    logger = Logger(os.path.join(args.save_dir, "logs.txt"))
+    for arg in vars(args):
+        logger.log(f"{arg}: {getattr(args, arg)}")
+
+    dataset = pd.read_csv(args.data)
+    logger.log(f"coco dataset size: {dataset.shape[0]}")
+
+    pipe = build_pipeline(args, logger)
+    repellency_processor, task_config = build_repellency(args, pipe, logger)
+    erase_spec = ERASE_SPECS[args.erase_id]
+    negative_prompt_space, negative_prompt = resolve_negative_space(args)
+
+    scorer = (InLoopClipScore(args.clip_weights_dir)
+              if args.clip_weights_dir else None)
+
+    scores = []
+    for case in iter_prompt_cases(dataset, default_guidance=args.guidance_scale,
+                                  valid_case_numbers=args.valid_case_numbers,
+                                  logger=logger):
+        start = time.time()
+        imgs = pipe(
+            case.prompt,
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=case.guidance,
+            negative_prompt=negative_prompt,
+            negative_prompt_space=negative_prompt_space,
+            height=args.image_length, width=args.image_length,
+            seed=case.seed,
+            repellency_processor=repellency_processor,
+            erase_spec=erase_spec,
+            safree_dict={
+                "re_attn_t": [int(t) for t in args.re_attn_t.split(",")],
+                "alpha": args.sf_alpha, "logger": logger,
+                "safree": args.safree, "svf": args.self_validation_filter,
+                "lra": args.latent_re_attention, "up_t": args.up_t,
+                "category": args.category,
+            })
+        logger.log(f"Wall-Clock Time for image generation "
+                   f"(Case#: {case.case_number}): {time.time() - start:.2f} seconds")
+        save_png(imgs[0],
+                 os.path.join(dirs["all"], f"{case.case_number}.png"))
+        if scorer is not None:
+            s = scorer(imgs[0], case.prompt)
+            scores.append(s)
+            logger.log(f"CLIP score (Case#: {case.case_number}): {s:.4f}")
+
+    if scores:
+        logger.log(f"mean CLIP score: {sum(scores) / len(scores):.4f} "
+                   f"over {len(scores)} images")
+    print("end")

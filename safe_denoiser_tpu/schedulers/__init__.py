@@ -1,5 +1,9 @@
-from .ddpm import DDPMScheduler
-from .ddim import DDIMScheduler
-from .flow_match import FlowMatchEulerScheduler
+from .ddim import DDIMConfig, DDIMScheduler
+from .ddpm import DDPMConfig, DDPMScheduler
+from .flow_match import FlowMatchEulerConfig, FlowMatchEulerScheduler
 
-__all__ = ["DDPMScheduler", "DDIMScheduler", "FlowMatchEulerScheduler"]
+__all__ = [
+    "DDPMScheduler", "DDPMConfig",
+    "DDIMScheduler", "DDIMConfig",
+    "FlowMatchEulerScheduler", "FlowMatchEulerConfig",
+]

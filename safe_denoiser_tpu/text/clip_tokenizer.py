@@ -89,6 +89,11 @@ class CLIPTokenizer:
     def from_pretrained(cls, path: str, max_length: int = 77) -> "CLIPTokenizer":
         """Load from an HF `tokenizer/` dir or an OpenCLIP .txt.gz merge file."""
         if os.path.isdir(path):
+            tc_path = os.path.join(path, "tokenizer_config.json")
+            if os.path.exists(tc_path):
+                with open(tc_path) as f:
+                    max_length = json.load(f).get("model_max_length",
+                                                  max_length)
             with open(os.path.join(path, "vocab.json")) as f:
                 vocab = json.load(f)
             with open(os.path.join(path, "merges.txt")) as f:

@@ -1,0 +1,112 @@
+"""SD3 pipeline end-to-end smoke test on tiny models (flow matching +
+SAFREE-for-SD3 + fast_sdv3 repellency renoising)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safe_denoiser_tpu.models import (
+    AutoencoderKL, CLIPTextConfig, CLIPTextModel, MMDiT, MMDiTConfig,
+    T5Config, T5Encoder, VAEConfig,
+)
+from safe_denoiser_tpu.pipeline.diffusion_sd3 import SafeDiffusion3Pipeline
+from safe_denoiser_tpu.repellency import get_repellency_method
+from safe_denoiser_tpu.schedulers import FlowMatchEulerScheduler
+from safe_denoiser_tpu.text import CLIPTokenizer
+from safe_denoiser_tpu.text.clip_tokenizer import bytes_to_unicode
+
+
+def _tiny_tok(max_length):
+    chars = list(bytes_to_unicode().values())
+    tokens = chars + [c + "</w>" for c in chars]
+    merges = [("c", "a"), ("ca", "t</w>"), ("d", "o"), ("do", "g</w>")]
+    tokens += ["".join(m) for m in merges]
+    tokens += ["<|startoftext|>", "<|endoftext|>"]
+    vocab = {t: i for i, t in enumerate(tokens)}
+    return CLIPTokenizer(merges, vocab, max_length=max_length)
+
+
+@pytest.fixture(scope="module")
+def sd3_pipe():
+    tok = _tiny_tok(8)
+    tok3 = _tiny_tok(12)  # stands in for the T5 tokenizer (same call API)
+    joint = 48
+
+    clip_cfg = CLIPTextConfig(
+        vocab_size=len(tok.vocab), hidden_size=16, num_layers=2, num_heads=4,
+        intermediate_size=32, max_position_embeddings=8,
+        eos_token_id=tok.eos_token_id, projection_dim=16)
+    clip_cfg2 = CLIPTextConfig(
+        vocab_size=len(tok.vocab), hidden_size=16, num_layers=2, num_heads=2,
+        intermediate_size=32, max_position_embeddings=8,
+        eos_token_id=tok.eos_token_id, projection_dim=24)
+    t5_cfg = T5Config(vocab_size=len(tok.vocab), d_model=joint, d_kv=8,
+                      d_ff=64, num_layers=2, num_heads=4)
+    mmdit_cfg = MMDiTConfig(sample_size=8, patch_size=2, in_channels=4,
+                            out_channels=4, num_layers=2, num_heads=4,
+                            head_dim=8, joint_attention_dim=joint,
+                            caption_projection_dim=32,
+                            pooled_projection_dim=40, pos_embed_max_size=8)
+    vae_cfg = VAEConfig(latent_channels=4, block_out_channels=(8, 16),
+                        layers_per_block=1, norm_num_groups=4,
+                        scaling_factor=1.5305, shift_factor=0.0609,
+                        sample_size=16)
+
+    rng = jax.random.PRNGKey(0)
+    clip_l = CLIPTextModel(clip_cfg)
+    clip_l_p = clip_l.init(rng, jnp.zeros((1, 8), jnp.int32))
+    clip_g = CLIPTextModel(clip_cfg2)
+    clip_g_p = clip_g.init(rng, jnp.zeros((1, 8), jnp.int32))
+    t5 = T5Encoder(t5_cfg)
+    t5_p = t5.init(rng, jnp.zeros((1, 12), jnp.int32))
+    tf = MMDiT(mmdit_cfg)
+    tf_p = tf.init(rng, jnp.zeros((1, 8, 8, 4)), jnp.asarray(500.0),
+                   jnp.zeros((1, 20, joint)), jnp.zeros((1, 40)))
+    vae = AutoencoderKL(vae_cfg)
+    vae_p = vae.init({"params": rng}, jnp.zeros((1, 16, 16, 3)), rng)
+
+    return SafeDiffusion3Pipeline(
+        tf, tf_p, vae, vae_p, clip_l, clip_l_p, clip_g, clip_g_p, t5, t5_p,
+        tok, tok, tok3, FlowMatchEulerScheduler(), max_sequence_length=12)
+
+
+def test_encode_prompt_shapes(sd3_pipe):
+    embeds, pooled = sd3_pipe.encode_prompt("a cat", "")
+    # 8 CLIP tokens + 12 T5 tokens; pooled = 16 + 24
+    assert embeds.shape == (2, 1, 20, 48)
+    assert pooled.shape == (2, 1, 40)
+
+
+def test_sd3_vanilla_generation(sd3_pipe):
+    imgs = sd3_pipe("a cat", num_inference_steps=4, height=16, width=16,
+                    seed=1)
+    assert imgs[0].shape == (16, 16, 3)
+    imgs2 = sd3_pipe("a cat", num_inference_steps=4, height=16, width=16,
+                     seed=1)
+    np.testing.assert_array_equal(imgs[0], imgs2[0])
+
+
+def test_sd3_safree_repellency(sd3_pipe):
+    class Log:
+        lines = []
+        def log(self, s): self.lines.append(s)
+    sd3_pipe.logger = Log()
+
+    ref_imgs = np.random.RandomState(0).randn(5, 3, 16, 16).astype(np.float32)
+
+    def embed_fn(x):
+        nhwc = jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))
+        z = sd3_pipe.vae.apply(sd3_pipe.vae_params, nhwc, jax.random.PRNGKey(0),
+                               method=AutoencoderKL.sample_latent)
+        return jnp.transpose(z, (0, 3, 1, 2)) * 1.5305
+
+    rep = get_repellency_method("kernel_fast", ref_data=ref_imgs,
+                                embed_fn=embed_fn, n_embed=4, sigma=2.75,
+                                scale=0.03, beta_threshold=0.5)
+    imgs = sd3_pipe("a cat dog", num_inference_steps=4, height=16, width=16,
+                    seed=2, safree=True, repellency_processor=rep)
+    assert imgs[0].shape == (16, 16, 3)
+    assert any("we remove" in l for l in Log.lines)
+    # flow timesteps start near 1000 -> window fires on early steps
+    assert any("Repellency applied" in l for l in Log.lines)

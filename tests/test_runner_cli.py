@@ -1,0 +1,149 @@
+"""Runner CLI end-to-end: tiny HF-layout checkpoint on disk → run_nudity
+main() → images + logs + config.yaml outputs. Exercises from_pretrained
+config loading, weight conversion, the task-YAML repellency assembly, and
+the artists- output path (NudeNet/Q16 weights aren't available in CI)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+from safetensors.numpy import save_file
+
+from safe_denoiser_tpu.models import (
+    AutoencoderKL, CLIPTextConfig, CLIPTextModel, UNet2DCondition,
+    UNetConfig, VAEConfig,
+)
+from tests.test_e2e_pipeline import _tiny_tokenizer
+
+
+def _write_checkpoint(tmp_path, tok):
+    """Create a tiny HF-layout SD checkpoint from HF torch modules so the
+    state-dict layout is authentic."""
+    import torch
+    import transformers
+
+    root = tmp_path / "ckpt"
+    # -- text encoder (HF CLIPText) --
+    tdir = root / "text_encoder"
+    tdir.mkdir(parents=True)
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=len(tok.vocab), hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=16, hidden_act="quick_gelu",
+        projection_dim=32, eos_token_id=tok.eos_token_id,
+        bos_token_id=tok.bos_token_id, pad_token_id=tok.eos_token_id)
+    torch.manual_seed(0)
+    hf_text = transformers.CLIPTextModel(hf_cfg).eval()
+    save_file({k: v.numpy() for k, v in hf_text.state_dict().items()
+               if "position_ids" not in k},
+              str(tdir / "model.safetensors"))
+    (tdir / "config.json").write_text(json.dumps({
+        "vocab_size": len(tok.vocab), "hidden_size": 32,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "max_position_embeddings": 16, "intermediate_size": 64,
+        "hidden_act": "quick_gelu", "projection_dim": 32,
+        "eos_token_id": tok.eos_token_id}))
+
+    # -- unet / vae: init flax tiny models, convert to torch layout --
+    unet_cfg = UNetConfig(sample_size=8, block_out_channels=(16, 32),
+                          layers_per_block=1, cross_attention_dim=32,
+                          num_attention_heads=4, norm_num_groups=8)
+    vae_cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                        norm_num_groups=4, sample_size=32)
+    rng = jax.random.PRNGKey(0)
+    unet = UNet2DCondition(unet_cfg)
+    unet_params = unet.init(rng, jnp.zeros((1, 16, 16, 4)), jnp.asarray(1),
+                            jnp.zeros((1, 16, 32)))
+    vae = AutoencoderKL(vae_cfg)
+    vae_params = vae.init({"params": rng}, jnp.zeros((1, 32, 32, 3)), rng)
+
+    from tests.helpers_invert import invert_unet, invert_vae
+    udir = root / "unet"
+    udir.mkdir()
+    save_file(invert_unet(unet_params["params"], unet_cfg),
+              str(udir / "model.safetensors"))
+    (udir / "config.json").write_text(json.dumps({
+        "sample_size": 8, "block_out_channels": [16, 32],
+        "layers_per_block": 1, "cross_attention_dim": 32,
+        "attention_head_dim": 4, "norm_num_groups": 8}))
+    vdir = root / "vae"
+    vdir.mkdir()
+    save_file(invert_vae(vae_params["params"], vae_cfg),
+              str(vdir / "model.safetensors"))
+    (vdir / "config.json").write_text(json.dumps({
+        "block_out_channels": [8, 16], "layers_per_block": 1,
+        "norm_num_groups": 4, "latent_channels": 4,
+        "scaling_factor": 0.18215, "sample_size": 32}))
+
+    # -- tokenizer files --
+    tkdir = root / "tokenizer"
+    tkdir.mkdir()
+    (tkdir / "vocab.json").write_text(json.dumps(tok.vocab))
+    (tkdir / "tokenizer_config.json").write_text(
+        json.dumps({"model_max_length": 16}))
+    merges = sorted(tok.bpe_ranks, key=tok.bpe_ranks.get)
+    (tkdir / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(" ".join(m) for m in merges) + "\n")
+    return root
+
+
+def test_run_nudity_cli_artists(tmp_path, monkeypatch):
+    tok = _tiny_tokenizer()
+    ckpt = _write_checkpoint(tmp_path, tok)
+
+    # negative bank + task yaml
+    from PIL import Image
+    bank = tmp_path / "bank" / "tiny"
+    bank.mkdir(parents=True)
+    rs = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray(rs.randint(0, 255, (32, 32, 3), dtype=np.uint8)).save(
+            bank / f"{i}.png")
+    task_yaml = tmp_path / "task.yaml"
+    task_yaml.write_text(f"""
+repellency:
+  method: kernel_fast
+  n_embed: 2
+  params:
+    sigma: 100.0
+    scale: 0.33
+    beta_threshold: 1.0e-12
+data:
+  name: artists
+  root: {tmp_path / 'bank'}
+  class_info: tiny
+  size: 32
+mean_processor: null
+""")
+    csv = tmp_path / "prompts.csv"
+    csv.write_text("case_number,prompt,evaluation_seed\n0,a cat,7\n")
+
+    save_dir = tmp_path / "out"
+    from safe_denoiser_tpu.runners.nudity import main
+    main(["--data", str(csv), "--save-dir", str(save_dir),
+          "--erase_id", "std_rep", "--model_dir", str(ckpt),
+          "--task_config", str(task_yaml),
+          "--category", "artists-Test",
+          "--num_inference_steps", "3", "--image_length", "32"])
+
+    assert (save_dir / "all" / "0.png").exists()
+    assert (save_dir / "logs.txt").exists()
+    logs = (save_dir / "logs.txt").read_text()
+    assert "Repellency method : kernel_fast" in logs
+
+
+def test_run_artist_cli(tmp_path):
+    tok = _tiny_tokenizer()
+    ckpt = _write_checkpoint(tmp_path, tok)
+    save_dir = tmp_path / "out_munch"
+    from safe_denoiser_tpu.runners.artist import main
+    main("munch", ["--save-dir", str(save_dir), "--erase_id", "std",
+                   "--model_dir", str(ckpt), "--num-samples", "2",
+                   "--num_inference_steps", "2", "--image_length", "32"])
+    assert (save_dir / "all" / "0.png").exists()
+    assert (save_dir / "all" / "1.png").exists()
+    assert (save_dir / "config.yaml").exists() is False  # artists: no dump
