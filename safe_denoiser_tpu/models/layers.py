@@ -14,6 +14,7 @@ Conventions (differ deliberately from the torch reference):
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Optional
 
 import jax
@@ -90,11 +91,41 @@ class RMSNormFp32(nn.Module):
         return x.astype(orig_dtype)
 
 
+# Attention implementation switch: 'einsum' | 'flash'. 'flash' routes large
+# self-attention (seq >= _FLASH_MIN_SEQ, q_len == kv_len, no mask) through the
+# Pallas TPU flash-attention kernel — the [S, S] logits never touch HBM, which
+# is the dominant cost of SD's 64×64-resolution attention (seq 4096).
+# Cross-attention (77-token KV) and masked attention stay on the einsum path.
+ATTENTION_IMPL = os.environ.get("SDT_ATTENTION", "flash")
+_FLASH_MIN_SEQ = 512
+
+
+def _flash_available() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           mask: Optional[jax.Array] = None) -> jax.Array:
-    """[B, S, H, D] attention with fp32 softmax. XLA fuses this into an MXU
-    pipeline; a Pallas flash-attention path can be swapped in via ops/."""
+    """[B, S, H, D] attention with fp32 softmax accumulation."""
     depth = q.shape[-1]
+    s_q, s_kv = q.shape[1], k.shape[1]
+    if (ATTENTION_IMPL == "flash" and mask is None and s_q == s_kv
+            and s_q >= _FLASH_MIN_SEQ and s_q % 512 == 0
+            and _flash_available()):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes, flash_attention)
+        blk = min(1024, s_q)
+        bs = BlockSizes(block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+                        block_q_major_dkv=blk, block_k_major_dkv=blk,
+                        block_k_dkv=blk, block_q_dkv=blk,
+                        block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk)
+        out = flash_attention(
+            jnp.transpose(q, (0, 2, 1, 3)).astype(jnp.float32),
+            jnp.transpose(k, (0, 2, 1, 3)).astype(jnp.float32),
+            jnp.transpose(v, (0, 2, 1, 3)).astype(jnp.float32),
+            sm_scale=float(depth) ** -0.5, block_sizes=bs)
+        return jnp.transpose(out, (0, 2, 1, 3)).astype(v.dtype)
+
     q = q * (depth ** -0.5)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32)

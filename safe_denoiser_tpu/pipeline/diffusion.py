@@ -82,6 +82,12 @@ ERASE_SPECS: dict[str, EraseSpec] = {
     "rece": EraseSpec(text_method="sld"),
     "safree": EraseSpec(text_method="safree"),
     "safree_neg_prompt": EraseSpec(text_method="safree"),
+    # *_rep ids referenced by configs/base/{sparse,negation}/*.json
+    "sld_rep": EraseSpec("sld", True, RepellencyWindow(1000.0, 780.0)),
+    "esd_rep": EraseSpec(repellency=True,
+                         window=RepellencyWindow(1000.0, 780.0)),
+    "rece_rep": EraseSpec("sld", True, RepellencyWindow(1000.0, 780.0)),
+    "safree_rep": EraseSpec("safree", True, RepellencyWindow(1000.0, 780.0)),
     "sld_rep_time": EraseSpec("sld", True, RepellencyWindow(1000.0, 800.0)),
     "sld_rep_threshold": EraseSpec(
         "sld", True, RepellencyWindow(step_start=0, step_end=50,

@@ -5,6 +5,7 @@ from .methods import (
     get_repellency_method,
     register_conditioning_method,
 )
+from . import lsh  # noqa: F401  (registers the 'lsh' method)
 
 __all__ = [
     "RepellencyConfig",

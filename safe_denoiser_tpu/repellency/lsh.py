@@ -1,0 +1,98 @@
+"""LSH-bucketed approximate repellency (the reference's experimental ``lsh``
+method: repellency_methods_fast.py:342-433 + repellency/utils/lshash_torch.py).
+
+Random-projection LSH over PCA-reduced latents: bucket the negative bank
+once at setup, then at query time hash x̂₀, gather its bucket, and run the
+RBF negative-denoiser on just those members.
+
+TPU-first split: hashing/bucketing is host-side numpy (one-time setup +
+per-call code computation is trivial); the kernel math on the gathered
+bucket reuses the fused rbf path. The data-dependent bucket size makes this
+method host-dispatched rather than scan-resident — matching its role in the
+reference as an ablation, not the production path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.repellency_kernels import rbf_negative_score_ref
+from .methods import RepellencyProcessor, register_conditioning_method
+
+
+class LSHash:
+    """Multi-table random-projection LSH (lshash_torch.py:39-343 semantics:
+    sign-bit hashing of uniform(-1,1) planes, per-table dict buckets)."""
+
+    def __init__(self, hash_size: int, input_dim: int, num_hashtables: int = 1,
+                 seed: int = 0):
+        rng = np.random.RandomState(seed)
+        self.planes = [rng.uniform(-1, 1, (hash_size, input_dim))
+                       for _ in range(num_hashtables)]
+        self.tables: list[dict[str, list[int]]] = [
+            {} for _ in range(num_hashtables)]
+
+    def _hash(self, plane: np.ndarray, point: np.ndarray) -> str:
+        bits = (plane @ point.reshape(-1)) > 0
+        return "".join("1" if b else "0" for b in bits)
+
+    def index(self, point: np.ndarray, extra_data: int) -> None:
+        for plane, table in zip(self.planes, self.tables):
+            table.setdefault(self._hash(plane, point), []).append(extra_data)
+
+    def query(self, point: np.ndarray) -> list[int]:
+        out: list[int] = []
+        seen = set()
+        for plane, table in zip(self.planes, self.tables):
+            for idx in table.get(self._hash(plane, point), []):
+                if idx not in seen:
+                    seen.add(idx)
+                    out.append(idx)
+        return out
+
+
+@register_conditioning_method(name="lsh")
+class LSHRepellency(RepellencyProcessor):
+    """PCA → LSH bucketing → bucket-local kernel_fast."""
+
+    method_name = "lsh"
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.n_components = int(kwargs.get("n_components", 32))
+        self.hash_size = int(kwargs.get("hash_size", 8))
+        self.num_hashtables = int(kwargs.get("num_hashtables", 4))
+
+        refs = np.asarray(self.proj_refs, dtype=np.float32)
+        flat = refs.reshape(refs.shape[0], -1)
+        from sklearn.decomposition import PCA
+        self.pca = PCA(n_components=min(self.n_components, *flat.shape))
+        reduced = self.pca.fit_transform(flat)
+        self.lsh = LSHash(self.hash_size, reduced.shape[1],
+                          self.num_hashtables)
+        for i, p in enumerate(reduced):
+            self.lsh.index(p, i)
+        self._flat_refs = flat
+
+    def conditioning(self, x_0_hat, **kwargs):
+        import jax.numpy as jnp
+
+        x = np.asarray(x_0_hat, dtype=np.float32)
+        n = x.shape[0]
+        flat = x.reshape(n, -1)
+        reduced = self.pca.transform(flat)
+
+        out = np.array(flat)
+        any_neg = False
+        for i in range(n):
+            bucket = self.lsh.query(reduced[i])
+            if not bucket:
+                continue
+            any_neg = True
+            members = self._flat_refs[bucket]
+            score, _ = rbf_negative_score_ref(
+                jnp.asarray(flat[i:i + 1]), jnp.asarray(members),
+                float(self.sigma), float(self.epsilon))
+            out[i] = flat[i] - float(self.scale) * np.asarray(score)[0]
+        return {"x_0_hat": out.reshape(x.shape), "is_negation": any_neg,
+                "mean_x_0_hat": None}

@@ -161,3 +161,19 @@ def test_sparse_processor_radius_calibration(tmp_path):
     assert proc.radius > 0
     out = proc.conditioning(np.asarray(proc.get_proj_ref()[:1]))
     assert out["is_negation"] is True
+
+
+def test_lsh_repellency_buckets_and_conditioning():
+    rng = np.random.RandomState(7)
+    ref_imgs = rng.randn(20, 3, 16, 16).astype(np.float32)
+    embed = lambda x: jnp.asarray(x)[:, :1, ::2, ::2].repeat(4, axis=1)
+    proc = get_repellency_method(
+        "lsh", ref_data=ref_imgs, embed_fn=embed, n_embed=8,
+        sigma=5.0, scale=0.5, n_components=8, hash_size=4, num_hashtables=3)
+    # query with a bank member: its own bucket is non-empty -> negation
+    x = np.asarray(proc.get_proj_ref()[:2])
+    out = proc.conditioning(x)
+    assert out["is_negation"] is True
+    assert out["x_0_hat"].shape == x.shape
+    # the correction moves the point (bucket kernel applied)
+    assert not np.allclose(out["x_0_hat"], x)
