@@ -119,10 +119,12 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                         block_q_major_dkv=blk, block_k_major_dkv=blk,
                         block_k_dkv=blk, block_q_dkv=blk,
                         block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk)
+        # bf16 q/k/v feed the MXU directly; the kernel accumulates fp32
+        flash_dtype = jnp.bfloat16 if v.dtype == jnp.bfloat16 else jnp.float32
         out = flash_attention(
-            jnp.transpose(q, (0, 2, 1, 3)).astype(jnp.float32),
-            jnp.transpose(k, (0, 2, 1, 3)).astype(jnp.float32),
-            jnp.transpose(v, (0, 2, 1, 3)).astype(jnp.float32),
+            jnp.transpose(q, (0, 2, 1, 3)).astype(flash_dtype),
+            jnp.transpose(k, (0, 2, 1, 3)).astype(flash_dtype),
+            jnp.transpose(v, (0, 2, 1, 3)).astype(flash_dtype),
             sm_scale=float(depth) ** -0.5, block_sizes=bs)
         return jnp.transpose(out, (0, 2, 1, 3)).astype(v.dtype)
 

@@ -289,6 +289,70 @@ def convert_t5(sd: StateDict, cfg: T5Config) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# OpenCLIP / OpenAI-CLIP checkpoints (reference vendors the full OpenCLIP
+# fork, open_clip/; used by run_coco30k.py's ViT-H-14 scorer and clip.load)
+# ---------------------------------------------------------------------------
+
+
+def _openclip_layer(sd: StateDict, lk: str) -> dict:
+    inw = sd[f"{lk}.attn.in_proj_weight"]
+    inb = sd[f"{lk}.attn.in_proj_bias"]
+    d = inw.shape[0] // 3
+    qw, kw, vw = inw[:d], inw[d:2 * d], inw[2 * d:]
+    qb, kb, vb = inb[:d], inb[d:2 * d], inb[2 * d:]
+    return {
+        "layer_norm1": {"LayerNorm_0": {"scale": sd[f"{lk}.ln_1.weight"],
+                                        "bias": sd[f"{lk}.ln_1.bias"]}},
+        "layer_norm2": {"LayerNorm_0": {"scale": sd[f"{lk}.ln_2.weight"],
+                                        "bias": sd[f"{lk}.ln_2.bias"]}},
+        "self_attn": {
+            "to_q": {"kernel": np.ascontiguousarray(qw.T), "bias": qb},
+            "to_k": {"kernel": np.ascontiguousarray(kw.T), "bias": kb},
+            "to_v": {"kernel": np.ascontiguousarray(vw.T), "bias": vb},
+            "to_out": _lin(sd, f"{lk}.attn.out_proj"),
+        },
+        "mlp_fc1": _lin(sd, f"{lk}.mlp.c_fc"),
+        "mlp_fc2": _lin(sd, f"{lk}.mlp.c_proj"),
+    }
+
+
+def convert_open_clip_vision(sd: StateDict, cfg) -> dict:
+    """OpenCLIP/OpenAI-CLIP `visual.*` keys → CLIPVisionModel params
+    (packed in_proj qkv split; visual.proj matrix used directly)."""
+    p = "visual."
+    params: dict = {
+        "class_embedding": np.asarray(sd[f"{p}class_embedding"]).reshape(-1),
+        "position_embedding": sd[f"{p}positional_embedding"],
+        "patch_embedding": {"kernel": np.ascontiguousarray(
+            np.transpose(sd[f"{p}conv1.weight"], (2, 3, 1, 0)))},
+        "pre_layernorm": {"LayerNorm_0": {"scale": sd[f"{p}ln_pre.weight"],
+                                          "bias": sd[f"{p}ln_pre.bias"]}},
+        "post_layernorm": {"LayerNorm_0": {"scale": sd[f"{p}ln_post.weight"],
+                                           "bias": sd[f"{p}ln_post.bias"]}},
+        "visual_projection": {"kernel": np.asarray(sd[f"{p}proj"])},
+    }
+    for i in range(cfg.num_layers):
+        params[f"layers_{i}"] = _openclip_layer(
+            sd, f"{p}transformer.resblocks.{i}")
+    return {"params": params}
+
+
+def convert_open_clip_text(sd: StateDict, cfg) -> dict:
+    """OpenCLIP/OpenAI-CLIP text-tower keys → CLIPTextModel params."""
+    params: dict = {
+        "token_embedding": {"embedding": sd["token_embedding.weight"]},
+        "position_embedding": sd["positional_embedding"],
+        "final_layer_norm": {"LayerNorm_0": {"scale": sd["ln_final.weight"],
+                                             "bias": sd["ln_final.bias"]}},
+        "text_projection": {"kernel": np.asarray(sd["text_projection"])},
+    }
+    for i in range(cfg.num_layers):
+        params[f"layers_{i}"] = _openclip_layer(
+            sd, f"transformer.resblocks.{i}")
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
 # VAE (diffusers AutoencoderKL keys)
 # ---------------------------------------------------------------------------
 
