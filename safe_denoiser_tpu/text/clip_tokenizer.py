@@ -145,9 +145,24 @@ class CLIPTokenizer:
         self._cache[token] = out
         return out
 
+    def _native(self):
+        """Lazy native C++ BPE engine (native/bpe_tokenizer.cpp); None if
+        unavailable. The Python path below is the reference semantics."""
+        if not hasattr(self, "_native_engine"):
+            try:
+                from .native import NativeBPE
+                merges = sorted(self.bpe_ranks, key=self.bpe_ranks.get)
+                self._native_engine = NativeBPE(self.vocab, merges)
+            except Exception:
+                self._native_engine = None
+        return self._native_engine
+
     def encode(self, text: str) -> list[int]:
         """Raw BPE ids without BOS/EOS framing."""
         text = whitespace_clean(basic_clean(text)).lower()
+        native = self._native()
+        if native is not None:
+            return native.encode(text)
         ids: list[int] = []
         for token in _WORD_PAT.findall(text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
