@@ -217,15 +217,21 @@ class SafeDiffusionPipeline:
             jax.jit,
             static_argnames=("steps", "guidance", "repellency", "window",
                              "freeu", "height", "width"))
-        def run(text_embeds, text_embeds_alt, use_alt, refs, rng,
+        def run(text_embeds, text_embeds_alt, use_alt, refs, seeds,
                 guidance_scale, steps, guidance, repellency, window, freeu,
                 height, width):
             b = text_embeds.shape[1]
-            lat_rng, samp_rng = jax.random.split(rng)
-            shape = (b, height // self.vae_scale_factor,
-                     width // self.vae_scale_factor, 4)
-            latents = jax.random.normal(lat_rng, shape, dtype=jnp.float32)
+            single = (height // self.vae_scale_factor,
+                      width // self.vae_scale_factor,
+                      self.unet.config.in_channels)
+            # per-sample PRNG: each row's initial latents depend only on its
+            # own seed, so batched sweeps reproduce row-wise runs
+            keys = jax.vmap(jax.random.PRNGKey)(seeds)
+            latents = jax.vmap(
+                lambda k: jax.random.normal(jax.random.fold_in(k, 0), single,
+                                            dtype=jnp.float32))(keys)
             latents = latents * self.scheduler.init_noise_sigma
+            samp_rng = jax.random.fold_in(keys[0], 1)
             latents, applied = sample_sd(
                 lambda l, t, c, fu: self.unet.apply(self.unet_params, l, t, c,
                                                     freeu=fu),
@@ -241,24 +247,13 @@ class SafeDiffusionPipeline:
 
         return run
 
-    def __call__(self, prompt: str,
-                 num_inference_steps: int = 50,
-                 guidance_scale: float = 7.5,
-                 negative_prompt: Optional[str] = None,
-                 negative_prompt_space: Optional[Sequence[str]] = None,
-                 height: int = 512, width: int = 512,
-                 seed: int = 42,
-                 repellency_processor=None,
-                 safree_dict: Optional[dict] = None,
-                 erase_spec: EraseSpec = EraseSpec(),
-                 safe_config: Optional[dict] = None,
-                 freeu: Optional[FreeUConfig] = None,
-                 use_beta_gate: bool = True,
-                 return_latents: bool = False):
-        """Generate one image batch with the reference call semantics."""
-        sf = dict(safree_dict or {})
-        logger = sf.get("logger") or self.logger
+    def _prepare_text(self, prompt, negative_prompt, negative_prompt_space,
+                      sf, erase_spec, safe_config, num_inference_steps,
+                      logger):
+        """Per-prompt text assembly: encode + SAFREE + branch layout.
 
+        Returns (text_embeds [branches, 1, L, D], alt, use_alt [S], guidance).
+        """
         embeds, ids, attn_mask = self.encode_prompt(prompt, negative_prompt)
         use_alt = None
         embeds_alt = None
@@ -316,6 +311,35 @@ class SafeDiffusionPipeline:
             embeds_alt2 = embeds_alt
             guidance = GuidanceConfig()
 
+        if use_alt is None:
+            use_alt = jnp.zeros((num_inference_steps,), dtype=bool)
+        if embeds_alt2 is None:
+            embeds_alt2 = text_embeds
+        return text_embeds, embeds_alt2, use_alt, guidance
+
+    def __call__(self, prompt: str,
+                 num_inference_steps: int = 50,
+                 guidance_scale: float = 7.5,
+                 negative_prompt: Optional[str] = None,
+                 negative_prompt_space: Optional[Sequence[str]] = None,
+                 height: int = 512, width: int = 512,
+                 seed: int = 42,
+                 repellency_processor=None,
+                 safree_dict: Optional[dict] = None,
+                 erase_spec: EraseSpec = EraseSpec(),
+                 safe_config: Optional[dict] = None,
+                 freeu: Optional[FreeUConfig] = None,
+                 use_beta_gate: bool = True,
+                 return_latents: bool = False):
+        """Generate for one prompt with the reference call semantics."""
+        sf = dict(safree_dict or {})
+        logger = sf.get("logger") or self.logger
+        lra = bool(sf.get("lra"))
+
+        text_embeds, embeds_alt2, use_alt, guidance = self._prepare_text(
+            prompt, negative_prompt, negative_prompt_space, sf, erase_spec,
+            safe_config, num_inference_steps, logger)
+
         # ---- repellency ---------------------------------------------------
         repellency_cfg = None
         refs = None
@@ -326,14 +350,10 @@ class SafeDiffusionPipeline:
                 repellency_processor.config(), use_beta_gate=use_beta_gate)
             refs = repellency_processor.get_proj_ref()
 
-        if use_alt is None:
-            use_alt = jnp.zeros((num_inference_steps,), dtype=bool)
-        if embeds_alt2 is None:
-            embeds_alt2 = text_embeds
-
         latents, image, applied = self._jitted_sample(
             text_embeds, embeds_alt2, use_alt, refs,
-            jax.random.PRNGKey(seed), jnp.float32(guidance_scale),
+            jnp.asarray([seed], dtype=jnp.uint32),
+            jnp.asarray([guidance_scale], dtype=jnp.float32),
             num_inference_steps, guidance, repellency_cfg, erase_spec.window,
             freeu if lra else None, height, width)
 
@@ -347,5 +367,64 @@ class SafeDiffusionPipeline:
 
         if return_latents:
             return latents
+        image = np.asarray((image / 2 + 0.5).clip(0, 1))
+        return [(img * 255).round().astype(np.uint8) for img in image]
+
+    def generate_batch(self, prompts: Sequence[str],
+                       seeds: Sequence[int],
+                       guidance_scales: Sequence[float],
+                       num_inference_steps: int = 50,
+                       negative_prompt: Optional[str] = None,
+                       negative_prompt_space: Optional[Sequence[str]] = None,
+                       height: int = 512, width: int = 512,
+                       repellency_processor=None,
+                       safree_dict: Optional[dict] = None,
+                       erase_spec: EraseSpec = EraseSpec(),
+                       safe_config: Optional[dict] = None,
+                       freeu: Optional[FreeUConfig] = None,
+                       use_beta_gate: bool = True):
+        """Batched multi-prompt generation — the throughput mode the reference
+        lacks (hard-coded batch 1, SURVEY.md §2.4). Each row keeps its own
+        seed (per-sample initial latents) and guidance scale; the CFG/SAFREE
+        branches fold into one UNet batch. Prompt-level SAFREE projection is
+        computed per prompt, then stacked; the adaptive window is per-sample.
+
+        Returns a list of uint8 [H, W, 3] images, one per prompt.
+        """
+        sf = dict(safree_dict or {})
+        logger = sf.get("logger") or self.logger
+        lra = bool(sf.get("lra"))
+        b = len(prompts)
+        assert len(seeds) == b and len(guidance_scales) == b
+
+        per_prompt = [self._prepare_text(
+            p, negative_prompt, negative_prompt_space, sf, erase_spec,
+            safe_config, num_inference_steps, logger) for p in prompts]
+        text_embeds = jnp.concatenate([t for t, _, _, _ in per_prompt], axis=1)
+        embeds_alt = jnp.concatenate([a for _, a, _, _ in per_prompt], axis=1)
+        use_alt = jnp.stack([u for _, _, u, _ in per_prompt], axis=1)  # [S, B]
+        guidance = per_prompt[0][3]
+
+        repellency_cfg = None
+        refs = None
+        if repellency_processor is not None and erase_spec.repellency:
+            repellency_cfg = dataclasses.replace(
+                repellency_processor.config(), use_beta_gate=use_beta_gate)
+            refs = repellency_processor.get_proj_ref()
+
+        _, image, applied = self._jitted_sample(
+            text_embeds, embeds_alt, use_alt, refs,
+            jnp.asarray(list(seeds), dtype=jnp.uint32),
+            jnp.asarray(list(guidance_scales), dtype=jnp.float32),
+            num_inference_steps, guidance, repellency_cfg, erase_spec.window,
+            freeu if lra else None, height, width)
+
+        if logger is not None:
+            ts = self.scheduler.timesteps(num_inference_steps)
+            applied_np = np.asarray(applied)
+            for i in np.nonzero(applied_np.any(axis=-1))[0]:
+                logger.log("-" * 10 +
+                           f" Repellency applied at timestep {ts[i]} " +
+                           "-" * 10)
         image = np.asarray((image / 2 + 0.5).clip(0, 1))
         return [(img * 255).round().astype(np.uint8) for img in image]

@@ -81,6 +81,8 @@ def _combine_guidance(noise_pred: jax.Array, i, guidance: GuidanceConfig,
     """
     uncond, text = noise_pred[0], noise_pred[1]
     g = guidance.guidance_scale if guidance_scale is None else guidance_scale
+    if hasattr(g, "ndim") and g.ndim == 1:       # per-sample guidance [B]
+        g = g.reshape(-1, *([1] * (uncond.ndim - 1)))
     if guidance.mode in ("cfg", "lra"):
         # lra's 3rd branch only feeds the SafeGuard filters; CFG combine is
         # identical (reference :543-548)
@@ -154,6 +156,9 @@ def sample_sd(unet_apply: Callable[..., jax.Array],
 
     if use_alt_per_step is None:
         use_alt_per_step = jnp.zeros((num_inference_steps,), dtype=bool)
+    if use_alt_per_step.ndim == 1:               # [S] -> [S, B] per-sample
+        use_alt_per_step = jnp.broadcast_to(use_alt_per_step[:, None],
+                                            (num_inference_steps, b))
     if text_embeds_alt is None:
         text_embeds_alt = text_embeds
 
@@ -162,7 +167,8 @@ def sample_sd(unet_apply: Callable[..., jax.Array],
         i, t, use_alt = scan_in
         step_rng = jax.random.fold_in(rng, i)
 
-        ctx = jnp.where(use_alt, text_embeds_alt, text_embeds)
+        ctx = jnp.where(use_alt[None, :, None, None], text_embeds_alt,
+                        text_embeds)
         ctx = ctx.reshape(n_branches * b, *ctx.shape[2:])
         latent_in = jnp.concatenate([latents] * n_branches, axis=0)
         latent_in = scheduler.scale_model_input(latent_in, t)

@@ -82,10 +82,50 @@ def main(argv=None):
     scorer = (InLoopClipScore(args.clip_weights_dir)
               if args.clip_weights_dir else None)
 
+    cases = list(iter_prompt_cases(dataset,
+                                   default_guidance=args.guidance_scale,
+                                   valid_case_numbers=args.valid_case_numbers,
+                                   logger=logger))
+
+    # Batched throughput mode (--batch_size > 1): rows keep their own seeds
+    # and guidance; CFG pairs fold into one UNet batch (the reference is
+    # hard-coded batch 1 — SURVEY.md §2.4).
+    if args.batch_size > 1:
+        scores = []
+        sd = {"re_attn_t": [int(t) for t in args.re_attn_t.split(",")],
+              "alpha": args.sf_alpha, "logger": logger,
+              "safree": args.safree, "svf": args.self_validation_filter,
+              "lra": args.latent_re_attention, "up_t": args.up_t,
+              "category": args.category}
+        for i in range(0, len(cases), args.batch_size):
+            chunk = cases[i:i + args.batch_size]
+            start = time.time()
+            imgs = pipe.generate_batch(
+                [c.prompt for c in chunk], seeds=[c.seed for c in chunk],
+                guidance_scales=[c.guidance for c in chunk],
+                num_inference_steps=args.num_inference_steps,
+                negative_prompt=negative_prompt,
+                negative_prompt_space=negative_prompt_space,
+                height=args.image_length, width=args.image_length,
+                repellency_processor=repellency_processor,
+                erase_spec=erase_spec, safree_dict=sd)
+            logger.log(f"Wall-Clock Time for batch of {len(chunk)}: "
+                       f"{time.time() - start:.2f} seconds")
+            for case, img in zip(chunk, imgs):
+                save_png(img, os.path.join(dirs["all"],
+                                           f"{case.case_number}.png"))
+                if scorer is not None:
+                    s = scorer(img, case.prompt)
+                    scores.append(s)
+                    logger.log(f"CLIP score (Case#: {case.case_number}): {s:.4f}")
+        if scores:
+            logger.log(f"mean CLIP score: {sum(scores) / len(scores):.4f} "
+                       f"over {len(scores)} images")
+        print("end")
+        return
+
     scores = []
-    for case in iter_prompt_cases(dataset, default_guidance=args.guidance_scale,
-                                  valid_case_numbers=args.valid_case_numbers,
-                                  logger=logger):
+    for case in cases:
         start = time.time()
         imgs = pipe(
             case.prompt,
