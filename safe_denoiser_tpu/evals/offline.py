@@ -117,6 +117,67 @@ def evaluate_clip_score(sample_dir: str, prompts_csv: str,
     return result
 
 
+def style_gram_embedding(hidden_states: jnp.ndarray) -> jnp.ndarray:
+    """Gram matrix of CLIP vision patch features — the style signature of
+    reference evaluations/networks/style_CLIP.py:8 (used for artist-style
+    similarity). hidden_states: [B, S, D] → [B, D, D] normalized grams."""
+    h = hidden_states.astype(jnp.float32)
+    gram = jnp.einsum("bsd,bse->bde", h, h) / h.shape[1]
+    return gram
+
+
+def evaluate_style_score(sample_dir: str, target_paths: list[str],
+                         clip_vision_weights: str,
+                         save_yaml: bool = True) -> dict:
+    """Mean negative gram-distance of samples to target style images
+    (reference evaluations/base_image.py:165-179 semantics: -||G_s - G_t||/10)."""
+    from ..models import CLIP_VISION_VIT_B_32, CLIPVisionModel, preprocess_clip
+    from ..models.weights import convert_clip_vision, load_state_dict
+
+    vision = CLIPVisionModel(CLIP_VISION_VIT_B_32)
+    vparams = convert_clip_vision(load_state_dict(clip_vision_weights),
+                                  CLIP_VISION_VIT_B_32)
+    hidden = jax.jit(lambda px: vision.apply(vparams, px)[0])
+
+    def gram_of(path):
+        img = load_image(path)
+        return np.asarray(style_gram_embedding(
+            hidden(preprocess_clip(jnp.asarray(img[None])))))[0]
+
+    targets = [gram_of(p) for p in target_paths]
+    sims = []
+    for path in list_images(sample_dir):
+        g = gram_of(path)
+        for t in targets:
+            diff = (g - t).reshape(-1)
+            sims.append(-float(np.sqrt((diff ** 2).sum())) / 10.0)
+    result = {"style_score": float(np.mean(sims)), "n": len(sims)}
+    if save_yaml:
+        out = os.path.join(os.path.dirname(sample_dir.rstrip("/")),
+                           "metrics_style.yaml")
+        with open(out, "w") as f:
+            yaml.dump(result, f)
+    return result
+
+
+def evaluate_inception_score(sample_dir: str,
+                             inception_weights: str | None = None,
+                             save_yaml: bool = True) -> dict:
+    """IS over generated samples (reference evaluations/utils/inception_score.py)."""
+    from .metrics import inception_score_from_logits
+
+    extractor = InceptionFeatures(inception_weights)
+    _, logits = extractor(list_images(sample_dir))
+    mean, std = inception_score_from_logits(logits)
+    result = {"inception_score": mean, "inception_score_std": std}
+    if save_yaml:
+        out = os.path.join(os.path.dirname(sample_dir.rstrip("/")),
+                           "metrics_is.yaml")
+        with open(out, "w") as f:
+            yaml.dump(result, f)
+    return result
+
+
 def evaluate_aes_score(sample_dir: str, aes_weights: str,
                        clip_vision_weights: str,
                        save_yaml: bool = True) -> dict:

@@ -126,6 +126,10 @@ def main(argv=None):
 
     scores = []
     for case in cases:
+        if args.resume and os.path.exists(
+                os.path.join(dirs["all"], f"{case.case_number}.png")):
+            logger.log(f"[resume] skipping Case#: {case.case_number}")
+            continue
         start = time.time()
         imgs = pipe(
             case.prompt,

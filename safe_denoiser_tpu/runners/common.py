@@ -89,6 +89,9 @@ def base_parser(description: str) -> tuple[argparse.ArgumentParser, dict]:
     p.add_argument("--freeu_hyp", type=str,
                    default=g("freeu_hyp", "1.0-1.0-0.9-0.2"))
     p.add_argument("--up_t", type=int, default=g("up_t", 10))
+    p.add_argument("--resume", action="store_true", default=g("resume", False),
+                   help="skip cases whose all/ output already exists "
+                        "(crash-resume; the reference regenerates everything)")
     return p, cfg
 
 

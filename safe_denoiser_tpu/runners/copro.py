@@ -43,6 +43,10 @@ def main(argv=None):
     for case in iter_prompt_cases(dataset, default_guidance=args.guidance_scale,
                                   valid_case_numbers=args.valid_case_numbers,
                                   logger=logger):
+        if args.resume and os.path.exists(
+                os.path.join(dirs["all"], f"{case.case_number}.png")):
+            logger.log(f"[resume] skipping Case#: {case.case_number}")
+            continue
         start = time.time()
         imgs = pipe(
             case.prompt,

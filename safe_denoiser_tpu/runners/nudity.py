@@ -91,6 +91,12 @@ def main(argv=None):
     for case in iter_prompt_cases(dataset, default_guidance=args.guidance_scale,
                                   valid_case_numbers=args.valid_case_numbers,
                                   logger=logger):
+        if args.resume:
+            tag = (f"{case.case_number}.png" if "artists-" in args.category
+                   else f"{case.case_number}_{'-'.join(case.categories)}.png")
+            if os.path.exists(os.path.join(dirs["all"], tag)):
+                logger.log(f"[resume] skipping Case#: {case.case_number}")
+                continue
         start_time = time.time()
         imgs = pipe(
             case.prompt,
