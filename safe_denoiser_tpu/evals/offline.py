@@ -117,6 +117,49 @@ def evaluate_clip_score(sample_dir: str, prompts_csv: str,
     return result
 
 
+def evaluate_image_similarity(sample_dir: str, ref_dir: str,
+                              clip_vision_weights: str,
+                              tower: str = "vit_h_14",
+                              openclip_layout: bool = True,
+                              save_yaml: bool = True) -> dict:
+    """Image↔image CLIP cosine similarity, matched by filename stem — the
+    reference's `coco_open_clip` in-loop mode (run_coco30k.py:172-215,
+    ViT-H-14 laion2b)."""
+    from ..models import (
+        CLIP_VISION_VIT_B_32, CLIP_VISION_VIT_H_14, CLIP_VISION_VIT_L_14,
+        CLIPVisionModel, preprocess_clip)
+    from ..models.weights import (
+        convert_clip_vision, convert_open_clip_vision, load_state_dict)
+
+    cfg = {"vit_h_14": CLIP_VISION_VIT_H_14, "vit_l_14": CLIP_VISION_VIT_L_14,
+           "vit_b_32": CLIP_VISION_VIT_B_32}[tower]
+    sd = load_state_dict(clip_vision_weights)
+    conv = convert_open_clip_vision if openclip_layout else convert_clip_vision
+    params = conv(sd, cfg)
+    model = CLIPVisionModel(cfg)
+    embed = jax.jit(lambda px: model.apply(params, px)[2])
+
+    def emb(path):
+        e = np.asarray(embed(preprocess_clip(
+            jnp.asarray(load_image(path)[None]), size=cfg.image_size)))[0]
+        return e / np.linalg.norm(e)
+
+    refs = {os.path.splitext(os.path.basename(p))[0].split("_")[0]: p
+            for p in list_images(ref_dir)}
+    sims = []
+    for path in list_images(sample_dir):
+        key = os.path.splitext(os.path.basename(path))[0].split("_")[0]
+        if key in refs:
+            sims.append(float(emb(path) @ emb(refs[key])))
+    result = {"image_clip_similarity": float(np.mean(sims)), "n": len(sims)}
+    if save_yaml:
+        out = os.path.join(os.path.dirname(sample_dir.rstrip("/")),
+                           "metrics_img_sim.yaml")
+        with open(out, "w") as f:
+            yaml.dump(result, f)
+    return result
+
+
 def style_gram_embedding(hidden_states: jnp.ndarray) -> jnp.ndarray:
     """Gram matrix of CLIP vision patch features — the style signature of
     reference evaluations/networks/style_CLIP.py:8 (used for artist-style
