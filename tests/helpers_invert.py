@@ -139,3 +139,36 @@ def invert_vae(params, cfg) -> dict:
     _inv_conv(params["quant_conv"], "quant_conv", sd)
     _inv_conv(params["post_quant_conv"], "post_quant_conv", sd)
     return sd
+
+
+def invert_mmdit(params, cfg) -> dict:
+    """MMDiT Flax params → diffusers SD3Transformer2DModel state dict."""
+    sd: dict = {}
+    _inv_conv(params["pos_embed_proj"], "pos_embed.proj", sd)
+    _inv_lin(params["time_embed_1"], "time_text_embed.timestep_embedder.linear_1", sd)
+    _inv_lin(params["time_embed_2"], "time_text_embed.timestep_embedder.linear_2", sd)
+    _inv_lin(params["text_embed_1"], "time_text_embed.text_embedder.linear_1", sd)
+    _inv_lin(params["text_embed_2"], "time_text_embed.text_embedder.linear_2", sd)
+    _inv_lin(params["context_embedder"], "context_embedder", sd)
+    _inv_lin(params["norm_out"]["linear"], "norm_out.linear", sd)
+    _inv_lin(params["proj_out"], "proj_out", sd)
+    for i in range(cfg.num_layers):
+        bk = f"transformer_blocks.{i}"
+        blk = params[f"blocks_{i}"]
+        last = i == cfg.num_layers - 1
+        _inv_lin(blk["norm1"]["linear"], f"{bk}.norm1.linear", sd)
+        _inv_lin(blk["norm1_context"]["linear"], f"{bk}.norm1_context.linear", sd)
+        _inv_lin(blk["attn_q"], f"{bk}.attn.to_q", sd)
+        _inv_lin(blk["attn_k"], f"{bk}.attn.to_k", sd)
+        _inv_lin(blk["attn_v"], f"{bk}.attn.to_v", sd)
+        _inv_lin(blk["attn_add_q"], f"{bk}.attn.add_q_proj", sd)
+        _inv_lin(blk["attn_add_k"], f"{bk}.attn.add_k_proj", sd)
+        _inv_lin(blk["attn_add_v"], f"{bk}.attn.add_v_proj", sd)
+        _inv_lin(blk["attn_to_out"], f"{bk}.attn.to_out.0", sd)
+        _inv_lin(blk["ff"]["fc1"], f"{bk}.ff.net.0.proj", sd)
+        _inv_lin(blk["ff"]["fc2"], f"{bk}.ff.net.2", sd)
+        if not last:
+            _inv_lin(blk["attn_to_add_out"], f"{bk}.attn.to_add_out", sd)
+            _inv_lin(blk["ff_context"]["fc1"], f"{bk}.ff_context.net.0.proj", sd)
+            _inv_lin(blk["ff_context"]["fc2"], f"{bk}.ff_context.net.2", sd)
+    return sd

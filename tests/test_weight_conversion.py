@@ -99,3 +99,48 @@ def test_clip_vision_parity_with_hf():
         params, jnp.asarray(np.transpose(imgs, (0, 2, 3, 1))))
     np.testing.assert_allclose(np.asarray(projected),
                                out.image_embeds.numpy(), atol=3e-5)
+
+
+def test_mmdit_conversion_roundtrip():
+    """Flax → torch-style sd → convert_mmdit → identical params + outputs."""
+    import jax
+
+    from safe_denoiser_tpu.models import MMDiT, MMDiTConfig
+    from safe_denoiser_tpu.models.weights import convert_mmdit
+    from tests.helpers_invert import invert_mmdit
+
+    cfg = MMDiTConfig(sample_size=8, num_layers=2, num_heads=4, head_dim=8,
+                      joint_attention_dim=48, caption_projection_dim=32,
+                      pooled_projection_dim=40, pos_embed_max_size=16)
+    model = MMDiT(cfg)
+    x = jnp.ones((1, 8, 8, 16))
+    t = jnp.array([500.0])
+    ctx = jnp.ones((1, 12, 48))
+    pooled = jnp.ones((1, 40))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx, pooled)
+
+    sd = invert_mmdit(params["params"], cfg)
+    params2 = convert_mmdit(sd, cfg)
+    want = model.apply(params, x, t, ctx, pooled)
+    got = model.apply(params2, x, t, ctx, pooled)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_vae_conversion_roundtrip():
+    import jax
+
+    from safe_denoiser_tpu.models import AutoencoderKL, VAEConfig
+    from safe_denoiser_tpu.models.weights import convert_vae
+    from tests.helpers_invert import invert_vae
+
+    cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                    norm_num_groups=4, sample_size=16)
+    model = AutoencoderKL(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones((1, 16, 16, 3)) * 0.3
+    params = model.init({"params": rng}, x, rng)
+    sd = invert_vae(params["params"], cfg)
+    params2 = convert_vae(sd, cfg)
+    want = model.apply(params, x, rng, method=AutoencoderKL.sample_latent)
+    got = model.apply(params2, x, rng, method=AutoencoderKL.sample_latent)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
