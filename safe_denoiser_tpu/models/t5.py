@@ -118,7 +118,9 @@ class T5Encoder(nn.Module):
         bias_table = self.param(
             "relative_attention_bias", nn.initializers.normal(1.0),
             (cfg.relative_attention_num_buckets, cfg.num_heads), jnp.float32)
-        position_bias = bias_table[jnp.asarray(buckets)]          # [S, S, H]
+        # static numpy bucket indices into a (possibly numpy-backed) param:
+        # cast the table to jnp first so converted checkpoints work under jit
+        position_bias = jnp.asarray(bias_table)[buckets]          # [S, S, H]
         position_bias = jnp.transpose(position_bias, (2, 0, 1))[None]
 
         for i in range(cfg.num_layers):

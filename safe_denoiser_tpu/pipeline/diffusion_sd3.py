@@ -113,9 +113,12 @@ class SafeDiffusion3Pipeline:
         tok = CLIPTokenizer.from_pretrained(os.path.join(model_dir, "tokenizer"))
         tok2 = CLIPTokenizer.from_pretrained(
             os.path.join(model_dir, "tokenizer_2"))
-        import transformers
-        tok3 = transformers.AutoTokenizer.from_pretrained(
-            os.path.join(model_dir, "tokenizer_3"))
+        tok3_dir = os.path.join(model_dir, "tokenizer_3")
+        try:  # the real T5 SentencePiece tokenizer when transformers can load it
+            import transformers
+            tok3 = transformers.AutoTokenizer.from_pretrained(tok3_dir)
+        except Exception:
+            tok3 = CLIPTokenizer.from_pretrained(tok3_dir)
         return cls(tf, tf_params, vae, vae_params, clip_l, clip_l_params,
                    clip_g, clip_g_params, t5, t5_params, tok, tok2, tok3,
                    FlowMatchEulerScheduler(), logger=logger)

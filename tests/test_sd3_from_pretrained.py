@@ -1,0 +1,132 @@
+"""SD3 from_pretrained integration: fabricated HF-layout SD3 checkpoint dir
+(config.jsons + safetensors for all five component towers + three tokenizer
+dirs) → SafeDiffusion3Pipeline → one tiny generation."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from safetensors.numpy import save_file
+
+from safe_denoiser_tpu.models import (
+    AutoencoderKL, CLIPTextConfig, CLIPTextModel, MMDiT, MMDiTConfig,
+    T5Config, T5Encoder, VAEConfig,
+)
+from safe_denoiser_tpu.pipeline.diffusion_sd3 import SafeDiffusion3Pipeline
+from tests.helpers_invert import invert_mmdit, invert_vae
+from tests.test_e2e_pipeline import _tiny_tokenizer
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _write_tokenizer(dirpath, tok, max_length):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    (dirpath / "vocab.json").write_text(json.dumps(tok.vocab))
+    merges = sorted(tok.bpe_ranks, key=tok.bpe_ranks.get)
+    (dirpath / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(" ".join(m) for m in merges) + "\n")
+    (dirpath / "tokenizer_config.json").write_text(
+        json.dumps({"model_max_length": max_length}))
+
+
+def _write_clip_text(dirpath, tok, hidden, heads, proj):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=len(tok.vocab), hidden_size=hidden, intermediate_size=2 * hidden,
+        num_hidden_layers=2, num_attention_heads=heads,
+        max_position_embeddings=8, hidden_act="gelu", projection_dim=proj,
+        eos_token_id=tok.eos_token_id, bos_token_id=tok.bos_token_id,
+        pad_token_id=tok.eos_token_id)
+    torch.manual_seed(hidden)
+    hf = transformers.CLIPTextModelWithProjection(hf_cfg).eval()
+    save_file({k: v.numpy() for k, v in hf.state_dict().items()
+               if "position_ids" not in k}, str(dirpath / "model.safetensors"))
+    (dirpath / "config.json").write_text(json.dumps({
+        "vocab_size": len(tok.vocab), "hidden_size": hidden,
+        "num_hidden_layers": 2, "num_attention_heads": heads,
+        "max_position_embeddings": 8, "intermediate_size": 2 * hidden,
+        "hidden_act": "gelu", "projection_dim": proj,
+        "eos_token_id": tok.eos_token_id}))
+
+
+def _write_t5(dirpath, tok, d_model):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    hf_cfg = transformers.T5Config(
+        vocab_size=len(tok.vocab), d_model=d_model, d_kv=8, d_ff=2 * d_model,
+        num_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=20, feed_forward_proj="gated-gelu",
+        is_encoder_decoder=False, use_cache=False, dropout_rate=0.0)
+    torch.manual_seed(1)
+    hf = transformers.T5EncoderModel(hf_cfg).eval()
+    save_file({k: v.numpy() for k, v in hf.state_dict().items()},
+              str(dirpath / "model.safetensors"))
+    (dirpath / "config.json").write_text(json.dumps({
+        "vocab_size": len(tok.vocab), "d_model": d_model, "d_kv": 8,
+        "d_ff": 2 * d_model, "num_layers": 2, "num_heads": 4,
+        "relative_attention_num_buckets": 8,
+        "relative_attention_max_distance": 20}))
+
+
+def test_sd3_from_pretrained_and_generate(tmp_path):
+    tok = _tiny_tokenizer()
+    joint = 48
+    root = tmp_path / "sd3"
+
+    # transformer
+    mmdit_cfg = MMDiTConfig(sample_size=8, patch_size=2, in_channels=4,
+                            out_channels=4, num_layers=2, num_heads=4,
+                            head_dim=8, joint_attention_dim=joint,
+                            caption_projection_dim=32,
+                            pooled_projection_dim=40, pos_embed_max_size=8)
+    tf = MMDiT(mmdit_cfg)
+    tf_params = tf.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                        jnp.asarray(500.0), jnp.zeros((1, 20, joint)),
+                        jnp.zeros((1, 40)))
+    tdir = root / "transformer"
+    tdir.mkdir(parents=True)
+    save_file(invert_mmdit(tf_params["params"], mmdit_cfg),
+              str(tdir / "model.safetensors"))
+    (tdir / "config.json").write_text(json.dumps({
+        "sample_size": 8, "patch_size": 2, "in_channels": 4,
+        "out_channels": 4, "num_layers": 2, "num_attention_heads": 4,
+        "attention_head_dim": 8, "joint_attention_dim": joint,
+        "caption_projection_dim": 32, "pooled_projection_dim": 40,
+        "pos_embed_max_size": 8}))
+
+    # vae
+    vae_cfg = VAEConfig(latent_channels=4, block_out_channels=(8, 16),
+                        layers_per_block=1, norm_num_groups=4,
+                        scaling_factor=1.5305, shift_factor=0.0609,
+                        sample_size=16)
+    vae = AutoencoderKL(vae_cfg)
+    vae_params = vae.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 16, 16, 3)), jax.random.PRNGKey(0))
+    vdir = root / "vae"
+    vdir.mkdir()
+    save_file(invert_vae(vae_params["params"], vae_cfg),
+              str(vdir / "model.safetensors"))
+    (vdir / "config.json").write_text(json.dumps({
+        "latent_channels": 4, "block_out_channels": [8, 16],
+        "layers_per_block": 1, "norm_num_groups": 4,
+        "scaling_factor": 1.5305, "shift_factor": 0.0609, "sample_size": 16}))
+
+    # text towers: clip-l (16d -> proj 16), bigG stand-in (16d -> proj 24),
+    # t5 (d_model = joint)
+    _write_clip_text(root / "text_encoder", tok, hidden=16, heads=4, proj=16)
+    _write_clip_text(root / "text_encoder_2", tok, hidden=16, heads=2, proj=24)
+    _write_t5(root / "text_encoder_3", tok, d_model=joint)
+    _write_tokenizer(root / "tokenizer", tok, 8)
+    _write_tokenizer(root / "tokenizer_2", tok, 8)
+    _write_tokenizer(root / "tokenizer_3", tok, 12)
+
+    pipe = SafeDiffusion3Pipeline.from_pretrained(str(root))
+    pipe.max_sequence_length = 12
+    embeds, pooled = pipe.encode_prompt("a cat", "")
+    assert embeds.shape == (2, 1, 8 + 12, joint)
+    assert pooled.shape == (2, 1, 40)
+
+    imgs = pipe("a cat", num_inference_steps=2, height=16, width=16, seed=3)
+    assert imgs[0].shape == (16, 16, 3)
