@@ -1,5 +1,8 @@
-"""Distribution layer: mesh construction + data-parallel prompt sharding."""
+"""Distribution layer: mesh construction, data-parallel prompt sharding,
+tensor-parallel param sharding."""
 
 from .mesh import make_mesh, replicate, shard_batch
+from .tp import MMDIT_TP_RULES, shard_params_tp
 
-__all__ = ["make_mesh", "shard_batch", "replicate"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "shard_params_tp",
+           "MMDIT_TP_RULES"]

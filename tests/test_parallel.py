@@ -1,0 +1,45 @@
+"""Distribution-layer tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.sharding import Mesh
+from safe_denoiser_tpu.models import MMDiT, MMDiTConfig
+from safe_denoiser_tpu.parallel import make_mesh, replicate, shard_batch, shard_params_tp
+
+TINY = MMDiTConfig(sample_size=8, num_layers=2, num_heads=4, head_dim=8,
+                   joint_attention_dim=48, caption_projection_dim=32,
+                   pooled_projection_dim=40, pos_embed_max_size=16)
+
+
+def test_data_parallel_shard_and_replicate():
+    mesh = make_mesh(8)
+    x = jnp.arange(8 * 4, dtype=jnp.float32).reshape(8, 4)
+    xs = shard_batch(x, mesh)
+    assert len(xs.sharding.device_set) == 8
+    w = replicate(jnp.ones((3, 3)), mesh)
+    assert w.sharding.is_fully_replicated
+
+
+def test_mmdit_tp_matches_unsharded():
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "model"))
+
+    model = MMDiT(TINY)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16))
+    t = jnp.array([500.0, 500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 48))
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (2, 40))
+    params = model.init(jax.random.PRNGKey(3), x, t, ctx, pooled)
+
+    want = model.apply(params, x, t, ctx, pooled)
+
+    sharded = shard_params_tp(params, mesh)
+    # at least the qkv/ff kernels must actually be sharded over 'model'
+    qkv = sharded["params"]["blocks_0"]["attn_q"]["kernel"]
+    assert not qkv.sharding.is_fully_replicated
+    got = jax.jit(model.apply)(sharded, x, t, ctx, pooled)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
