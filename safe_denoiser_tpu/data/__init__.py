@@ -1,9 +1,11 @@
 """Data layer: negative-image banks + benchmark prompt CSVs."""
 
-from .images import get_all_imgs, get_dataset, get_transform, load_image_bank
+from .images import (get_all_imgs, get_dataloader, get_dataset,
+                     get_transform, load_image_bank)
 from .prompts import PromptCase, iter_prompt_cases, load_prompt_csv
 
 __all__ = [
-    "get_dataset", "get_transform", "get_all_imgs", "load_image_bank",
+    "get_dataset", "get_dataloader", "get_transform", "get_all_imgs",
+    "load_image_bank",
     "load_prompt_csv", "iter_prompt_cases", "PromptCase",
 ]

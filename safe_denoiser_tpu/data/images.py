@@ -86,6 +86,24 @@ class ArtistsDataset(_GlobImageDataset):
     exts = ("png",)
 
 
+def get_dataloader(dataset, batch_size: int, num_workers: int = 0,
+                   train: bool = False):
+    """Minimal batch iterator (reference get_dataloader :35-44). The bank is
+    materialized whole anyway (get_all_imgs); this exists for API parity and
+    chunked VAE encoding."""
+    def _iter():
+        order = range(len(dataset))
+        batch = []
+        for i in order:
+            batch.append(dataset[i])
+            if len(batch) == batch_size:
+                yield np.stack(batch)
+                batch = []
+        if batch:
+            yield np.stack(batch)
+    return _iter()
+
+
 def get_all_imgs(dataset, batch_size: int = 64) -> np.ndarray:
     """Materialize the whole bank as one [M, 3, H, W] fp32 array
     (reference get_all_imgs :28-33 — the bank is small enough by design)."""
