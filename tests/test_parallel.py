@@ -43,3 +43,15 @@ def test_mmdit_tp_matches_unsharded():
     got = jax.jit(model.apply)(sharded, x, t, ctx, pooled)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_graft_entry_traces():
+    """entry() must produce a jittable fn over real SD-1.4 shapes; trace it
+    abstractly (the driver compile-checks it on the chip)."""
+    import sys
+    sys.path.insert(0, ".")
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out = jax.eval_shape(fn, *args)
+    assert out.shape == (1, 64, 64, 4)
