@@ -43,20 +43,44 @@ def timestep_embedding(timesteps: jax.Array, dim: int,
     return emb
 
 
+class _GNParams(nn.Module):
+    """Parameter holder matching flax nn.GroupNorm's tree (scale/bias)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return scale, bias
+
+
 class GroupNorm32(nn.Module):
-    """GroupNorm computed in fp32 regardless of compute dtype."""
+    """GroupNorm with fp32 statistics; optional fused activation.
+
+    On TPU this lowers to the fused single-pass Pallas kernel
+    (ops/group_norm.py) — measured ~25% of UNet device time goes to XLA's
+    norm convert+reduce fusions otherwise. The param tree stays identical to
+    flax nn.GroupNorm (child 'GroupNorm_0' with scale/bias) so checkpoint
+    converters are unaffected.
+    """
 
     num_groups: int = 32
     epsilon: float = 1e-6
     dtype: Dtype = jnp.float32
+    act: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
-        orig_dtype = x.dtype
-        x = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon,
-                         dtype=jnp.float32, param_dtype=jnp.float32)(
-            x.astype(jnp.float32))
-        return x.astype(orig_dtype)
+        from ..ops.group_norm import group_norm
+
+        scale, bias = _GNParams(x.shape[-1], name="GroupNorm_0")()
+        shape = x.shape
+        y = group_norm(x.reshape(shape[0], -1, shape[-1]), scale, bias,
+                       self.num_groups, self.epsilon, self.act)
+        return y.reshape(shape)
 
 
 class LayerNormFp32(nn.Module):
@@ -114,11 +138,14 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             and _flash_available()):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes, flash_attention)
-        blk = min(1024, s_q)
-        bs = BlockSizes(block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
-                        block_q_major_dkv=blk, block_k_major_dkv=blk,
-                        block_k_dkv=blk, block_q_dkv=blk,
-                        block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk)
+        # whole-KV tiles: k/v stay resident per q-block (2 MB each at padded
+        # head_dim 128), removing the online-softmax rescale passes
+        bq = min(512, s_q)
+        bk = min(2048, s_kv)
+        bs = BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                        block_q_major_dkv=bq, block_k_major_dkv=bk,
+                        block_k_dkv=bk, block_q_dkv=bq,
+                        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq)
         # bf16 q/k/v feed the MXU directly; the kernel accumulates fp32
         flash_dtype = jnp.bfloat16 if v.dtype == jnp.bfloat16 else jnp.float32
         out = flash_attention(

@@ -53,15 +53,15 @@ class ResnetBlockTime(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
-        h = GroupNorm32(self.groups, name="norm1")(x)
+        h = GroupNorm32(self.groups, act="silu", name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv1")(nn.silu(h))
+                    name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype,
                      name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = GroupNorm32(self.groups, name="norm2")(h)
+        h = GroupNorm32(self.groups, act="silu", name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv2")(nn.silu(h))
+                    name="conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         name="conv_shortcut")(x)
@@ -224,7 +224,8 @@ class UNet2DCondition(nn.Module):
             if i < n_blocks - 1:
                 x = UpsampleT(ch, dtype=self.dtype, name=f"up_{i}_upsample")(x)
 
-        x = GroupNorm32(cfg.norm_num_groups, name="conv_norm_out")(x)
+        x = GroupNorm32(cfg.norm_num_groups, act="silu",
+                        name="conv_norm_out")(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv_out")(nn.silu(x))
+                    name="conv_out")(x)
         return x.astype(jnp.float32)

@@ -47,12 +47,12 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = GroupNorm32(self.groups, name="norm1")(x)
+        h = GroupNorm32(self.groups, act="silu", name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv1")(nn.silu(h))
-        h = GroupNorm32(self.groups, name="norm2")(h)
+                    name="conv1")(h)
+        h = GroupNorm32(self.groups, act="silu", name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv2")(nn.silu(h))
+                    name="conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         name="conv_shortcut")(x)
@@ -127,9 +127,10 @@ class Encoder(nn.Module):
                 x = Downsample(ch, dtype=self.dtype,
                                name=f"down_{i}_downsample")(x)
         x = MidBlock(cfg.norm_num_groups, dtype=self.dtype, name="mid_block")(x)
-        x = GroupNorm32(cfg.norm_num_groups, name="conv_norm_out")(x)
+        x = GroupNorm32(cfg.norm_num_groups, act="silu",
+                        name="conv_norm_out")(x)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
-                       dtype=self.dtype, name="conv_out")(nn.silu(x))
+                       dtype=self.dtype, name="conv_out")(x)
 
 
 class Decoder(nn.Module):
@@ -149,9 +150,10 @@ class Decoder(nn.Module):
                                 name=f"up_{i}_resnets_{j}")(x)
             if i < len(chans) - 1:
                 x = Upsample(ch, dtype=self.dtype, name=f"up_{i}_upsample")(x)
-        x = GroupNorm32(cfg.norm_num_groups, name="conv_norm_out")(x)
+        x = GroupNorm32(cfg.norm_num_groups, act="silu",
+                        name="conv_norm_out")(x)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                       name="conv_out")(nn.silu(x))
+                       name="conv_out")(x)
 
 
 class AutoencoderKL(nn.Module):

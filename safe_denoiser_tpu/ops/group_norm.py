@@ -1,0 +1,157 @@
+"""Fused GroupNorm(+SiLU) Pallas TPU kernel.
+
+Motivation (measured, see git history): the UNet forward spends ~25% of its
+device time in XLA's convert+reduce fusions for the 109 Group/LayerNorms —
+~8× over the bandwidth roofline. This kernel brings a GroupNorm (optionally
+fused with the SiLU that always follows it in the resnet blocks) to one HBM
+read + one HBM write:
+
+  * grid over the batch; each step holds the sample's [S, C] activations in
+    VMEM (max 2.6 MB bf16 for SD-1.4's top resolution),
+  * group statistics via an MXU matmul against a [C, 2G] one-hot that
+    produces Σx and Σx² per group in a single dot,
+  * per-channel scale/shift broadcast back through the transposed one-hot,
+    applied in fp32, written back in the input dtype.
+
+Falls back to the jnp implementation off-TPU or for shapes that don't fit
+the single-tile budget (e.g. the 512² VAE decoder activations).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _group_onehot(c: int, groups: int) -> np.ndarray:
+    """[C, G] one-hot: channel -> its group (contiguous grouping)."""
+    m = np.zeros((c, groups), dtype=np.float32)
+    size = c // groups
+    for ch in range(c):
+        m[ch, ch // size] = 1.0
+    return m
+
+
+def group_norm_ref(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                   groups: int, epsilon: float = 1e-6,
+                   act: str | None = None) -> jax.Array:
+    """jnp reference: fp32 GroupNorm over [B, S, C] (+ optional SiLU)."""
+    b, s, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, s, groups, c // groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + epsilon)
+    y = y.reshape(b, s, c) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+_S_TILE = 512
+
+
+def _gn_kernel(x_ref, scale_ref, bias_ref, onehot_ref, out_ref,
+               *, groups: int, epsilon: float, act: str | None,
+               n_per_group: float):
+    """x stays VMEM-resident in the input dtype; fp32 temporaries exist only
+    per S-tile, keeping scoped VMEM under the 16 MB v5e limit."""
+    s = x_ref.shape[1]
+    tile = min(_S_TILE, s)
+    n_tiles = s // tile
+    m = onehot_ref[:]                                     # [C, G]
+
+    def stat_body(i, carry):
+        sum_g, sumsq_g = carry
+        xc = x_ref[0, pl.ds(i * tile, tile), :].astype(jnp.float32)
+        # HIGHEST precision: the MXU would otherwise truncate the fp32
+        # activations to bf16, corrupting Σx² (measured 3e-2 output error)
+        sum_g = sum_g + jnp.sum(jax.lax.dot_general(
+            xc, m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST), axis=0)
+        sumsq_g = sumsq_g + jnp.sum(jax.lax.dot_general(
+            xc * xc, m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST), axis=0)
+        return sum_g, sumsq_g
+
+    zeros = jnp.zeros((groups,), jnp.float32)
+    sum_g, sumsq_g = jax.lax.fori_loop(0, n_tiles, stat_body, (zeros, zeros))
+
+    mean_g = sum_g / n_per_group
+    var_g = sumsq_g / n_per_group - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + epsilon)                # [G]
+    # broadcast group stats back to channels: [G] @ [G, C]
+    mean_c = jax.lax.dot_general(mean_g[None], m.T, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)[0]
+    inv_c = jax.lax.dot_general(inv_g[None], m.T, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)[0]
+    a = inv_c * scale_ref[0]                              # [C]
+    b = bias_ref[0] - mean_c * a
+
+    def apply_body(i, _):
+        xc = x_ref[0, pl.ds(i * tile, tile), :].astype(jnp.float32)
+        y = xc * a[None, :] + b[None, :]
+        if act == "silu":
+            y = y * jax.nn.sigmoid(y)
+        out_ref[0, pl.ds(i * tile, tile), :] = y.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, apply_body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("groups", "epsilon", "act", "interpret"))
+def group_norm_pallas(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                      groups: int, epsilon: float = 1e-6,
+                      act: str | None = None,
+                      interpret: bool = False) -> jax.Array:
+    """x: [B, S, C]; scale/bias: [C]. One grid step per batch row."""
+    b, s, c = x.shape
+    onehot = jnp.asarray(_group_onehot(c, groups))
+    kernel = functools.partial(_gn_kernel, groups=groups, epsilon=epsilon,
+                               act=act, n_per_group=float(s * (c // groups)))
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, groups), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), x.dtype),
+        interpret=interpret,
+    )(x, scale.astype(jnp.float32)[None], bias.astype(jnp.float32)[None],
+      onehot)
+
+
+# single-tile VMEM budget: the x and out blocks are double-buffered by the
+# Mosaic pipeliner, so cap at 4096x320 bf16 (2.6 MB x4 + scratch < 16 MB);
+# larger activations (up-block concats, VAE decoder) fall back to XLA
+_MAX_TILE_ELEMS = 4096 * 320
+
+
+def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, groups: int,
+               epsilon: float = 1e-6, act: str | None = None) -> jax.Array:
+    """Dispatch. Default is the XLA path: profiling showed the Pallas kernel
+    matches XLA's per-norm time (~130 us) but acts as a fusion barrier,
+    regressing the surrounding elementwise fusions by ~20% of step time.
+    Kept behind SDT_FUSED_GN=1 for future tuning."""
+    import os
+
+    b, s, c = x.shape
+    if (os.environ.get("SDT_FUSED_GN") == "1"
+            and jax.default_backend() == "tpu" and s * c <= _MAX_TILE_ELEMS
+            and c % groups == 0 and s % min(_S_TILE, s) == 0):
+        return group_norm_pallas(x, scale, bias, groups, epsilon, act)
+    return group_norm_ref(x, scale, bias, groups, epsilon, act)
