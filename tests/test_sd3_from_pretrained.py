@@ -130,3 +130,106 @@ def test_sd3_from_pretrained_and_generate(tmp_path):
 
     imgs = pipe("a cat", num_inference_steps=2, height=16, width=16, seed=3)
     assert imgs[0].shape == (16, 16, 3)
+
+
+def test_run_nudity_sdv3_cli(tmp_path):
+    """Full SD3 runner main(): fabricated checkpoint + bank + ONNX gate."""
+    from tests.test_onnx_rt import _attr_int, _attr_ints, _model, _node, _tensor
+
+    tok = _tiny_tokenizer()
+    root = tmp_path / "sd3ckpt"
+    # reuse the fabrication from the test above
+    import tests.test_sd3_from_pretrained as me
+    joint = 48
+    mmdit_cfg = MMDiTConfig(sample_size=8, patch_size=2, in_channels=4,
+                            out_channels=4, num_layers=2, num_heads=4,
+                            head_dim=8, joint_attention_dim=joint,
+                            caption_projection_dim=32,
+                            pooled_projection_dim=40, pos_embed_max_size=8)
+    tf = MMDiT(mmdit_cfg)
+    tf_params = tf.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                        jnp.asarray(500.0), jnp.zeros((1, 20, joint)),
+                        jnp.zeros((1, 40)))
+    tdir = root / "transformer"
+    tdir.mkdir(parents=True)
+    save_file(invert_mmdit(tf_params["params"], mmdit_cfg),
+              str(tdir / "model.safetensors"))
+    (tdir / "config.json").write_text(json.dumps({
+        "sample_size": 8, "patch_size": 2, "in_channels": 4,
+        "out_channels": 4, "num_layers": 2, "num_attention_heads": 4,
+        "attention_head_dim": 8, "joint_attention_dim": joint,
+        "caption_projection_dim": 32, "pooled_projection_dim": 40,
+        "pos_embed_max_size": 8}))
+    vae_cfg = VAEConfig(latent_channels=4, block_out_channels=(8, 16),
+                        layers_per_block=1, norm_num_groups=4,
+                        scaling_factor=1.5305, shift_factor=0.0609,
+                        sample_size=16)
+    vae = AutoencoderKL(vae_cfg)
+    vae_params = vae.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 16, 16, 3)), jax.random.PRNGKey(0))
+    vdir = root / "vae"
+    vdir.mkdir()
+    save_file(invert_vae(vae_params["params"], vae_cfg),
+              str(vdir / "model.safetensors"))
+    (vdir / "config.json").write_text(json.dumps({
+        "latent_channels": 4, "block_out_channels": [8, 16],
+        "layers_per_block": 1, "norm_num_groups": 4,
+        "scaling_factor": 1.5305, "shift_factor": 0.0609, "sample_size": 16}))
+    _write_clip_text(root / "text_encoder", tok, hidden=16, heads=4, proj=16)
+    _write_clip_text(root / "text_encoder_2", tok, hidden=16, heads=2, proj=24)
+    _write_t5(root / "text_encoder_3", tok, d_model=joint)
+    _write_tokenizer(root / "tokenizer", tok, 8)
+    _write_tokenizer(root / "tokenizer_2", tok, 8)
+    _write_tokenizer(root / "tokenizer_3", tok, 12)
+
+    # negative bank + task yaml
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    bank = tmp_path / "bank" / "tiny"
+    bank.mkdir(parents=True)
+    for i in range(4):
+        Image.fromarray(rng.randint(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+            bank / f"{i}.png")
+    task_yaml = tmp_path / "task.yaml"
+    task_yaml.write_text(f"""
+repellency:
+  method: kernel_fast
+  n_embed: 2
+  params: {{sigma: 2.75, scale: 0.03, beta_threshold: 0.5}}
+data: {{name: nudity, root: {tmp_path / 'bank'}, class_info: tiny, size: 16}}
+mean_processor: null
+""")
+
+    # tiny NudeNet-style ONNX gate (NHWC input)
+    w = rng.randn(4, 3, 8, 8).astype(np.float32) * 0.1
+    b = rng.randn(4).astype(np.float32)
+    fw = rng.randn(2, 4).astype(np.float32)
+    fb = np.array([0.1, -0.1], np.float32)
+    nodes = [
+        _node("Transpose", ["input"], ["nchw"], _attr_ints("perm", [0, 3, 1, 2])),
+        _node("Conv", ["nchw", "w", "b"], ["c"],
+              _attr_ints("strides", [8, 8]) + _attr_ints("kernel_shape", [8, 8])),
+        _node("Relu", ["c"], ["r"]),
+        _node("GlobalAveragePool", ["r"], ["g"]),
+        _node("Flatten", ["g"], ["f"], _attr_int("axis", 1)),
+        _node("Gemm", ["f", "fw", "fb"], ["l"], _attr_int("transB", 1)),
+        _node("Softmax", ["l"], ["probs"], _attr_int("axis", 1)),
+    ]
+    inits = [_tensor("w", w), _tensor("b", b), _tensor("fw", fw),
+             _tensor("fb", fb)]
+    onnx_path = tmp_path / "nudenet.onnx"
+    onnx_path.write_bytes(_model(nodes, inits, ["input"], ["probs"]))
+
+    csv = tmp_path / "prompts.csv"
+    csv.write_text("case_number,prompt,evaluation_seed\n0,a cat,7\n")
+
+    from safe_denoiser_tpu.runners.sdv3 import main_nudity
+    save_dir = tmp_path / "out"
+    main_nudity(["--data", str(csv), "--save-dir", str(save_dir),
+                 "--model_dir", str(root), "--task_config", str(task_yaml),
+                 "--category", "nudity", "--nudenet-path", str(onnx_path),
+                 "--num_inference_steps", "3", "--image_length", "16",
+                 "--safree"])
+    assert (save_dir / "detect_dict.json").exists()
+    assert (save_dir / "logs.txt").exists()
+    assert len(list((save_dir / "all").glob("*.png"))) == 1
