@@ -129,6 +129,9 @@ class UpsampleT(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
+        # NOTE: profiled alternatives on v5e — a reshape+broadcast nearest-2x
+        # shifts cost into the following conv's relayout and is net slower;
+        # resize's gather fusion wins end to end.
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv")(x)
