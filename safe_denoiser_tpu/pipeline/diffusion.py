@@ -76,8 +76,10 @@ class EraseSpec:
 ERASE_SPECS: dict[str, EraseSpec] = {
     "std": EraseSpec(),
     "esd": EraseSpec(),
+    # std_rep maps to the reference's *_Rep_Time pipeline: default window
+    # t in [800, 1000] (modified_safree_diffusion_pipeline_time.py:430-431)
     "std_rep": EraseSpec(repellency=True,
-                         window=RepellencyWindow(1000.0, 780.0)),
+                         window=RepellencyWindow(1000.0, 800.0)),
     "sld": EraseSpec(text_method="sld"),
     "rece": EraseSpec(text_method="sld"),
     "safree": EraseSpec(text_method="safree"),
@@ -88,7 +90,8 @@ ERASE_SPECS: dict[str, EraseSpec] = {
                          window=RepellencyWindow(1000.0, 780.0)),
     "rece_rep": EraseSpec("sld", True, RepellencyWindow(1000.0, 780.0)),
     "safree_rep": EraseSpec("safree", True, RepellencyWindow(1000.0, 780.0)),
-    "sld_rep_time": EraseSpec("sld", True, RepellencyWindow(1000.0, 800.0)),
+    # SLD_Rep_Time default window is [780, 1000] (modified_sld_pipeline_time.py:381-382)
+    "sld_rep_time": EraseSpec("sld", True, RepellencyWindow(1000.0, 780.0)),
     "sld_rep_threshold": EraseSpec(
         "sld", True, RepellencyWindow(step_start=0, step_end=50,
                                       by_timestep=False)),
@@ -104,6 +107,32 @@ ERASE_SPECS: dict[str, EraseSpec] = {
     "safree_neg_prompt_rep_threshold_time": EraseSpec(
         "safree", True, RepellencyWindow(1000.0, 780.0)),
 }
+
+
+def _ddpm_config_from_checkpoint(scheduler_dir: str):
+    """DDPMConfig from a checkpoint's scheduler_config.json (the reference
+    loads DDPMScheduler.from_pretrained of the SD-v1.4 config,
+    run_nudity.py:108 — notably clip_sample: false)."""
+    import json
+    import os
+
+    from ..schedulers import DDPMConfig
+
+    path = os.path.join(scheduler_dir, "scheduler_config.json")
+    if not os.path.exists(path):
+        return DDPMConfig()
+    with open(path) as f:
+        cfg = json.load(f)
+    return DDPMConfig(
+        num_train_timesteps=cfg.get("num_train_timesteps", 1000),
+        beta_start=cfg.get("beta_start", 0.00085),
+        beta_end=cfg.get("beta_end", 0.012),
+        beta_schedule=cfg.get("beta_schedule", "scaled_linear"),
+        clip_sample=cfg.get("clip_sample", False),
+        prediction_type=cfg.get("prediction_type", "epsilon"),
+        variance_type=cfg.get("variance_type", "fixed_small"),
+        timestep_spacing=cfg.get("timestep_spacing", "leading"),
+        steps_offset=cfg.get("steps_offset", 1))
 
 
 class SafeDiffusionPipeline:
@@ -161,8 +190,11 @@ class SafeDiffusionPipeline:
             text_cfg)
         tokenizer = CLIPTokenizer.from_pretrained(
             os.path.join(model_dir, "tokenizer"))
+        if scheduler is None:
+            scheduler = DDPMScheduler(_ddpm_config_from_checkpoint(
+                os.path.join(model_dir, "scheduler")))
         return cls(unet, unet_params, vae, vae_params, text, text_params,
-                   tokenizer, scheduler or DDPMScheduler(), logger=logger)
+                   tokenizer, scheduler, logger=logger)
 
     def load_unet_state_dict(self, path: str):
         """Swap in a fine-tuned UNet (ESD/RECE; reference run_nudity.py:124-130)."""
@@ -171,6 +203,9 @@ class SafeDiffusionPipeline:
         if "unet" in sd and not hasattr(sd["unet"], "shape"):
             sd = sd["unet"]
         self.unet_params = convert_unet(sd, self.unet.config)
+        # the jitted sampler closes over unet_params at trace time — drop the
+        # cached closure so the swapped weights actually take effect
+        self.__dict__.pop("_jitted_sample", None)
 
     # -- text encoding ------------------------------------------------------
     def encode_prompt(self, prompt: str, negative_prompt: Optional[str] = None,
@@ -231,7 +266,9 @@ class SafeDiffusionPipeline:
                 lambda k: jax.random.normal(jax.random.fold_in(k, 0), single,
                                             dtype=jnp.float32))(keys)
             latents = latents * self.scheduler.init_noise_sigma
-            samp_rng = jax.random.fold_in(keys[0], 1)
+            # per-sample scan keys: each row's noise stream depends only on
+            # its own seed (batched == row-wise, order-independent)
+            samp_rng = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
             latents, applied = sample_sd(
                 lambda l, t, c, fu: self.unet.apply(self.unet_params, l, t, c,
                                                     freeu=fu),
@@ -336,6 +373,12 @@ class SafeDiffusionPipeline:
         logger = sf.get("logger") or self.logger
         lra = bool(sf.get("lra"))
 
+        if freeu is not None and freeu.mode != "freeu" and not lra:
+            raise ValueError(
+                "SafeGuard Fourier modes ('high'/'low'/'all') require the "
+                "3-way latent re-attention batch (safree_dict['lra']=True); "
+                "use mode='freeu' for plain FreeU scaling")
+
         text_embeds, embeds_alt2, use_alt, guidance = self._prepare_text(
             prompt, negative_prompt, negative_prompt_space, sf, erase_spec,
             safe_config, num_inference_steps, logger)
@@ -355,7 +398,7 @@ class SafeDiffusionPipeline:
             jnp.asarray([seed], dtype=jnp.uint32),
             jnp.asarray([guidance_scale], dtype=jnp.float32),
             num_inference_steps, guidance, repellency_cfg, erase_spec.window,
-            freeu if lra else None, height, width)
+            freeu, height, width)
 
         applied = np.asarray(applied)
         if logger is not None:
@@ -417,7 +460,7 @@ class SafeDiffusionPipeline:
             jnp.asarray(list(seeds), dtype=jnp.uint32),
             jnp.asarray(list(guidance_scales), dtype=jnp.float32),
             num_inference_steps, guidance, repellency_cfg, erase_spec.window,
-            freeu if lra else None, height, width)
+            freeu, height, width)
 
         if logger is not None:
             ts = self.scheduler.timesteps(num_inference_steps)

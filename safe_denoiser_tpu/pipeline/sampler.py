@@ -106,7 +106,7 @@ def _combine_guidance(noise_pred: jax.Array, i, guidance: GuidanceConfig,
 
 
 def _repellency_hook(scheduler, noise_pred, t, latents, refs_nchw,
-                     rep_cfg: RepellencyConfig, in_window, rng):
+                     rep_cfg: RepellencyConfig, in_window, noise):
     """Tweedie → repellency → renoise → masked replace (reference :552-569)."""
     x0 = scheduler.pred_original_sample(noise_pred, t, latents)
     if isinstance(x0, tuple):
@@ -114,7 +114,6 @@ def _repellency_hook(scheduler, noise_pred, t, latents, refs_nchw,
     x0_nchw = jnp.transpose(x0, (0, 3, 1, 2))
     x0_rep, is_neg = apply_repellency(x0_nchw, refs_nchw, rep_cfg)
     x0_rep = jnp.transpose(x0_rep, (0, 2, 3, 1))
-    noise = jax.random.normal(rng, latents.shape, dtype=jnp.float32)
     renoised = scheduler.add_noise(x0_rep, noise, t)
     use = jnp.logical_and(in_window, is_neg)[:, None, None, None]
     return jnp.where(use, renoised, latents), jnp.logical_and(in_window, is_neg)
@@ -143,6 +142,9 @@ def sample_sd(unet_apply: Callable[..., jax.Array],
         order: [uncond, cond, extra] where extra = original cond ('lra') or
         safety concept ('sld').
       latents: [B, H, W, C] initial noise (already scaled by init_noise_sigma).
+      rng: a single PRNG key, or a [B, 2] batch of per-sample keys — with
+        per-sample keys every row's noise stream depends only on its own key,
+        so batched sweeps reproduce row-wise runs exactly.
       text_embeds_alt / use_alt_per_step: optional per-step swap of the
         context (SAFREE adaptive window; reference :525-532): at step i the
         context is ``text_embeds_alt`` where ``use_alt_per_step[i]``.
@@ -162,10 +164,23 @@ def sample_sd(unet_apply: Callable[..., jax.Array],
     if text_embeds_alt is None:
         text_embeds_alt = text_embeds
 
+    per_sample_rng = hasattr(rng, "ndim") and rng.ndim == 2
+
+    def _noise(step_rng, salt, shape):
+        if per_sample_rng:
+            return jax.vmap(lambda k: jax.random.normal(
+                jax.random.fold_in(k, salt), shape[1:],
+                dtype=jnp.float32))(step_rng)
+        return jax.random.normal(jax.random.fold_in(step_rng, salt), shape,
+                                 dtype=jnp.float32)
+
     def body(carry, scan_in):
         latents, momentum = carry
         i, t, use_alt = scan_in
-        step_rng = jax.random.fold_in(rng, i)
+        if per_sample_rng:
+            step_rng = jax.vmap(lambda k: jax.random.fold_in(k, i))(rng)
+        else:
+            step_rng = jax.random.fold_in(rng, i)
 
         ctx = jnp.where(use_alt[None, :, None, None], text_embeds_alt,
                         text_embeds)
@@ -182,12 +197,12 @@ def sample_sd(unet_apply: Callable[..., jax.Array],
             in_window = window.mask(i, t)
             latents, applied = _repellency_hook(
                 scheduler, eps, t, latents, refs_nchw, repellency, in_window,
-                jax.random.fold_in(step_rng, 1))
+                _noise(step_rng, 1, latents.shape))
         else:
             applied = jnp.zeros((b,), dtype=bool)
 
         latents, _ = scheduler.step(eps, t, latents, num_inference_steps,
-                                    jax.random.fold_in(step_rng, 2))
+                                    noise=_noise(step_rng, 2, latents.shape))
         return (latents, momentum), applied
 
     momentum0 = jnp.zeros_like(latents)

@@ -16,7 +16,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.repellency_kernels import rbf_negative_score_ref
+import jax.numpy as jnp
+
+from ..ops.repellency_kernels import _pairwise_dist
 from .methods import RepellencyProcessor, register_conditioning_method
 
 
@@ -75,8 +77,6 @@ class LSHRepellency(RepellencyProcessor):
         self._flat_refs = flat
 
     def conditioning(self, x_0_hat, **kwargs):
-        import jax.numpy as jnp
-
         x = np.asarray(x_0_hat, dtype=np.float32)
         n = x.shape[0]
         flat = x.reshape(n, -1)
@@ -90,9 +90,14 @@ class LSHRepellency(RepellencyProcessor):
                 continue
             any_neg = True
             members = self._flat_refs[bucket]
-            score, _ = rbf_negative_score_ref(
-                jnp.asarray(flat[i:i + 1]), jnp.asarray(members),
-                float(self.sigma), float(self.epsilon))
+            # reference lsh uses SQUARED distance in the RBF exponent
+            # (repellency_methods_fast.py:415: cdist(...)**2), unlike
+            # kernel_fast's plain distance
+            d2 = jnp.square(_pairwise_dist(jnp.asarray(flat[i:i + 1]),
+                                           jnp.asarray(members)))
+            w = jnp.exp(-d2 / (2.0 * float(self.sigma) ** 2))
+            score = (w @ jnp.asarray(members)) / (
+                jnp.sum(w, axis=-1, keepdims=True) + float(self.epsilon))
             out[i] = flat[i] - float(self.scale) * np.asarray(score)[0]
         return {"x_0_hat": out.reshape(x.shape), "is_negation": any_neg,
                 "mean_x_0_hat": None}

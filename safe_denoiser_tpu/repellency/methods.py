@@ -284,11 +284,23 @@ class KernelFastRepellency(RepellencyProcessor):
     def __init__(self, **kwargs):
         super().__init__(**kwargs)
         self.beta_threshold = kwargs.get("beta_threshold", -1.0)
-        if not isinstance(self.beta_threshold, (int, float)) or self.beta_threshold <= 0:
+        # bools are flags, not thresholds (spell.yaml-style `beta_threshold:
+        # True` must trigger calibration, not be read as 1.0)
+        needs_calibration = (isinstance(self.beta_threshold, bool)
+                             or not isinstance(self.beta_threshold, (int, float))
+                             or self.beta_threshold <= 0)
+        has_noisy_source = (self.cache_proj_beta_ref
+                            or kwargs.get("scheduler") is not None)
+        if needs_calibration and has_noisy_source:
             noisy = self._resolve_noisy_refs(kwargs.get("scheduler"))
             betas = self.empirical_beta(noisy, self.sigma, self.quantile)
             # β at the last (t→0) timestep key, like reference :302
             self.beta_threshold = betas[list(betas.keys())[-1]]
+        elif needs_calibration:
+            # no scheduler/cache (the SD3 fast-module path,
+            # repellency_methods_fast_sdv3.py, has no β machinery): disable
+            # the gate rather than crash at startup
+            self.beta_threshold = -1.0
 
 
 @register_conditioning_method(name="kernel")
@@ -302,14 +314,18 @@ class KernelRepellency(RepellencyProcessor):
 @register_conditioning_method(name="euclidean")
 class EuclideanRepellency(RepellencyProcessor):
     """Log-space kernel on raw refs (reference :195-231). Numerically identical
-    to kernel_fast's ratio form; shares the fused kernel."""
+    to kernel_fast's ratio form; shares the fused kernel. The bank is the raw
+    ``ref_data`` — no VAE projection and no channel normalization
+    (reference empirical_denoiser reads self.ref_data directly)."""
 
     method_name = "euclidean"
 
     def __init__(self, **kwargs):
-        # euclidean operates on the *raw* (unprojected) data per reference
         kwargs.setdefault("cache_proj_ref", False)
         super().__init__(**kwargs)
+
+    def set_proj_ref(self):
+        return jnp.asarray(self.ref_data, dtype=jnp.float32)
 
 
 @register_conditioning_method(name="random_noise")

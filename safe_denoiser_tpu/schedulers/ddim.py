@@ -28,6 +28,9 @@ class DDIMConfig:
     timestep_spacing: str = "leading"
     steps_offset: int = 1
     eta: float = 0.0
+    # diffusers recomputes epsilon from the clipped x0 only when the caller
+    # passes use_clipped_model_output=True (default False)
+    use_clipped_model_output: bool = False
 
 
 class DDIMScheduler:
@@ -79,7 +82,8 @@ class DDIMScheduler:
             x0 = jnp.clip(x0, -self.config.clip_sample_range, self.config.clip_sample_range)
         return x0, eps
 
-    def step(self, model_output, t, sample, num_inference_steps: int, rng):
+    def step(self, model_output, t, sample, num_inference_steps: int,
+             rng=None, noise=None):
         """Returns (prev_sample, pred_original_sample)."""
         eta = self.config.eta
         alpha_prod_t = self.alphas_cumprod[t]
@@ -87,8 +91,7 @@ class DDIMScheduler:
         beta_prod_t = 1.0 - alpha_prod_t
 
         x0, eps = self.pred_original_sample(model_output, t, sample)
-        if self.config.clip_sample:
-            # recompute eps from the clipped x0, as diffusers does
+        if self.config.clip_sample and self.config.use_clipped_model_output:
             eps = (sample - alpha_prod_t ** 0.5 * x0) / beta_prod_t ** 0.5
 
         variance = (1.0 - alpha_prod_t_prev) / (1.0 - alpha_prod_t) * \
@@ -98,7 +101,8 @@ class DDIMScheduler:
         pred_sample_direction = (1.0 - alpha_prod_t_prev - std_dev_t ** 2) ** 0.5 * eps
         prev_sample = alpha_prod_t_prev ** 0.5 * x0 + pred_sample_direction
         if eta > 0:
-            noise = jax.random.normal(rng, sample.shape, dtype=jnp.float32)
+            if noise is None:
+                noise = jax.random.normal(rng, sample.shape, dtype=jnp.float32)
             prev_sample = prev_sample + std_dev_t * noise
         return prev_sample, x0
 

@@ -3,7 +3,8 @@
 Semantics mirror ``diffusers.DDPMScheduler`` as configured by the reference
 (run_nudity.py:108 loads DDPMScheduler from the SD-v1.4 scheduler config:
 scaled_linear betas 0.00085..0.012, 1000 train steps, steps_offset=1,
-prediction_type=epsilon, variance_type=fixed_small, clip_sample=True default).
+prediction_type=epsilon, variance_type=fixed_small, clip_sample=False — the
+SD-v1.x scheduler_config.json disables sample clipping).
 
 TPU-first design: no mutable state, no host sync inside the loop. All
 per-timestep coefficients are fp32 tables indexed by the traced timestep so
@@ -41,7 +42,7 @@ class DDPMConfig:
     beta_start: float = 0.00085
     beta_end: float = 0.012
     beta_schedule: str = "scaled_linear"
-    clip_sample: bool = True
+    clip_sample: bool = False
     clip_sample_range: float = 1.0
     prediction_type: str = "epsilon"
     variance_type: str = "fixed_small"
@@ -107,12 +108,15 @@ class DDPMScheduler:
             x0 = jnp.clip(x0, -self.config.clip_sample_range, self.config.clip_sample_range)
         return x0
 
-    def step(self, model_output, t, sample, num_inference_steps: int, rng):
+    def step(self, model_output, t, sample, num_inference_steps: int,
+             rng=None, noise=None):
         """One reverse step x_t -> x_{t-1}.
 
         Returns ``(prev_sample, pred_original_sample)`` — the two outputs the
         reference pipelines consume (``.prev_sample`` /
         ``.pred_original_sample`` of diffusers' DDPMSchedulerOutput).
+        ``noise`` may be supplied by the caller (the sampler passes
+        per-sample-keyed noise so batched runs reproduce row-wise runs).
         """
         alpha_prod_t = self._alpha_prod(t)
         alpha_prod_t_prev = self._alpha_prod_prev(t, num_inference_steps)
@@ -133,7 +137,8 @@ class DDPMScheduler:
             std = jnp.exp(0.5 * jnp.log(variance))
         else:
             std = variance ** 0.5
-        noise = jax.random.normal(rng, sample.shape, dtype=jnp.float32)
+        if noise is None:
+            noise = jax.random.normal(rng, sample.shape, dtype=jnp.float32)
         pred_prev = pred_prev + jnp.where(t > 0, std, 0.0) * noise
         return pred_prev, x0
 

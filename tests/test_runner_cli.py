@@ -147,3 +147,21 @@ def test_run_artist_cli(tmp_path):
     assert (save_dir / "all" / "0.png").exists()
     assert (save_dir / "all" / "1.png").exists()
     assert (save_dir / "config.yaml").exists() is False  # artists: no dump
+
+
+def test_scheduler_config_loaded_from_checkpoint(tmp_path):
+    import json as _json
+
+    from safe_denoiser_tpu.pipeline.diffusion import _ddpm_config_from_checkpoint
+    d = tmp_path / "scheduler"
+    d.mkdir()
+    (d / "scheduler_config.json").write_text(_json.dumps({
+        "num_train_timesteps": 1000, "beta_start": 0.00085,
+        "beta_end": 0.012, "beta_schedule": "scaled_linear",
+        "clip_sample": False, "prediction_type": "epsilon",
+        "steps_offset": 1}))
+    cfg = _ddpm_config_from_checkpoint(str(d))
+    assert cfg.clip_sample is False and cfg.steps_offset == 1
+    # absent dir -> defaults (clip_sample False per SD-v1.x)
+    cfg2 = _ddpm_config_from_checkpoint(str(tmp_path / "missing"))
+    assert cfg2.clip_sample is False
