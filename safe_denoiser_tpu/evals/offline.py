@@ -38,15 +38,22 @@ def load_image(path: str, size: int | None = None) -> np.ndarray:
 class InceptionFeatures:
     """Batched pool3/logits extraction with the Flax InceptionV3."""
 
-    def __init__(self, weights_path: str | None = None, batch_size: int = 32):
+    def __init__(self, weights_path: str | None = None, batch_size: int = 32,
+                 allow_random_init: bool = False):
         from .inception import InceptionV3, convert_inception
         self.model = InceptionV3()
         if weights_path is not None:
             from ..models.weights import load_state_dict
             self.params = convert_inception(load_state_dict(weights_path))
-        else:
+        elif allow_random_init:
+            # plumbing-test mode only — features are meaningless for scoring
             self.params = self.model.init(
                 jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+        else:
+            raise ValueError(
+                "InceptionFeatures needs the pt_inception-2015-12-05 weights "
+                "(weights_path) for valid FID/KID/IS numbers; pass "
+                "allow_random_init=True only for plumbing tests")
         self.batch_size = batch_size
         self._fwd = jax.jit(lambda px: self.model.apply(self.params, px))
 
@@ -64,10 +71,12 @@ class InceptionFeatures:
 def evaluate_fid(sample_dir: str, dataset_root: str,
                  inception_weights: str | None = None,
                  save_yaml: bool = True,
-                 tag: str = "org_coco30k_10k") -> dict:
+                 tag: str = "org_coco30k_10k",
+                 allow_random_init: bool = False) -> dict:
     """FID + KID between sample_dir and dataset_root images
     (reference evaluations/fid.py:18-67)."""
-    extractor = InceptionFeatures(inception_weights)
+    extractor = InceptionFeatures(inception_weights,
+                                  allow_random_init=allow_random_init)
     sample_feats, _ = extractor(list_images(sample_dir))
     ref_feats, _ = extractor(list_images(dataset_root))
 
@@ -146,11 +155,14 @@ def evaluate_image_similarity(sample_dir: str, ref_dir: str,
 
     refs = {os.path.splitext(os.path.basename(p))[0].split("_")[0]: p
             for p in list_images(ref_dir)}
+    ref_embs: dict[str, np.ndarray] = {}
     sims = []
     for path in list_images(sample_dir):
         key = os.path.splitext(os.path.basename(path))[0].split("_")[0]
         if key in refs:
-            sims.append(float(emb(path) @ emb(refs[key])))
+            if key not in ref_embs:
+                ref_embs[key] = emb(refs[key])
+            sims.append(float(emb(path) @ ref_embs[key]))
     result = {"image_clip_similarity": float(np.mean(sims)), "n": len(sims)}
     if save_yaml:
         out = os.path.join(os.path.dirname(sample_dir.rstrip("/")),
@@ -205,11 +217,13 @@ def evaluate_style_score(sample_dir: str, target_paths: list[str],
 
 def evaluate_inception_score(sample_dir: str,
                              inception_weights: str | None = None,
-                             save_yaml: bool = True) -> dict:
+                             save_yaml: bool = True,
+                             allow_random_init: bool = False) -> dict:
     """IS over generated samples (reference evaluations/utils/inception_score.py)."""
     from .metrics import inception_score_from_logits
 
-    extractor = InceptionFeatures(inception_weights)
+    extractor = InceptionFeatures(inception_weights,
+                                  allow_random_init=allow_random_init)
     _, logits = extractor(list_images(sample_dir))
     mean, std = inception_score_from_logits(logits)
     result = {"inception_score": mean, "inception_score_std": std}

@@ -133,11 +133,14 @@ def parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
 def parse_attribute(buf: bytes) -> tuple[str, Any]:
     name = ""
     a_f = a_i = a_s = a_t = None
+    a_type = 0  # AttributeProto.type (field 20): 1=FLOAT 2=INT 3=STRING ...
     floats: list[float] = []
     ints: list[int] = []
     for fnum, wtype, val in iter_fields(buf):
         if fnum == 1:
             name = val.decode("utf-8")
+        elif fnum == 20:
+            a_type = val
         elif fnum == 2:
             a_f = struct.unpack("<f", val)[0]
         elif fnum == 3:
@@ -166,7 +169,19 @@ def parse_attribute(buf: bytes) -> tuple[str, Any]:
         return name, ints
     if a_f is not None:
         return name, a_f
-    return name, a_i
+    if a_i is not None:
+        return name, a_i
+    # proto3 omits zero-valued scalars on the wire — reconstruct the typed
+    # default from AttributeProto.type (e.g. Clip min=0.0, Pad value=0.0)
+    if a_type == 1:      # FLOAT
+        return name, 0.0
+    if a_type == 2:      # INT
+        return name, 0
+    if a_type == 6:      # FLOATS
+        return name, []
+    if a_type == 7:      # INTS
+        return name, []
+    return name, None
 
 
 @dataclass
@@ -293,16 +308,19 @@ def _pool(x, attrs, mode):
     kernel = attrs["kernel_shape"]
     strides = attrs.get("strides", [1, 1])
     pads = _auto_pads(attrs, kernel, strides, x.shape[2:])
+    include_pad = bool(attrs.get("count_include_pad", 0))
     fill = -np.inf if mode == "max" else 0.0
+    ones = np.ones(x.shape[2:], dtype=np.float32)
     x = np.pad(x, ((0, 0), (0, 0), (pads[0], pads[2]), (pads[1], pads[3])),
                constant_values=fill)
+    ones = np.pad(ones, ((pads[0], pads[2]), (pads[1], pads[3])))
     n, c, h, w = x.shape
     kh, kw = kernel
     oh = (h - kh) // strides[0] + 1
     ow = (w - kw) // strides[1] + 1
     out = np.full((n, c, oh, ow), fill, dtype=np.float32)
-    cnt = np.zeros((oh, ow), dtype=np.float32) if mode == "avg" else None
     acc = np.zeros((n, c, oh, ow), dtype=np.float32)
+    cnt = np.zeros((oh, ow), dtype=np.float32)
     for i in range(kh):
         for j in range(kw):
             patch = x[:, :, i:i + oh * strides[0]:strides[0],
@@ -311,9 +329,12 @@ def _pool(x, attrs, mode):
                 out = np.maximum(out, patch)
             else:
                 acc += patch
+                cnt += ones[i:i + oh * strides[0]:strides[0],
+                            j:j + ow * strides[1]:strides[1]]
     if mode == "max":
         return out
-    return acc / (kh * kw)
+    # ONNX default count_include_pad=0: divide by the valid-element count
+    return acc / (np.float32(kh * kw) if include_pad else cnt[None, None])
 
 
 def run_graph(graph: Graph, feeds: dict[str, np.ndarray],

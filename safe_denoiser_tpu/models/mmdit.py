@@ -143,8 +143,13 @@ class JointBlock(nn.Module):
         return x, context
 
 
-def _pos_embed_2d(embed_dim: int, grid_size: int) -> jnp.ndarray:
-    """Fixed 2D sin-cos position table [grid², D] (diffusers get_2d_sincos_pos_embed)."""
+def _pos_embed_2d(embed_dim: int, grid_size: int,
+                  base_size: int) -> jnp.ndarray:
+    """Fixed 2D sin-cos table [grid², D], diffusers get_2d_sincos_pos_embed
+    semantics: positions are scaled by grid_size/base_size (base_size =
+    sample_size // patch_size — SD3-medium trains with idx/3 frequencies for
+    its 192-max table), and the FIRST embedding half comes from the
+    column-varying (w) meshgrid output, matching diffusers' grid ordering."""
     import numpy as np
 
     def _1d(dim, pos):
@@ -153,11 +158,11 @@ def _pos_embed_2d(embed_dim: int, grid_size: int) -> jnp.ndarray:
         out = np.einsum("m,d->md", pos.reshape(-1), omega)
         return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
-    grid = np.arange(grid_size, dtype=np.float64)
-    gw, gh = np.meshgrid(grid, grid)  # gh varies over rows
-    emb_h = _1d(embed_dim // 2, gh)
-    emb_w = _1d(embed_dim // 2, gw)
-    return jnp.asarray(np.concatenate([emb_h, emb_w], axis=1),
+    grid = np.arange(grid_size, dtype=np.float64) / (grid_size / base_size)
+    gw, gh = np.meshgrid(grid, grid)  # gw varies along columns (w axis)
+    first = _1d(embed_dim // 2, gw)   # diffusers' "emb_h" uses grid[0] (w)
+    second = _1d(embed_dim // 2, gh)
+    return jnp.asarray(np.concatenate([first, second], axis=1),
                        dtype=jnp.float32)
 
 
@@ -180,7 +185,8 @@ class MMDiT(nn.Module):
                     name="pos_embed_proj")(sample.astype(self.dtype))
         gh, gw = h // p, w // p
         x = x.reshape(b, gh * gw, dim)
-        table = _pos_embed_2d(dim, cfg.pos_embed_max_size)
+        table = _pos_embed_2d(dim, cfg.pos_embed_max_size,
+                              cfg.sample_size // cfg.patch_size)
         table = table.reshape(cfg.pos_embed_max_size, cfg.pos_embed_max_size, dim)
         top = (cfg.pos_embed_max_size - gh) // 2
         left = (cfg.pos_embed_max_size - gw) // 2

@@ -112,14 +112,17 @@ class Transformer2D(nn.Module):
 
 
 class DownsampleT(nn.Module):
+    """Stride-2 conv with SYMMETRIC padding=1 — the SD UNet's
+    downsample_padding=1 (unlike the VAE's asymmetric (0,1) pad)."""
+
     out_channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
         return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                       padding="VALID", dtype=self.dtype, name="conv")(x)
+                       padding=((1, 1), (1, 1)), dtype=self.dtype,
+                       name="conv")(x)
 
 
 class UpsampleT(nn.Module):
@@ -204,11 +207,14 @@ class UNet2DCondition(nn.Module):
             has_attn = i > 0
             for j in range(cfg.layers_per_block + 1):
                 res = skips.pop()
-                # FreeU / SafeGuard on the two highest-channel stages only
-                # (reference keys on hidden channels 1280 / 640).
-                if freeu is not None and x.shape[-1] in (
-                        cfg.block_out_channels[-1], cfg.block_out_channels[-2]):
-                    if x.shape[-1] == cfg.block_out_channels[-1]:
+                # FreeU / SafeGuard on the two highest DISTINCT channel
+                # stages (reference keys on hidden channels 1280 -> b1/s1 and
+                # 640 -> b2/s2; SD-v1 has 1280 twice in block_out_channels)
+                distinct = sorted(set(cfg.block_out_channels))
+                ch_hi = distinct[-1]
+                ch_lo = distinct[-2] if len(distinct) > 1 else -1
+                if freeu is not None and x.shape[-1] in (ch_hi, ch_lo):
+                    if x.shape[-1] == ch_hi:
                         b_scale, s_scale = freeu.b1, freeu.s1
                     else:
                         b_scale, s_scale = freeu.b2, freeu.s2

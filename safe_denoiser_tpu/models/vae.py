@@ -33,11 +33,15 @@ class VAEConfig:
     scaling_factor: float = 0.18215
     shift_factor: float = 0.0
     sample_size: int = 512
+    # the SD3 VAE drops the (post_)quant convs (use_quant_conv: false)
+    use_quant_conv: bool = True
+    use_post_quant_conv: bool = True
 
 
 SD14_VAE = VAEConfig()
 SD3_VAE = VAEConfig(latent_channels=16, scaling_factor=1.5305,
-                    shift_factor=0.0609, sample_size=1024)
+                    shift_factor=0.0609, sample_size=1024,
+                    use_quant_conv=False, use_post_quant_conv=False)
 
 
 class ResnetBlock(nn.Module):
@@ -168,14 +172,18 @@ class AutoencoderKL(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.config, dtype=self.dtype)
         self.decoder = Decoder(self.config, dtype=self.dtype)
-        self.quant_conv = nn.Conv(2 * self.config.latent_channels, (1, 1),
-                                  dtype=self.dtype)
-        self.post_quant_conv = nn.Conv(self.config.latent_channels, (1, 1),
-                                       dtype=self.dtype)
+        if self.config.use_quant_conv:
+            self.quant_conv = nn.Conv(2 * self.config.latent_channels, (1, 1),
+                                      dtype=self.dtype)
+        if self.config.use_post_quant_conv:
+            self.post_quant_conv = nn.Conv(self.config.latent_channels, (1, 1),
+                                           dtype=self.dtype)
 
     def encode(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
         """NHWC image in [-1, 1] → (mean, logvar) of the latent Gaussian."""
-        moments = self.quant_conv(self.encoder(x))
+        moments = self.encoder(x)
+        if self.config.use_quant_conv:
+            moments = self.quant_conv(moments)
         mean, logvar = jnp.split(moments, 2, axis=-1)
         return mean, jnp.clip(logvar, -30.0, 20.0)
 
@@ -186,7 +194,9 @@ class AutoencoderKL(nn.Module):
         return mean + std * jax.random.normal(rng, mean.shape, dtype=mean.dtype)
 
     def decode(self, z: jax.Array) -> jax.Array:
-        return self.decoder(self.post_quant_conv(z))
+        if self.config.use_post_quant_conv:
+            z = self.post_quant_conv(z)
+        return self.decoder(z)
 
     def __call__(self, x, rng):
         return self.decode(self.sample_latent(x, rng))

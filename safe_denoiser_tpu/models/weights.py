@@ -82,7 +82,9 @@ def load_component_config(model_dir: str, kind: str):
             norm_num_groups=cfg.get("norm_num_groups", 32),
             scaling_factor=cfg.get("scaling_factor", 0.18215),
             shift_factor=cfg.get("shift_factor") or 0.0,
-            sample_size=cfg.get("sample_size", 512))
+            sample_size=cfg.get("sample_size", 512),
+            use_quant_conv=cfg.get("use_quant_conv", True),
+            use_post_quant_conv=cfg.get("use_post_quant_conv", True))
     if kind == "clip_text":
         return dataclasses.replace(
             defaults,
@@ -402,9 +404,12 @@ def convert_vae(sd: StateDict, cfg: VAEConfig) -> dict:
         if i < n - 1:
             dec[f"up_{i}_upsample"] = {
                 "conv": _conv(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv")}
-    return {"params": {"encoder": enc, "decoder": dec,
-                       "quant_conv": _conv(sd, "quant_conv"),
-                       "post_quant_conv": _conv(sd, "post_quant_conv")}}
+    params = {"encoder": enc, "decoder": dec}
+    if cfg.use_quant_conv and "quant_conv.weight" in sd:
+        params["quant_conv"] = _conv(sd, "quant_conv")
+    if cfg.use_post_quant_conv and "post_quant_conv.weight" in sd:
+        params["post_quant_conv"] = _conv(sd, "post_quant_conv")
+    return {"params": params}
 
 
 # ---------------------------------------------------------------------------

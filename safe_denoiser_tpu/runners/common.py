@@ -70,6 +70,9 @@ def base_parser(description: str) -> tuple[argparse.ArgumentParser, dict]:
                    default=g("num_images_per_prompt", 1))
     p.add_argument("--q16_path", type=str,
                    default=g("q16_path", "./pretrained/Q16_prompts.p"))
+    p.add_argument("--clip_vision_weights", type=str,
+                   default=g("clip_vision_weights", None),
+                   help="CLIP ViT-L/14 vision state dict for the Q16 gate")
     p.add_argument("--aes_path", type=str,
                    default=g("aes_path",
                              "./pretrained/sac+logos+ava1-l14-linearMSE.pth"))
@@ -159,9 +162,13 @@ def build_eval(args):
     if args.category == "nudity":
         from ..evals.nudenet import NudeClassifier
         return NudeClassifier(args.nudenet_path)
-    # 'all' → Q16
+    # 'all' → Q16 (needs the CLIP ViT-L/14 image tower weights)
+    if not getattr(args, "clip_vision_weights", None):
+        raise SystemExit(
+            "--category all uses the Q16 gate, which needs the CLIP ViT-L/14 "
+            "vision weights: pass --clip_vision_weights <state_dict path>")
     from ..evals.q16 import Q16Eval
-    return Q16Eval(args.q16_path)
+    return Q16Eval(args.q16_path, clip_weights_path=args.clip_vision_weights)
 
 
 class DetectAggregator:

@@ -63,7 +63,8 @@ _WORD_PAT = re.compile(
 class CLIPTokenizer:
     def __init__(self, merges: Iterable[tuple[str, str]],
                  vocab: dict[str, int] | None = None,
-                 max_length: int = 77):
+                 max_length: int = 77,
+                 pad_token: str | None = None):
         self.byte_encoder = bytes_to_unicode()
         merges = [tuple(m) for m in merges]
         if vocab is None:
@@ -79,6 +80,12 @@ class CLIPTokenizer:
         self.max_length = max_length
         self.bos_token_id = self.vocab["<|startoftext|>"]
         self.eos_token_id = self.vocab["<|endoftext|>"]
+        # HF CLIPTokenizer pads with EOS for SD-v1; SD3's tokenizer_2
+        # (OpenCLIP bigG) pads with "!" (id 0) — honor the checkpoint config
+        if pad_token is not None and pad_token in self.vocab:
+            self.pad_token_id = self.vocab[pad_token]
+        else:
+            self.pad_token_id = self.eos_token_id
         self.model_max_length = max_length
         self._cache: dict[str, str] = {
             "<|startoftext|>": "<|startoftext|>",
@@ -89,18 +96,21 @@ class CLIPTokenizer:
     def from_pretrained(cls, path: str, max_length: int = 77) -> "CLIPTokenizer":
         """Load from an HF `tokenizer/` dir or an OpenCLIP .txt.gz merge file."""
         if os.path.isdir(path):
+            pad_token = None
             tc_path = os.path.join(path, "tokenizer_config.json")
             if os.path.exists(tc_path):
                 with open(tc_path) as f:
-                    max_length = json.load(f).get("model_max_length",
-                                                  max_length)
+                    tc = json.load(f)
+                max_length = tc.get("model_max_length", max_length)
+                pt = tc.get("pad_token")
+                pad_token = pt.get("content") if isinstance(pt, dict) else pt
             with open(os.path.join(path, "vocab.json")) as f:
                 vocab = json.load(f)
             with open(os.path.join(path, "merges.txt")) as f:
                 lines = f.read().split("\n")
             merges = [tuple(l.split()) for l in lines
                       if l and not l.startswith("#") and len(l.split()) == 2]
-            return cls(merges, vocab, max_length)
+            return cls(merges, vocab, max_length, pad_token=pad_token)
         with gzip.open(path, "rt", encoding="utf-8") as f:
             lines = f.read().split("\n")
         # OpenCLIP format: first line is a header, merges 1..48894+1
@@ -186,13 +196,13 @@ class CLIPTokenizer:
             mask = [1] * len(ids)
             if padding == "max_length":
                 pad = max_length - len(ids)
-                ids = ids + [self.eos_token_id] * pad
+                ids = ids + [self.pad_token_id] * pad
                 mask = mask + [0] * pad
             all_ids.append(ids)
             all_mask.append(mask)
         if padding == "longest":
             longest = max(len(i) for i in all_ids)
-            all_ids = [i + [self.eos_token_id] * (longest - len(i))
+            all_ids = [i + [self.pad_token_id] * (longest - len(i))
                        for i in all_ids]
             all_mask = [m + [0] * (longest - len(m)) for m in all_mask]
         return {"input_ids": all_ids, "attention_mask": all_mask}

@@ -136,8 +136,10 @@ def invert_vae(params, cfg) -> dict:
         if i < n - 1:
             _inv_conv(dec[f"up_{i}_upsample"]["conv"],
                       f"decoder.up_blocks.{i}.upsamplers.0.conv", sd)
-    _inv_conv(params["quant_conv"], "quant_conv", sd)
-    _inv_conv(params["post_quant_conv"], "post_quant_conv", sd)
+    if "quant_conv" in params:
+        _inv_conv(params["quant_conv"], "quant_conv", sd)
+    if "post_quant_conv" in params:
+        _inv_conv(params["post_quant_conv"], "post_quant_conv", sd)
     return sd
 
 

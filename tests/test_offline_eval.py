@@ -42,14 +42,18 @@ def test_list_and_load(image_dirs):
 
 def test_evaluate_fid_and_is(image_dirs):
     res = evaluate_fid(str(image_dirs / "run" / "all"),
-                       str(image_dirs / "ref"))
+                       str(image_dirs / "ref"), allow_random_init=True)
     assert set(res) == {"fid", "kid", "log_kid"}
     assert np.isfinite(res["fid"]) and res["fid"] >= 0
     assert (image_dirs / "run" / "metrics_org_coco30k_10k.yaml").exists()
 
-    res2 = evaluate_inception_score(str(image_dirs / "run" / "all"))
+    res2 = evaluate_inception_score(str(image_dirs / "run" / "all"),
+                                    allow_random_init=True)
     assert res2["inception_score"] >= 1.0
     # identical dirs -> FID exactly 0
     res3 = evaluate_fid(str(image_dirs / "ref"), str(image_dirs / "ref"),
-                        save_yaml=False)
+                        save_yaml=False, allow_random_init=True)
+    with pytest.raises(ValueError):
+        evaluate_fid(str(image_dirs / "ref"), str(image_dirs / "ref"),
+                     save_yaml=False)
     assert abs(res3["fid"]) < 1e-3
