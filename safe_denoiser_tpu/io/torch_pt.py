@@ -127,6 +127,14 @@ def _materialize(obj: Any, read_record) -> Any:
         return [_materialize(v, read_record) for v in obj]
     if isinstance(obj, tuple):
         return tuple(_materialize(v, read_record) for v in obj)
+    if isinstance(obj, (set, frozenset)):
+        items = [_materialize(v, read_record) for v in obj]
+        try:
+            return type(obj)(items)
+        except TypeError:
+            # materialized numpy arrays are unhashable (torch tensors hash by
+            # identity) — degrade to a list rather than lose the data
+            return items
     return obj
 
 
@@ -227,6 +235,10 @@ def _wrap_tensors(obj: Any, storages: list) -> Any:
         return [_wrap_tensors(v, storages) for v in obj]
     if isinstance(obj, tuple):
         return tuple(_wrap_tensors(v, storages) for v in obj)
+    if isinstance(obj, (set, frozenset)):
+        # numpy arrays are unhashable, so sets can only contain scalars or
+        # already-wrapped placeholders — recurse for nested tuples
+        return type(obj)(_wrap_tensors(v, storages) for v in obj)
     return obj
 
 

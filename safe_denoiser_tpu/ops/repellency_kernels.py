@@ -72,7 +72,7 @@ def rbf_negative_score_ref(x: jax.Array, refs: jax.Array, sigma: float,
 
 def _rbf_kernel(x_ref, refs_ref, num_ref, beta_ref,
                 acc_num, acc_beta, *, sigma: float, epsilon: float,
-                valid_rows_last: int, tile_m: int):
+                valid_rows_last: int):
     """Grid over M-tiles. Per tile: distances → weights → accumulate."""
     m = pl.program_id(0)
     n_tiles = pl.num_programs(0)
@@ -153,7 +153,7 @@ def rbf_negative_score_pallas(x: jax.Array, refs: jax.Array, sigma: float,
 
     kernel = functools.partial(
         _rbf_kernel, sigma=sigma, epsilon=epsilon,
-        valid_rows_last=valid_last, tile_m=tile_m)
+        valid_rows_last=valid_last)
 
     num, beta = pl.pallas_call(
         kernel,
@@ -184,12 +184,24 @@ def rbf_negative_score_pallas(x: jax.Array, refs: jax.Array, sigma: float,
     return num, beta[:, 0]
 
 
+def _pallas_fits_vmem(n: int, d: int, budget: int = 12 * 2 ** 20) -> bool:
+    """Scoped-VMEM feasibility: x/num blocks (double-buffered) + scratch +
+    the minimum 8-row refs tile must fit the ~16 MB v5e limit (Mosaic crashes
+    rather than erroring when exceeded — see CLAUDE.md). SD-1.4 latents
+    (D=16384) fit; SD3 latents (D=262144) fall back to the jnp path."""
+    n_pad = max(8, n)
+    fixed = 5 * n_pad * d * 4          # x ×2 bufs, num ×2 bufs, acc scratch
+    min_refs_tile = 2 * 8 * d * 4      # smallest M-tile, double-buffered
+    return fixed + min_refs_tile <= budget
+
+
 def rbf_negative_score(x: jax.Array, refs: jax.Array, sigma: float,
                        epsilon: float = 1e-8, use_pallas: bool | None = None):
     """Dispatch: Pallas on TPU, jnp elsewhere. Returns (score [N,D], beta [N])."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and x.shape[-1] % 128 == 0:
+    if (use_pallas and x.shape[-1] % 128 == 0
+            and _pallas_fits_vmem(x.shape[0], x.shape[-1])):
         return rbf_negative_score_pallas(x, refs, sigma, epsilon)
     return rbf_negative_score_ref(x, refs, sigma, epsilon)
 

@@ -202,7 +202,7 @@ class SafeDiffusion3Pipeline:
         return run
 
     def __call__(self, prompt: str,
-                 negative_prompt: str = "",
+                 negative_prompt: Optional[str] = None,
                  negative_prompt2: Optional[str] = None,
                  num_inference_steps: int = 50,
                  guidance_scale: float = 7.0,
@@ -214,6 +214,11 @@ class SafeDiffusion3Pipeline:
                  window: RepellencyWindow = RepellencyWindow(1000.0, 780.0),
                  efficient: bool = False,  # CPU-offload no-op on TPU
                  return_latents: bool = False):
+        # The reference SD3 pipelines rebind the CFG negative prompt to the
+        # joined 17-phrase nudity string REGARDLESS of the caller's argument
+        # (safe_denoiser_pipeline.py:989-996); None reproduces that default.
+        if negative_prompt is None:
+            negative_prompt = SD3_NUDITY_NEGATIVE_PROMPT
         embeds, pooled = self.encode_prompt(prompt, negative_prompt)
 
         if safree:
@@ -235,10 +240,15 @@ class SafeDiffusion3Pipeline:
         repellency_cfg = None
         refs = None
         if repellency_processor is not None:
+            # fast_sdv3 parity: x is channel-normalized, there is no β gate,
+            # and conditioning_1 never threads the configured sigma into
+            # empirical_denoiser — the reference always runs its default
+            # sigma=1.0 (repellency_methods_fast_sdv3.py:129-137,146)
             repellency_cfg = dataclasses.replace(
                 repellency_processor.config(),
-                normalize_x=True,          # fast_sdv3 x-normalization
-                use_beta_gate=False)       # fast module has no β gate
+                sigma=1.0,
+                normalize_x=True,
+                use_beta_gate=False)
             refs = repellency_processor.get_proj_ref()
 
         latents, image, applied = self._jitted_sample(

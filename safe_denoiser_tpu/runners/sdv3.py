@@ -64,6 +64,11 @@ def _sd3_parser(desc):
     parser.add_argument("--efficient", action="store_true",
                         default=cfg.get("efficient", False),
                         help="reference CPU-offload variant; no-op on TPU")
+    # the reference SD3 safe-denoiser pipeline applies the SAFREE projection
+    # unconditionally (safe_denoiser_pipeline.py:1061-1079) — default on,
+    # opt out with --no_safree for the vanilla sdv3 pipeline's behavior
+    parser.set_defaults(safree=cfg.get("safree", True))
+    parser.add_argument("--no_safree", dest="safree", action="store_false")
     return parser
 
 
@@ -92,8 +97,10 @@ def main_nudity(argv=None):
                                   valid_case_numbers=args.valid_case_numbers,
                                   logger=logger):
         start = time.time()
+        # negative_prompt=None -> the pipeline's hardcoded 17-phrase string
+        # (the reference overrides the runner's "" anyway,
+        # safe_denoiser_pipeline.py:989-996)
         imgs = pipe(case.prompt,
-                    negative_prompt="",  # run_nudity_sdv3.py:351-360
                     num_inference_steps=args.num_inference_steps,
                     guidance_scale=case.guidance,
                     height=args.image_length, width=args.image_length,
@@ -135,7 +142,7 @@ def main_coco30k(argv=None):
                                   valid_case_numbers=args.valid_case_numbers,
                                   logger=logger):
         start = time.time()
-        imgs = pipe(case.prompt, negative_prompt="",
+        imgs = pipe(case.prompt,
                     num_inference_steps=args.num_inference_steps,
                     guidance_scale=case.guidance,
                     height=args.image_length, width=args.image_length,

@@ -67,3 +67,16 @@ def test_bitwise_value_preservation(tmp_path):
     save_pt(load_pt(p1), p2)
     back = torch.load(p2, weights_only=False)
     assert torch.equal(back, t)
+
+
+def test_set_with_tensor_roundtrip(tmp_path):
+    import torch
+
+    path = str(tmp_path / "s.pt")
+    torch.save({"items": {("k", torch.ones(2, 2))}}, path)
+    out = load_pt(path)
+    # numpy arrays are unhashable, so the set degrades to a list of its
+    # materialized members (torch tensors hash by identity; numpy can't)
+    (tup,) = list(out["items"])
+    assert tup[0] == "k"
+    np.testing.assert_array_equal(np.asarray(tup[1]), np.ones((2, 2)))
