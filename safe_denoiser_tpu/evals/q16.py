@@ -20,15 +20,18 @@ from .clip_metrics import Q16Classifier
 class Q16Eval:
     def __init__(self, prompts_path: str,
                  clip_weights_path: Optional[str] = None,
-                 vision_params=None):
+                 vision_params=None,
+                 vision_config=None):
         self.classifier = Q16Classifier.from_file(prompts_path)
-        self.model = CLIPVisionModel(CLIP_VISION_VIT_L_14)
+        cfg = vision_config or CLIP_VISION_VIT_L_14
+        self.vision_config = cfg
+        self.model = CLIPVisionModel(cfg)
         if vision_params is not None:
             self.params = vision_params
         elif clip_weights_path is not None:
             from ..models.weights import convert_clip_vision, load_state_dict
             self.params = convert_clip_vision(
-                load_state_dict(clip_weights_path), CLIP_VISION_VIT_L_14)
+                load_state_dict(clip_weights_path), cfg)
         else:
             raise ValueError("Q16Eval needs CLIP ViT-L/14 vision weights "
                              "(clip_weights_path or vision_params)")
@@ -38,7 +41,8 @@ class Q16Eval:
     def compute_embeddings(self, images) -> jax.Array:
         arr = np.stack([np.asarray(img.convert("RGB") if hasattr(img, "convert")
                                    else img) for img in images])
-        return self._embed(preprocess_clip(jnp.asarray(arr)))
+        return self._embed(preprocess_clip(jnp.asarray(arr),
+                                           size=self.vision_config.image_size))
 
     def __call__(self, samples, threshold: float = 0.6):
         """(unsafe: bool, max similarity) — threshold unused for Q16 parity

@@ -165,3 +165,73 @@ def test_scheduler_config_loaded_from_checkpoint(tmp_path):
     # absent dir -> defaults (clip_sample False per SD-v1.x)
     cfg2 = _ddpm_config_from_checkpoint(str(tmp_path / "missing"))
     assert cfg2.clip_sample is False
+
+
+def test_run_copro_cli_q16(tmp_path, monkeypatch):
+    """CoPro runner end-to-end with a fabricated Q16 gate (tiny CLIP vision
+    tower + 2-prompt embedding file)."""
+    import pickle
+
+    import torch
+    import transformers
+
+    from safe_denoiser_tpu.models import CLIPVisionConfig
+    from safe_denoiser_tpu.models.weights import convert_clip_vision
+
+    tok = _tiny_tokenizer()
+    ckpt = _write_checkpoint(tmp_path, tok)
+
+    # tiny vision tower (HF layout -> converted params), injected via
+    # monkeypatched build_eval since the CLI flag expects ViT-L/14 weights
+    hf_cfg = transformers.CLIPVisionConfig(
+        image_size=32, patch_size=8, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64, hidden_act="quick_gelu",
+        projection_dim=16)
+    torch.manual_seed(0)
+    hf = transformers.CLIPVisionModelWithProjection(hf_cfg).eval()
+    vcfg = CLIPVisionConfig(image_size=32, patch_size=8, hidden_size=32,
+                            num_layers=2, num_heads=4, intermediate_size=64,
+                            hidden_act="quick_gelu", projection_dim=16)
+    vparams = convert_clip_vision(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, vcfg)
+
+    prompts_p = tmp_path / "q16.p"
+    prompts_p.write_bytes(pickle.dumps(
+        np.random.RandomState(0).randn(2, 16).astype(np.float32)))
+
+    from safe_denoiser_tpu.evals.q16 import Q16Eval
+    import safe_denoiser_tpu.runners.copro as copro_mod
+
+    def fake_build_eval(args):
+        return Q16Eval(str(prompts_p), vision_params=vparams,
+                       vision_config=vcfg)
+    monkeypatch.setattr(copro_mod, "build_eval", fake_build_eval)
+
+    csv = tmp_path / "copro.csv"
+    csv.write_text("idx,unsafe_prompt,safe_prompt,concept,category\n"
+                   "0,a cat,a hat,x,sexual\n")
+    save_dir = tmp_path / "out_copro"
+    copro_mod.main(["--data", str(csv), "--save-dir", str(save_dir),
+                    "--erase_id", "std", "--model_dir", str(ckpt),
+                    "--num_inference_steps", "2", "--image_length", "32"])
+    assert (save_dir / "detect_dict.json").exists()
+    assert (save_dir / "all" / "0.png").exists()
+    logs = (save_dir / "logs.txt").read_text()
+    assert "toxicity pred" in logs
+
+
+def test_run_coco30k_batched(tmp_path):
+    tok = _tiny_tokenizer()
+    ckpt = _write_checkpoint(tmp_path, tok)
+    csv = tmp_path / "coco.csv"
+    csv.write_text("case_number,prompt,evaluation_seed\n"
+                   "10,a cat,1\n11,a dog,2\n12,a cat dog,3\n")
+    save_dir = tmp_path / "out_coco"
+    from safe_denoiser_tpu.runners.coco30k import main
+    main(["--data", str(csv), "--save-dir", str(save_dir),
+          "--erase_id", "std", "--model_dir", str(ckpt),
+          "--num_inference_steps", "2", "--image_length", "32",
+          "--batch_size", "2"])
+    for case in (10, 11, 12):
+        assert (save_dir / "all" / f"{case}.png").exists()
+    assert "Wall-Clock Time for batch of 2" in (save_dir / "logs.txt").read_text()
