@@ -305,10 +305,17 @@ class KernelFastRepellency(RepellencyProcessor):
 
 @register_conditioning_method(name="kernel")
 class KernelRepellency(RepellencyProcessor):
-    """Older formulation: re-projects x through the VAE each call (reference :234-280).
-    In-scan we use the cached projected bank (identical math on the bank side)."""
+    """Older formulation: the bank is re-encoded through the stochastic VAE
+    on every call (reference :234-280 — fresh latent samples each time).
+    The host ``conditioning`` reproduces that; the in-scan path uses the
+    cached bank (``kernel_fast`` semantics) since per-step host VAE calls
+    would break the jitted scan."""
 
     method_name = "kernel"
+
+    def conditioning(self, x_0_hat, **kwargs):
+        self.proj_refs = self.project(self.ref_data)
+        return super().conditioning(x_0_hat, **kwargs)
 
 
 @register_conditioning_method(name="euclidean")
