@@ -310,29 +310,30 @@ def _pool(x, attrs, mode):
     pads = _auto_pads(attrs, kernel, strides, x.shape[2:])
     include_pad = bool(attrs.get("count_include_pad", 0))
     fill = -np.inf if mode == "max" else 0.0
-    ones = np.ones(x.shape[2:], dtype=np.float32)
     x = np.pad(x, ((0, 0), (0, 0), (pads[0], pads[2]), (pads[1], pads[3])),
                constant_values=fill)
-    ones = np.pad(ones, ((pads[0], pads[2]), (pads[1], pads[3])))
     n, c, h, w = x.shape
     kh, kw = kernel
     oh = (h - kh) // strides[0] + 1
     ow = (w - kw) // strides[1] + 1
-    out = np.full((n, c, oh, ow), fill, dtype=np.float32)
+    if mode == "max":
+        out = np.full((n, c, oh, ow), fill, dtype=np.float32)
+        for i in range(kh):
+            for j in range(kw):
+                out = np.maximum(out, x[:, :, i:i + oh * strides[0]:strides[0],
+                                        j:j + ow * strides[1]:strides[1]])
+        return out
+    ones = np.pad(np.ones((h - pads[0] - pads[2], w - pads[1] - pads[3]),
+                          dtype=np.float32),
+                  ((pads[0], pads[2]), (pads[1], pads[3])))
     acc = np.zeros((n, c, oh, ow), dtype=np.float32)
     cnt = np.zeros((oh, ow), dtype=np.float32)
     for i in range(kh):
         for j in range(kw):
-            patch = x[:, :, i:i + oh * strides[0]:strides[0],
-                      j:j + ow * strides[1]:strides[1]]
-            if mode == "max":
-                out = np.maximum(out, patch)
-            else:
-                acc += patch
-                cnt += ones[i:i + oh * strides[0]:strides[0],
-                            j:j + ow * strides[1]:strides[1]]
-    if mode == "max":
-        return out
+            acc += x[:, :, i:i + oh * strides[0]:strides[0],
+                     j:j + ow * strides[1]:strides[1]]
+            cnt += ones[i:i + oh * strides[0]:strides[0],
+                        j:j + ow * strides[1]:strides[1]]
     # ONNX default count_include_pad=0: divide by the valid-element count
     return acc / (np.float32(kh * kw) if include_pad else cnt[None, None])
 

@@ -203,16 +203,15 @@ class UNet2DCondition(nn.Module):
 
         # ---- up: UpBlock2D + CrossAttnUpBlock2D ×(n-1) --------------------
         rev = list(reversed(cfg.block_out_channels))
+        # FreeU stage channels: the two highest DISTINCT counts (reference
+        # keys on hidden channels 1280 -> b1/s1, 640 -> b2/s2)
+        distinct = sorted(set(cfg.block_out_channels))
+        ch_hi = distinct[-1]
+        ch_lo = distinct[-2] if len(distinct) > 1 else -1
         for i, ch in enumerate(rev):
             has_attn = i > 0
             for j in range(cfg.layers_per_block + 1):
                 res = skips.pop()
-                # FreeU / SafeGuard on the two highest DISTINCT channel
-                # stages (reference keys on hidden channels 1280 -> b1/s1 and
-                # 640 -> b2/s2; SD-v1 has 1280 twice in block_out_channels)
-                distinct = sorted(set(cfg.block_out_channels))
-                ch_hi = distinct[-1]
-                ch_lo = distinct[-2] if len(distinct) > 1 else -1
                 if freeu is not None and x.shape[-1] in (ch_hi, ch_lo):
                     if x.shape[-1] == ch_hi:
                         b_scale, s_scale = freeu.b1, freeu.s1

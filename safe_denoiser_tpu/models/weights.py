@@ -405,9 +405,9 @@ def convert_vae(sd: StateDict, cfg: VAEConfig) -> dict:
             dec[f"up_{i}_upsample"] = {
                 "conv": _conv(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv")}
     params = {"encoder": enc, "decoder": dec}
-    if cfg.use_quant_conv and "quant_conv.weight" in sd:
-        params["quant_conv"] = _conv(sd, "quant_conv")
-    if cfg.use_post_quant_conv and "post_quant_conv.weight" in sd:
+    if cfg.use_quant_conv:
+        params["quant_conv"] = _conv(sd, "quant_conv")   # KeyError = loud
+    if cfg.use_post_quant_conv:
         params["post_quant_conv"] = _conv(sd, "post_quant_conv")
     return {"params": params}
 

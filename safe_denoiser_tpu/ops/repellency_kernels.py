@@ -189,7 +189,7 @@ def _pallas_fits_vmem(n: int, d: int, budget: int = 12 * 2 ** 20) -> bool:
     the minimum 8-row refs tile must fit the ~16 MB v5e limit (Mosaic crashes
     rather than erroring when exceeded — see CLAUDE.md). SD-1.4 latents
     (D=16384) fit; SD3 latents (D=262144) fall back to the jnp path."""
-    n_pad = max(8, n)
+    n_pad = max(8, (n + 7) // 8 * 8)   # sublane-padded row count
     fixed = 5 * n_pad * d * 4          # x ×2 bufs, num ×2 bufs, acc scratch
     min_refs_tile = 2 * 8 * d * 4      # smallest M-tile, double-buffered
     return fixed + min_refs_tile <= budget

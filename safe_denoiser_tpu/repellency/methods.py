@@ -305,17 +305,32 @@ class KernelFastRepellency(RepellencyProcessor):
 
 @register_conditioning_method(name="kernel")
 class KernelRepellency(RepellencyProcessor):
-    """Older formulation: the bank is re-encoded through the stochastic VAE
-    on every call (reference :234-280 — fresh latent samples each time).
-    The host ``conditioning`` reproduces that; the in-scan path uses the
-    cached bank (``kernel_fast`` semantics) since per-step host VAE calls
-    would break the jitted scan."""
+    """Older formulation (reference :234-280): BOTH x and the bank are run
+    through ``project`` (VAE embed + channel norm) per call for the distance
+    computation, while the numerator weights the RAW ``ref_data`` rows
+    (reference empirical_denoiser :250-266). Requires ref_data shaped like
+    x̂₀. Our embed_fn is deterministic (fixed key), so the reference's fresh
+    VAE samples degenerate to a repeatable projection — noted, not hidden.
+    The in-scan path uses the cached bank (kernel_fast semantics); this host
+    method is the legacy-parity surface."""
 
     method_name = "kernel"
 
     def conditioning(self, x_0_hat, **kwargs):
-        self.proj_refs = self.project(self.ref_data)
-        return super().conditioning(x_0_hat, **kwargs)
+        x = jnp.asarray(x_0_hat, dtype=jnp.float32)
+        x_proj = self.project(x)
+        refs_proj = self.project(self.ref_data)        # no self-mutation
+        xf = x_proj.reshape(x_proj.shape[0], -1)
+        rf = refs_proj.reshape(refs_proj.shape[0], -1)
+        dist = _pairwise_dist(xf, rf)
+        w = jnp.exp(-dist / (2.0 * float(self.sigma) ** 2))
+        raw = jnp.asarray(self.ref_data,
+                          dtype=jnp.float32).reshape(rf.shape[0], -1)
+        beta = jnp.sum(w, axis=-1) + float(self.epsilon)
+        score = (w @ raw) / beta[:, None]
+        x_new = x - float(self.scale) * score.reshape(x.shape)
+        return {"x_0_hat": np.asarray(x_new), "is_negation": True,
+                "mean_x_0_hat": None}
 
 
 @register_conditioning_method(name="euclidean")

@@ -97,9 +97,10 @@ def main_nudity(argv=None):
                                   valid_case_numbers=args.valid_case_numbers,
                                   logger=logger):
         start = time.time()
-        # negative_prompt=None -> the pipeline's hardcoded 17-phrase string
-        # (the reference overrides the runner's "" anyway,
-        # safe_denoiser_pipeline.py:989-996)
+        # negative_prompt=None -> the pipeline's hardcoded 17-phrase string.
+        # EVERY reference SD3 pipeline (vanilla sdv3_pipeline.py:984-991 and
+        # safe_denoiser_pipeline.py:989-996) rebinds the negative prompt to
+        # this string regardless of the runner's "" — parity for std too.
         imgs = pipe(case.prompt,
                     num_inference_steps=args.num_inference_steps,
                     guidance_scale=case.guidance,
