@@ -55,3 +55,53 @@ def test_graft_entry_traces():
     fn, args = __graft_entry__.entry()
     out = jax.eval_shape(fn, *args)
     assert out.shape == (1, 64, 64, 4)
+
+
+def test_data_parallel_sampling_matches_unsharded():
+    """The full sampling scan under an 8-device data mesh produces the same
+    latents as the single-device run (weights/bank replicated, batch sharded;
+    XLA inserts the collectives — outputs must be layout-only different)."""
+    from safe_denoiser_tpu.models import UNetConfig, UNet2DCondition
+    from safe_denoiser_tpu.pipeline import GuidanceConfig, RepellencyWindow, sample_sd
+    from safe_denoiser_tpu.repellency import RepellencyConfig
+    from safe_denoiser_tpu.schedulers import DDPMScheduler
+
+    cfg = UNetConfig(sample_size=8, block_out_channels=(16, 32),
+                     layers_per_block=1, cross_attention_dim=16,
+                     num_attention_heads=4, norm_num_groups=8)
+    model = UNet2DCondition(cfg)
+    rng = jax.random.PRNGKey(0)
+    b = 8
+    latents = jax.random.normal(rng, (b, 8, 8, 4), dtype=jnp.float32)
+    text = jax.random.normal(jax.random.fold_in(rng, 1), (2, b, 7, 16))
+    refs = jax.random.normal(jax.random.fold_in(rng, 2), (6, 4, 8, 8))
+    params = model.init(rng, latents[:1], jnp.asarray(1), text[0, :1])
+    sched = DDPMScheduler()
+    rep = RepellencyConfig(method="kernel_fast", sigma=100.0, scale=0.33,
+                           beta_threshold=-1e9, use_beta_gate=True)
+
+    def unet_apply(l, t, c, freeu=None):
+        return model.apply(params, l, t, c, freeu=freeu)
+
+    def run(lat, txt, rfs):
+        out, applied = sample_sd(
+            unet_apply, sched, txt, lat, jax.random.PRNGKey(3), 3,
+            guidance=GuidanceConfig(7.5), repellency=rep, refs_nchw=rfs,
+            window=RepellencyWindow(1000.0, 780.0))
+        return out, applied
+
+    want, want_applied = jax.jit(run)(latents, text, refs)
+
+    from safe_denoiser_tpu.parallel import make_mesh, replicate, shard_batch
+    mesh = make_mesh(8)
+    lat_s = shard_batch(latents, mesh)
+    text_s = shard_batch(text, mesh, batch_dim=1)
+    refs_s = replicate(refs, mesh)
+    got, got_applied = jax.jit(run)(lat_s, text_s, refs_s)
+    assert len(got.sharding.device_set) >= 1
+    # partitioned execution reassociates float reductions; over the scan the
+    # drift stays ~1e-6 relative (measured 5e-5 abs on O(40) latents)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(got_applied),
+                                  np.asarray(want_applied))
