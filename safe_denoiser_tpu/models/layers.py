@@ -115,12 +115,15 @@ class RMSNormFp32(nn.Module):
         return x.astype(orig_dtype)
 
 
-# Attention implementation switch: 'einsum' | 'flash'. 'flash' routes large
-# self-attention (seq >= _FLASH_MIN_SEQ, q_len == kv_len, no mask) through the
-# Pallas TPU flash-attention kernel — the [S, S] logits never touch HBM, which
-# is the dominant cost of SD's 64×64-resolution attention (seq 4096).
-# Cross-attention (77-token KV) and masked attention stay on the einsum path.
-ATTENTION_IMPL = os.environ.get("SDT_ATTENTION", "flash")
+# Attention implementation switch: 'einsum' | 'flash' | 'flash2'.
+#   flash2 (default): custom head_dim<=128 self-attention kernel
+#     (ops/attention.py) — 3.04 ms vs stock 4.13 ms per [8,8,4096,40]
+#     CFG-folded layer on v5e (92% of the padded-head-dim roofline).
+#   flash: stock jax.experimental.pallas flash_attention (fallback for
+#     shapes flash2 doesn't take).
+#   einsum: XLA path; the [S, S] logits materialize, used for masked /
+#     cross-attention (77-token KV) and on CPU.
+ATTENTION_IMPL = os.environ.get("SDT_ATTENTION", "flash2")
 _FLASH_MIN_SEQ = 512
 
 
@@ -133,7 +136,11 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """[B, S, H, D] attention with fp32 softmax accumulation."""
     depth = q.shape[-1]
     s_q, s_kv = q.shape[1], k.shape[1]
-    if (ATTENTION_IMPL == "flash" and mask is None and s_q == s_kv
+    if (ATTENTION_IMPL == "flash2" and mask is None and _flash_available()):
+        from ..ops import attention as attn_ops
+        if attn_ops.supports(s_q, s_kv, depth):
+            return attn_ops.self_attention(q, k, v, float(depth) ** -0.5)
+    if (ATTENTION_IMPL in ("flash", "flash2") and mask is None and s_q == s_kv
             and s_q >= _FLASH_MIN_SEQ and s_q % 512 == 0
             and _flash_available()):
         from jax.experimental.pallas.ops.tpu.flash_attention import (

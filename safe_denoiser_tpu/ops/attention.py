@@ -1,0 +1,213 @@
+"""Fused self-attention Pallas TPU kernel for the diffusion transformer blocks.
+
+Why not the stock ``jax.experimental.pallas.ops.tpu.flash_attention``: the
+SD-1.4 / SD3 spatial self-attentions run at head_dim 40/80 with seq 4096/1024
+and *no mask*. The stock kernel measures 67% of the padded-head-dim roofline
+on v5e (4.13 ms per [8,8,4096,40] CFG-folded layer); the gap is VPU softmax
+work that does not overlap the MXU plus the b-transposed QK^T feed. This
+kernel removes everything the workload doesn't need:
+
+  * no causal/segment masking, no ab bias, no backward pass (inference only);
+  * K arrives pre-transposed as [BH, D, S] so both matmuls are natural
+    [M,K]@[K,N] MXU feeds (no in-kernel transposes) and the K tile is
+    sublane- instead of lane-padded (48x4096 vs 4096x128 at D=40 — 2.6x
+    less VMEM);
+  * online softmax in the exp2 domain: sm_scale*log2(e) is folded into one
+    VPU multiply that rides the row-max pass, `exp2` replaces `exp`;
+  * fp32 running stats / accumulator, bf16 MXU feeds, single final
+    reciprocal-normalize.
+
+Replaces the attention consumed by the reference's Transformer2D blocks
+(reference models/unet_2d_blocks.py attention at head_dim 40/80/160) — see
+models/layers.py::dot_product_attention for the dispatch.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, sm_scale: float,
+                 block_k: int):
+    """One q-block against the full (unmasked) KV row.
+
+    q_ref: [1, bq, D] bf16/f32; kt_ref: [1, D, S]; v_ref: [1, S, D];
+    o_ref: [1, bq, D].
+    """
+    bq = q_ref.shape[1]
+    s_kv = kt_ref.shape[2]
+    n_chunks = s_kv // block_k
+    # fold sm_scale and the exp->exp2 change of base into one constant
+    c = sm_scale * math.log2(math.e)
+
+    q = q_ref[0]
+
+    def body(i, carry):
+        m_prev, l_prev, acc_prev = carry
+        kt = kt_ref[0, :, pl.ds(i * block_k, block_k)]          # [D, bk]
+        s = jax.lax.dot_general(
+            q, kt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # [bq, bk]
+        s = s * c                                                # log2 domain
+        m_cur = jnp.max(s, axis=1, keepdims=True)                # [bq, 1]
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)                                 # [bq, bk] f32
+        l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]             # [bk, D]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # [bq, D]
+        acc_next = acc_prev * alpha + pv
+        return m_next, l_next, acc_next
+
+    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, q_ref.shape[2]), jnp.float32)
+    # full unroll: Mosaic supports only unroll=1|all, and the unrolled body
+    # lets the scheduler overlap chunk i's exp2/max (VPU) with chunk i+1's
+    # matmuls (MXU)
+    _, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0),
+                                  unroll=True)
+    o_ref[0] = (acc * (1.0 / l)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_q", "block_k",
+                                             "interpret"))
+def _self_attention_bhsd(q: jax.Array, kt: jax.Array, v: jax.Array,
+                         sm_scale: float, block_q: int = 512,
+                         block_k: int = 512,
+                         interpret: bool = False) -> jax.Array:
+    """q: [BH, S, D], kt: [BH, D, S], v: [BH, S, D] -> [BH, S, D]."""
+    bh, s, d = q.shape
+    grid = (bh, s // block_q)
+    kernel = functools.partial(_attn_kernel, sm_scale=sm_scale,
+                               block_k=block_k)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, s), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * s * s * d,
+            bytes_accessed=q.nbytes + kt.nbytes + v.nbytes + q.nbytes,
+            transcendentals=bh * s * s),
+        interpret=interpret,
+    )(q, kt, v)
+
+
+def _attn_kernel_bshd(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
+                      block_k: int):
+    """Natural-layout variant: blocks squeeze to [bq, D] / [S, D]; QK^T uses
+    the transposed-B dimension numbers so no host-side transposes are needed.
+
+    q_ref: [1, bq, 1, D]; k_ref/v_ref: [1, S, 1, D]; o_ref: [1, bq, 1, D].
+    """
+    bq = q_ref.shape[1]
+    s_kv = k_ref.shape[1]
+    n_chunks = s_kv // block_k
+    c = sm_scale * math.log2(math.e)
+    q = q_ref[0, :, 0, :]
+
+    def body(i, carry):
+        m_prev, l_prev, acc_prev = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), 0, :]          # [bk, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # [bq, bk]
+        s = s * c
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)
+        l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0, pl.ds(i * block_k, block_k), 0, :]          # [bk, D]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_next = acc_prev * alpha + pv
+        return m_next, l_next, acc_next
+
+    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, q_ref.shape[3]), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0),
+                                  unroll=True)
+    o_ref[0, :, 0, :] = (acc * (1.0 / l)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_q", "block_k",
+                                             "interpret"))
+def _self_attention_bshd(q: jax.Array, k: jax.Array, v: jax.Array,
+                         sm_scale: float, block_q: int = 512,
+                         block_k: int = 512,
+                         interpret: bool = False) -> jax.Array:
+    """q/k/v: [B, S, H, D] (natural projection layout) -> [B, S, H, D]."""
+    b, s, h, d = q.shape
+    grid = (b, h, s // block_q)
+    kernel = functools.partial(_attn_kernel_bshd, sm_scale=sm_scale,
+                               block_k=block_k)
+    qspec = pl.BlockSpec((1, block_q, 1, d), lambda i, hh, j: (i, j, hh, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, s, 1, d), lambda i, hh, j: (i, 0, hh, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((b, s, h, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s * d,
+            bytes_accessed=3 * q.nbytes + q.nbytes,
+            transcendentals=b * h * s * s),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def supports(s_q: int, s_kv: int, head_dim: int, block_q: int = 512) -> bool:
+    """Shapes this kernel handles: unmasked self-attention, seq a multiple of
+    the q/k block, head dim within two lane tiles (SD uses 40/80/160)."""
+    return (s_q == s_kv and s_q % block_q == 0 and head_dim <= 256
+            and s_q >= block_q)
+
+
+def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                   sm_scale: float, interpret: bool = False) -> jax.Array:
+    """Unmasked self-attention over [B, S, H, D] inputs (flax convention).
+
+    Returns [B, S, H, D] in v.dtype. Seq must be a multiple of 512.
+    """
+    b, s, h, d = q.shape
+    compute_dtype = jnp.bfloat16 if v.dtype == jnp.bfloat16 else jnp.float32
+    # [B, S, H, D] -> [B*H, S, D]; K additionally to [B*H, D, S] so both
+    # kernel matmuls are natural [M,K]@[K,N] feeds.
+    qf = jnp.transpose(q, (0, 2, 1, 3)).reshape(b * h, s, d)
+    ktf = jnp.transpose(k, (0, 2, 3, 1)).reshape(b * h, d, s)
+    vf = jnp.transpose(v, (0, 2, 1, 3)).reshape(b * h, s, d)
+    out = _self_attention_bhsd(qf.astype(compute_dtype),
+                               ktf.astype(compute_dtype),
+                               vf.astype(compute_dtype),
+                               sm_scale=float(sm_scale),
+                               interpret=interpret)
+    out = out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+    return out.astype(v.dtype)

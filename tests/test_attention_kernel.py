@@ -1,0 +1,99 @@
+"""Golden tests for the custom self-attention Pallas kernel (ops/attention.py)
+against the einsum/XLA reference math, run in interpreter mode on the CPU
+test mesh. The real SD-1.4 head_dims (40/80/160) are covered at reduced seq
+(the kernel is seq-size-agnostic past the 512 block multiple).
+
+Replaces-the-math-of: reference models/unet_2d_blocks.py Transformer2D
+attention (torch scaled_dot_product_attention at head_dim 40/80/160).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safe_denoiser_tpu.ops.attention import (_self_attention_bhsd,
+                                             self_attention, supports)
+
+
+def einsum_ref(q, k, v, scale):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32) * scale,
+                        k.astype(jnp.float32))
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 512, 2, 40),    # SD-1.4 level-1 head_dim
+    (2, 1024, 2, 80),   # level-2
+    (1, 512, 1, 160),   # level-3/mid
+    (1, 512, 1, 128),   # generic full-lane head
+])
+def test_matches_einsum_f32(shape):
+    b, s, h, d = shape
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, shape, jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(rng, 1), shape, jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(rng, 2), shape, jnp.float32)
+    scale = d ** -0.5
+    ref = einsum_ref(q, k, v, scale)
+    got = self_attention(q, k, v, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_matches_einsum_large_logits():
+    """Online-softmax max tracking: logits far from zero must not overflow."""
+    b, s, h, d = 1, 512, 1, 40
+    rng = jax.random.PRNGKey(3)
+    q = 8.0 * jax.random.normal(rng, (b, s, h, d), jnp.float32)
+    k = 8.0 * jax.random.normal(jax.random.fold_in(rng, 1), (b, s, h, d))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (b, s, h, d))
+    scale = d ** -0.5
+    ref = einsum_ref(q, k, v, scale)
+    got = self_attention(q, k, v, scale, interpret=True)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-4, rtol=5e-4)
+
+
+def test_bf16_inputs_accumulate_fp32():
+    b, s, h, d = 1, 512, 2, 40
+    rng = jax.random.PRNGKey(7)
+    q = jax.random.normal(rng, (b, s, h, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (b, s, h, d))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (b, s, h, d))
+    scale = d ** -0.5
+    ref = einsum_ref(q, k, v, scale)
+    got = self_attention(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                         v.astype(jnp.bfloat16), scale, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    # bf16 feed tolerance: inputs carry ~3e-3 relative quantization
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
+                               atol=2.5e-2, rtol=2.5e-2)
+
+
+def test_supports_predicate():
+    assert supports(4096, 4096, 40)
+    assert supports(1024, 1024, 80)
+    assert supports(512, 512, 160)
+    assert not supports(4096, 77, 40)     # cross-attention
+    assert not supports(256, 256, 160)    # below block size
+    assert not supports(640, 640, 40)     # not a block multiple
+    assert not supports(512, 512, 512)    # VAE single-head (too-wide head)
+
+
+def test_block_shapes_partition():
+    """bhsd entry point: output equals per-block einsum regardless of the
+    q-block partition (checks the grid index maps)."""
+    bh, s, d = 3, 1024, 40
+    rng = jax.random.PRNGKey(11)
+    q = jax.random.normal(rng, (bh, s, d), jnp.float32)
+    kt = jax.random.normal(jax.random.fold_in(rng, 1), (bh, d, s))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (bh, s, d))
+    scale = d ** -0.5
+    logits = jnp.einsum("bqd,bdk->bqk", q * scale, kt)
+    ref = jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(logits, -1), v)
+    got = _self_attention_bhsd(q, kt, v, sm_scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
