@@ -62,5 +62,10 @@ class NudeClassifier:
         names = [f"{i}.png" for i in range(len(samples))]
         preds = self.classify(images=samples, image_names=names)
         res = [v["unsafe"] for v in preds.values() if "unsafe" in v]
+        if not res:
+            # no image yielded a prediction (e.g. all failed to load — the
+            # reference tolerates per-image failures via try/except logging);
+            # report "not unsafe" rather than crashing on max(())
+            return False, 0.0
         pred = max(res)
         return bool(any(p >= threshold for p in res)), pred

@@ -283,6 +283,19 @@ def _conv(x, w, b, attrs):
     cg = c // group
     ocg = oc // group
     out = np.empty((n, oc, oh, ow), dtype=np.float32)
+    if group == c and cg == 1 and ocg == 1:
+        # depthwise fast path (NudeNet's Xception separable convs are
+        # Conv(group=C): the per-group python loop below would walk all C
+        # channels; this vectorizes over them)
+        out = np.zeros((n, oc, oh, ow), dtype=np.float32)
+        for i in range(kh):
+            for j in range(kw):
+                patch = x[:, :, i * dil[0]:i * dil[0] + oh * strides[0]:strides[0],
+                          j * dil[1]:j * dil[1] + ow * strides[1]:strides[1]]
+                out += patch * w[:, 0, i, j][None, :, None, None]
+        if b is not None:
+            out += b.reshape(1, -1, 1, 1)
+        return out
     # im2col per group
     for g in range(group):
         xg = x[:, g * cg:(g + 1) * cg]
@@ -400,8 +413,13 @@ def run_graph(graph: Graph, feeds: dict[str, np.ndarray],
         elif op == "Concat":
             r = np.concatenate([x for x in i if x is not None], axis=a["axis"])
         elif op == "Reshape":
-            shape = i[1].astype(np.int64) if len(i) > 1 else a["shape"]
-            r = i[0].reshape([int(s) for s in shape])
+            shape = [int(s) for s in
+                     (i[1].astype(np.int64) if len(i) > 1 else a["shape"])]
+            # ONNX allowzero=0 default: a 0 entry copies the input dim
+            if not a.get("allowzero", 0):
+                shape = [i[0].shape[ax] if s == 0 else s
+                         for ax, s in enumerate(shape)]
+            r = i[0].reshape(shape)
         elif op == "Flatten":
             ax = a.get("axis", 1)
             r = i[0].reshape(int(np.prod(i[0].shape[:ax]) or 1), -1)
@@ -416,11 +434,23 @@ def run_graph(graph: Graph, feeds: dict[str, np.ndarray],
             for ax in sorted(axes):
                 r = np.expand_dims(r, int(ax))
         elif op == "Pad":
+            mode = a.get("mode", "constant")
+            if isinstance(mode, bytes):
+                mode = mode.decode()
             pads = a.get("pads") or i[1].tolist()
             half = len(pads) // 2
             pad_width = list(zip(pads[:half], pads[half:]))
-            r = np.pad(i[0], pad_width,
-                       constant_values=a.get("value", 0.0))
+            if mode == "constant":
+                # opset-11+ passes the fill value as input 2; opset<11 as
+                # the `value` attribute
+                val = a.get("value", 0.0)
+                if len(i) > 2 and i[2] is not None:
+                    val = float(np.asarray(i[2]).reshape(()))
+                r = np.pad(i[0], pad_width, constant_values=val)
+            elif mode in ("reflect", "edge"):
+                r = np.pad(i[0], pad_width, mode=mode)
+            else:
+                raise NotImplementedError(f"ONNX Pad mode {mode!r}")
         elif op in ("Identity", "Dropout", "Cast"):
             r = i[0].astype(ONNX_DTYPES.get(a.get("to"), i[0].dtype)) \
                 if op == "Cast" else i[0]

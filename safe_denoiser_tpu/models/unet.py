@@ -38,6 +38,10 @@ class UNetConfig:
     # the *number of heads* for this architecture.
     num_attention_heads: int = 8
     norm_num_groups: int = 32
+    # diffusers norm_eps: applies to the resnet GroupNorms and conv_norm_out
+    # (reference models/unet.py:169,434,540); the Transformer2D spatial
+    # GroupNorm is hardcoded 1e-6 there (transformer_2d.py:507)
+    norm_eps: float = 1e-5
     transformer_layers: int = 1
     freq_shift: int = 0
     flip_sin_to_cos: bool = True
@@ -49,17 +53,20 @@ SD14_UNET = UNetConfig()
 class ResnetBlockTime(nn.Module):
     out_channels: int
     groups: int = 32
+    epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb):
-        h = GroupNorm32(self.groups, act="silu", name="norm1")(x)
+        h = GroupNorm32(self.groups, epsilon=self.epsilon, act="silu",
+                        name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype,
                      name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = GroupNorm32(self.groups, act="silu", name="norm2")(h)
+        h = GroupNorm32(self.groups, epsilon=self.epsilon, act="silu",
+                        name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         if x.shape[-1] != self.out_channels:
@@ -177,7 +184,8 @@ class UNet2DCondition(nn.Module):
         for i, ch in enumerate(cfg.block_out_channels):
             has_attn = i < n_blocks - 1
             for j in range(cfg.layers_per_block):
-                x = ResnetBlockTime(ch, cfg.norm_num_groups, dtype=self.dtype,
+                x = ResnetBlockTime(ch, cfg.norm_num_groups, cfg.norm_eps,
+                                    dtype=self.dtype,
                                     name=f"down_{i}_resnets_{j}")(x, temb)
                 if has_attn:
                     x = Transformer2D(heads, ch // heads,
@@ -193,12 +201,14 @@ class UNet2DCondition(nn.Module):
 
         # ---- mid ----------------------------------------------------------
         mid_ch = cfg.block_out_channels[-1]
-        x = ResnetBlockTime(mid_ch, cfg.norm_num_groups, dtype=self.dtype,
+        x = ResnetBlockTime(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
+                            dtype=self.dtype,
                             name="mid_resnets_0")(x, temb)
         x = Transformer2D(heads, mid_ch // heads, cfg.cross_attention_dim,
                           cfg.transformer_layers, cfg.norm_num_groups,
                           dtype=self.dtype, name="mid_attentions_0")(x, ctx)
-        x = ResnetBlockTime(mid_ch, cfg.norm_num_groups, dtype=self.dtype,
+        x = ResnetBlockTime(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
+                            dtype=self.dtype,
                             name="mid_resnets_1")(x, temb)
 
         # ---- up: UpBlock2D + CrossAttnUpBlock2D ×(n-1) --------------------
@@ -221,7 +231,8 @@ class UNet2DCondition(nn.Module):
                     x = x.at[..., :half].multiply(b_scale)
                     res = apply_skip_filter(res, freeu, s_scale)
                 x = jnp.concatenate([x, res], axis=-1)
-                x = ResnetBlockTime(ch, cfg.norm_num_groups, dtype=self.dtype,
+                x = ResnetBlockTime(ch, cfg.norm_num_groups, cfg.norm_eps,
+                                    dtype=self.dtype,
                                     name=f"up_{i}_resnets_{j}")(x, temb)
                 if has_attn:
                     x = Transformer2D(heads, ch // heads,
@@ -232,8 +243,8 @@ class UNet2DCondition(nn.Module):
             if i < n_blocks - 1:
                 x = UpsampleT(ch, dtype=self.dtype, name=f"up_{i}_upsample")(x)
 
-        x = GroupNorm32(cfg.norm_num_groups, act="silu",
-                        name="conv_norm_out")(x)
+        x = GroupNorm32(cfg.norm_num_groups, epsilon=cfg.norm_eps,
+                        act="silu", name="conv_norm_out")(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_out")(x)
         return x.astype(jnp.float32)

@@ -68,6 +68,7 @@ def load_component_config(model_dir: str, kind: str):
             # SD-v1 configs store attention_head_dim = number of heads
             num_attention_heads=heads,
             norm_num_groups=cfg.get("norm_num_groups", 32),
+            norm_eps=cfg.get("norm_eps", 1e-5),
             freq_shift=cfg.get("freq_shift", 0),
             flip_sin_to_cos=cfg.get("flip_sin_to_cos", True))
     if kind == "vae":

@@ -9,7 +9,8 @@ import time
 
 from ..pipeline.diffusion import ERASE_SPECS
 from ..utils.logging import Logger
-from .common import base_parser, build_pipeline, build_repellency, make_save_dirs
+from .common import (base_parser, build_pipeline, build_repellency,
+                     dump_run_artifacts, make_save_dirs)
 from .nudity import resolve_negative_space, save_png
 
 # reference run_ann_graham.py:335 / run_munch.py:341 (fixed memorized prompts)
@@ -71,4 +72,7 @@ def main(task: str, argv=None):
         logger.log(f"Wall-Clock Time for image generation (sample {i}): "
                    f"{time.time() - start:.2f} seconds")
         save_png(imgs[0], os.path.join(dirs["all"], f"{i}.png"))
+    # reference run_ann_graham.py:428-431 / run_munch.py equivalent: always
+    # dump the merged config + (empty) detect_dict
+    dump_run_artifacts(args, args.save_dir, task_config, detect_dict={})
     print("end")

@@ -12,7 +12,8 @@ import pandas as pd
 from ..data import iter_prompt_cases
 from ..pipeline.diffusion import ERASE_SPECS
 from ..utils.logging import Logger
-from .common import base_parser, build_pipeline, build_repellency, make_save_dirs
+from .common import (base_parser, build_pipeline, build_repellency,
+                     dump_run_artifacts, make_save_dirs)
 from .nudity import resolve_negative_space, save_png
 
 
@@ -160,4 +161,6 @@ def main(argv=None):
     if scores:
         logger.log(f"mean CLIP score: {sum(scores) / len(scores):.4f} "
                    f"over {len(scores)} images")
+    # reference run_coco30k.py:542: unconditional merged-config dump
+    dump_run_artifacts(args, args.save_dir, task_config)
     print("end")

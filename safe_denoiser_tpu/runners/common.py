@@ -31,6 +31,19 @@ NUDITY_NEGATIVE_PROMPT_SPACE = [
 ]
 
 
+def dump_run_artifacts(args, save_dir: str,
+                       task_config: Optional[dict] = None,
+                       detect_dict: Optional[dict] = None) -> None:
+    """Write the per-run config.yaml (+ detect_dict.json unless None) —
+    the reference does this unconditionally at the end of every runner
+    (run_nudity.py:527-530, run_ann_graham.py:428-431, run_coco30k.py:542)."""
+    save_combined_config(args, os.path.join(save_dir, "config.yaml"),
+                         task_config)
+    if detect_dict is not None:
+        with open(os.path.join(save_dir, "detect_dict.json"), "w") as f:
+            json.dump(detect_dict, f, indent=4)
+
+
 def base_parser(description: str) -> tuple[argparse.ArgumentParser, dict]:
     """Two-stage parse: --config JSON first, its values become defaults
     (reference run_nudity.py:533-540)."""

@@ -20,6 +20,7 @@ from .common import (
     build_eval,
     build_pipeline,
     build_repellency,
+    dump_run_artifacts,
     make_save_dirs,
 )
 
@@ -140,6 +141,11 @@ def main(argv=None):
 
     if "artists-" not in args.category:
         agg.dump(args, args.save_dir, logger, task_config)
+    else:
+        # the reference writes config.yaml + (empty) detect_dict.json even
+        # for artist runs — only the ratio aggregation is category-gated
+        # (reference run_nudity.py:507,527-530)
+        dump_run_artifacts(args, args.save_dir, task_config, detect_dict={})
     print("end")
 
 

@@ -154,4 +154,7 @@ def main_coco30k(argv=None):
         logger.log(f"Wall-Clock Time for image generation "
                    f"(Case#: {case.case_number}): {time.time() - start:.2f} seconds")
         save_png(imgs[0], os.path.join(dirs["all"], f"{case.case_number}.png"))
+    # reference run_coco30k_sdv3.py:440: unconditional merged-config dump
+    from .common import dump_run_artifacts
+    dump_run_artifacts(args, args.save_dir, None)
     print("end")

@@ -1,5 +1,7 @@
 """Data-layer tests: image bank loading + prompt-CSV sniffing rules."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -10,6 +12,7 @@ from safe_denoiser_tpu.data import (
     iter_prompt_cases,
     load_image_bank,
 )
+from safe_denoiser_tpu.data.prompts import load_prompt_csv
 
 PIL = pytest.importorskip("PIL")
 from PIL import Image
@@ -71,3 +74,64 @@ def test_valid_case_numbers_slicing():
                        "case_number": list(range(10))})
     cases = list(iter_prompt_cases(df, valid_case_numbers="2,3"))
     assert [c.prompt for c in cases] == ["p2", "p3", "p4"]
+
+
+# ---------------------------------------------------------------------------
+# Checked-in 5-row fixtures with the REAL reference schemas
+# (reference datasets/*.csv headers; synthetic benign row content) — pins the
+# sniffing against the actual column names/fallbacks, VERDICT round-1 item 8.
+# ---------------------------------------------------------------------------
+
+_FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "csv")
+
+
+def _fix(name):
+    return load_prompt_csv(os.path.join(_FIXDIR, name))
+
+
+def test_fixture_ring_a_bell_schema():
+    cases = list(iter_prompt_cases(_fix("nudity-ring-a-bell.csv")))
+    assert len(cases) == 5
+    # sensitive column wins; no seed/guidance columns -> 42 / 7.5
+    assert cases[0].prompt.endswith("detail one.")
+    assert cases[0].case_number == 0 and cases[0].seed == 42
+    assert cases[0].guidance == 7.5
+    assert cases[0].categories == ["nudity"]
+
+
+def test_fixture_i2p_and_nudity_schema():
+    for name in ("i2p.csv", "nudity.csv"):
+        cases = list(iter_prompt_cases(_fix(name), default_guidance=7.5))
+        assert len(cases) == 5, name
+        c = cases[0]
+        # case_number column wins over the row index; evaluation_seed used;
+        # evaluation_guidance is NOT the 'guidance' column -> default
+        assert c.seed == int(_fix(name)["evaluation_seed"].iloc[0])
+        assert c.case_number == int(_fix(name)["case_number"].iloc[0])
+        assert c.guidance == 7.5
+    i2p = list(iter_prompt_cases(_fix("i2p.csv")))
+    assert i2p[0].categories == ["violence", "self-harm"]
+    assert i2p[2].categories == ["shocking", "illegal activity"]
+
+
+def test_fixture_mma_schema():
+    cases = list(iter_prompt_cases(_fix("mma-diffusion-nsfw-adv-prompts.csv")))
+    assert len(cases) == 5
+    assert cases[0].prompt == "synthetic adversarial token soup one"
+    assert cases[1].case_number == 1      # row index fallback
+    assert cases[0].seed == 42            # no seed column
+
+
+def test_fixture_copro_schema():
+    cases = list(iter_prompt_cases(_fix("CoPro_balanced.csv")))
+    assert len(cases) == 5
+    assert cases[0].prompt == "synthetic copro unsafe one"
+    assert cases[0].case_number == 28731  # idx column wins
+    assert cases[2].categories == ["nudity"]  # 'category' != 'categories'
+
+
+def test_fixture_coco30k_schema():
+    cases = list(iter_prompt_cases(_fix("coco_30k.csv"), default_guidance=7.5))
+    assert len(cases) == 5
+    assert cases[0].prompt.startswith("A bicycle replica")
+    assert cases[0].case_number == 0 and cases[0].seed == 41337

@@ -154,6 +154,57 @@ def test_grouped_conv_and_avgpool():
     np.testing.assert_allclose(out, want, atol=1e-5)
 
 
+def test_pad_opset11_constant_value_and_modes():
+    x = np.arange(12, dtype=np.float32).reshape(1, 1, 3, 4)
+    pads = np.array([0, 0, 1, 1, 0, 0, 1, 1], dtype=np.int64)
+
+    # opset-11+: fill value arrives as input 2, not the `value` attribute
+    nodes = [_node("Pad", ["x", "pads", "cv"], ["y"],
+                   _ld(7, _str(1, "mode") + _str(4, "constant")))]
+    inits = [_tensor("pads", pads),
+             _tensor("cv", np.array(5.0, dtype=np.float32).reshape(()))]
+    graph = parse_model(_model(nodes, inits, ["x"], ["y"]))
+    out = run_graph(graph, {"x": x})[0]
+    want = np.pad(x, [(0, 0), (0, 0), (1, 1), (1, 1)], constant_values=5.0)
+    np.testing.assert_array_equal(out, want)
+
+    # reflect / edge modes
+    for mode in ("reflect", "edge"):
+        nodes = [_node("Pad", ["x", "pads"], ["y"],
+                       _ld(7, _str(1, "mode") + _str(4, mode)))]
+        graph = parse_model(_model(nodes, [_tensor("pads", pads)],
+                                   ["x"], ["y"]))
+        out = run_graph(graph, {"x": x})[0]
+        want = np.pad(x, [(0, 0), (0, 0), (1, 1), (1, 1)], mode=mode)
+        np.testing.assert_array_equal(out, want)
+
+    # unsupported mode must raise, not silently zero-pad
+    nodes = [_node("Pad", ["x", "pads"], ["y"],
+                   _ld(7, _str(1, "mode") + _str(4, "wrap")))]
+    graph = parse_model(_model(nodes, [_tensor("pads", pads)], ["x"], ["y"]))
+    with pytest.raises(NotImplementedError):
+        run_graph(graph, {"x": x})
+
+
+def test_reshape_zero_copies_input_dim():
+    x = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    nodes = [_node("Reshape", ["x", "shape"], ["y"])]
+    inits = [_tensor("shape", np.array([0, -1], dtype=np.int64))]
+    graph = parse_model(_model(nodes, inits, ["x"], ["y"]))
+    out = run_graph(graph, {"x": x})[0]
+    assert out.shape == (2, 12)
+    np.testing.assert_array_equal(out, x.reshape(2, 12))
+
+
+def test_nude_classifier_empty_batch_guard():
+    from safe_denoiser_tpu.evals.nudenet import NudeClassifier
+
+    clf = NudeClassifier.__new__(NudeClassifier)  # no model needed
+    clf.classify = lambda **kw: {}
+    unsafe, pred = clf([])
+    assert unsafe is False and pred == 0.0
+
+
 def test_same_upper_auto_pad_and_sigmoid():
     torch.manual_seed(2)
     conv = torch.nn.Conv2d(2, 3, 3, stride=2).eval()

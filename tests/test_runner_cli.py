@@ -146,7 +146,10 @@ def test_run_artist_cli(tmp_path):
                    "--num_inference_steps", "2", "--image_length", "32"])
     assert (save_dir / "all" / "0.png").exists()
     assert (save_dir / "all" / "1.png").exists()
-    assert (save_dir / "config.yaml").exists() is False  # artists: no dump
+    # the reference dumps the merged config + (empty) detect_dict even for
+    # artist runs (run_munch.py tail = run_ann_graham.py:428-431)
+    assert (save_dir / "config.yaml").exists()
+    assert json.loads((save_dir / "detect_dict.json").read_text()) == {}
 
 
 def test_scheduler_config_loaded_from_checkpoint(tmp_path):
