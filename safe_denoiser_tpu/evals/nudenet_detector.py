@@ -1,0 +1,303 @@
+"""NudeNet detector path (reference nudenet/detector.py:1-196,
+detector_utils.py, video_utils.py) on the self-contained ONNX runtime.
+
+The reference vendors this but no runner imports it; it is ported for
+inventory completeness (round-1 VERDICT item 10). Differences forced by this
+environment, all documented:
+  * checkpoints/classes come from local paths (zero egress — the reference
+    downloads from the NudeNet GitHub releases on first use);
+  * the real `detector_v2_*_checkpoint.onnx` is a keras-retinanet export
+    whose graph embeds TopK/NonMaxSuppression; those ops are not in
+    evals/onnx_rt.py yet and will raise NotImplementedError loudly rather
+    than silently mis-executing. The host path (preprocessing, output
+    sniffing, box scaling, censoring, video frame selection) is fully ported
+    and tested against a structured toy graph;
+  * frame similarity uses an in-repo numpy SSIM (skimage is not installed);
+    same 64x64-grayscale + threshold semantics as
+    video_utils.is_similar_frame.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+from .onnx_rt import InferenceSession
+
+# detector_v2_default_classes (public model metadata; the reference downloads
+# this list from the NudeNet release next to the checkpoint)
+DEFAULT_CLASSES = [
+    "EXPOSED_ANUS", "EXPOSED_ARMPITS", "COVERED_BELLY", "EXPOSED_BELLY",
+    "COVERED_BUTTOCKS", "EXPOSED_BUTTOCKS", "FACE_F", "FACE_M",
+    "COVERED_FEET", "EXPOSED_FEET", "COVERED_BREAST_F", "EXPOSED_BREAST_F",
+    "COVERED_GENITALIA_F", "EXPOSED_GENITALIA_F", "EXPOSED_BREAST_M",
+    "EXPOSED_GENITALIA_M",
+]
+
+
+# ---------------------------------------------------------------------------
+# preprocessing (reference nudenet/detector_utils.py)
+# ---------------------------------------------------------------------------
+
+
+def read_image_bgr(path) -> np.ndarray:
+    """RGB file/array -> BGR array (reference detector_utils.py:7-18)."""
+    from PIL import Image
+
+    if isinstance(path, str):
+        image = np.ascontiguousarray(Image.open(path).convert("RGB"))
+    else:
+        import cv2
+
+        image = np.ascontiguousarray(
+            Image.fromarray(cv2.cvtColor(path, cv2.COLOR_BGR2RGB)))
+    return image[:, :, ::-1]
+
+
+def _preprocess_image(x: np.ndarray, mode: str = "caffe") -> np.ndarray:
+    x = x.astype(np.float32)
+    if mode == "tf":
+        x /= 127.5
+        x -= 1.0
+    elif mode == "caffe":
+        x -= [103.939, 116.779, 123.68]
+    return x
+
+
+def compute_resize_scale(image_shape, min_side=800, max_side=1333) -> float:
+    rows, cols, _ = image_shape
+    scale = min_side / min(rows, cols)
+    if max(rows, cols) * scale > max_side:
+        scale = max_side / max(rows, cols)
+    return scale
+
+
+def resize_image(img: np.ndarray, min_side=800, max_side=1333):
+    import cv2
+
+    scale = compute_resize_scale(img.shape, min_side, max_side)
+    return cv2.resize(img, None, fx=scale, fy=scale), scale
+
+
+def preprocess_image(image_path, min_side=800, max_side=1333):
+    image = _preprocess_image(read_image_bgr(image_path))
+    return resize_image(image, min_side=min_side, max_side=max_side)
+
+
+# ---------------------------------------------------------------------------
+# video frame selection (reference nudenet/video_utils.py)
+# ---------------------------------------------------------------------------
+
+
+def _ssim(f1: np.ndarray, f2: np.ndarray, win: int = 7) -> float:
+    """Mean structural similarity with a uniform win x win window —
+    skimage.metrics.structural_similarity defaults (gaussian_weights=False),
+    reimplemented in numpy since skimage isn't installed."""
+    f1 = f1.astype(np.float64)
+    f2 = f2.astype(np.float64)
+    data_range = 255.0
+    c1, c2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+
+    def _filt(a):
+        # uniform filter, valid mode
+        k = win
+        s = np.cumsum(np.cumsum(a, axis=0), axis=1)
+        s = np.pad(s, ((1, 0), (1, 0)))
+        return (s[k:, k:] - s[:-k, k:] - s[k:, :-k] + s[:-k, :-k]) / (k * k)
+
+    mu1, mu2 = _filt(f1), _filt(f2)
+    s11 = _filt(f1 * f1) - mu1 * mu1
+    s22 = _filt(f2 * f2) - mu2 * mu2
+    s12 = _filt(f1 * f2) - mu1 * mu2
+    # skimage's sample covariance normalization: N/(N-1)
+    norm = (win * win) / (win * win - 1.0)
+    s11, s22, s12 = s11 * norm, s22 * norm, s12 * norm
+    ssim_map = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / \
+        ((mu1 ** 2 + mu2 ** 2 + c1) * (s11 + s22 + c2))
+    return float(ssim_map.mean())
+
+
+def is_similar_frame(f1, f2, resize_to=(64, 64), thresh=0.5,
+                     return_score=False):
+    """reference video_utils.py:10-48 semantics (env-tunable threshold)."""
+    import cv2
+
+    thresh = float(os.getenv("FRAME_SIMILARITY_THRESH", thresh))
+    if f1 is None or f2 is None:
+        return False
+    try:
+        if isinstance(f1, str):
+            f1 = cv2.imread(f1)
+        if isinstance(f2, str):
+            f2 = cv2.imread(f2)
+    except Exception as ex:
+        logging.exception(ex, exc_info=True)
+        return False
+    if resize_to:
+        f1 = cv2.resize(f1, resize_to)
+        f2 = cv2.resize(f2, resize_to)
+    if f1.ndim == 3:
+        f1 = f1[:, :, 0]
+    if f2.ndim == 3:
+        f2 = f2[:, :, 0]
+    score = _ssim(f1, f2)
+    if return_score:
+        return score
+    return score >= thresh
+
+
+def get_interest_frames_from_video(video_path,
+                                   frame_similarity_threshold=0.5,
+                                   similarity_context_n_frames=3,
+                                   skip_n_frames=0.5,
+                                   output_frames_to_dir=None):
+    """reference video_utils.py:51-125: sample frames, drop ones similar to
+    the last N kept frames."""
+    import cv2
+
+    skip_n_frames = float(os.getenv("SKIP_N_FRAMES", skip_n_frames))
+    important_frames, fps, video_length = [], 0, 0
+    try:
+        video = cv2.VideoCapture(video_path)
+        fps = video.get(cv2.CAP_PROP_FPS)
+        length = int(video.get(cv2.CAP_PROP_FRAME_COUNT))
+        if skip_n_frames < 1:
+            skip_n_frames = int(skip_n_frames * fps)
+        video_length = length
+        for frame_i in range(length + 1):
+            read_flag, current_frame = video.read()
+            if not read_flag:
+                break
+            if skip_n_frames > 0 and frame_i % skip_n_frames != 0:
+                continue
+            frame_i += 1
+            found_similar = False
+            for _, context_frame in reversed(
+                    important_frames[-similarity_context_n_frames:]):
+                if is_similar_frame(context_frame, current_frame,
+                                    thresh=frame_similarity_threshold):
+                    found_similar = True
+                    break
+            if not found_similar:
+                important_frames.append((frame_i, current_frame))
+                if output_frames_to_dir:
+                    os.makedirs(output_frames_to_dir, exist_ok=True)
+                    cv2.imwrite(os.path.join(
+                        output_frames_to_dir, f"{str(frame_i).zfill(10)}.png"),
+                        current_frame)
+    except Exception as ex:  # mirror the reference's tolerant behavior
+        logging.exception(ex, exc_info=True)
+    return ([i[0] for i in important_frames],
+            [i[1] for i in important_frames], fps, video_length)
+
+
+# ---------------------------------------------------------------------------
+# detector (reference nudenet/detector.py)
+# ---------------------------------------------------------------------------
+
+
+def _sniff_outputs(outputs):
+    """The reference identifies outputs by dtype, not name
+    (detector.py:148-150): int32 -> labels; float with scalar first
+    element -> scores; float with array first element -> boxes."""
+    labels = [op for op in outputs if op.dtype == np.int32][0]
+    scores = [op for op in outputs
+              if op.dtype != np.int32 and np.ndim(op[0][0]) == 0][0]
+    boxes = [op for op in outputs
+             if op.dtype != np.int32 and np.ndim(op[0][0]) > 0][0]
+    return labels, scores, boxes
+
+
+class Detector:
+    """Local-checkpoint NudeNet detector (reference detector.py:29-163)."""
+
+    def __init__(self, checkpoint_path: str, classes_path: str | None = None):
+        self.detection_model = InferenceSession(checkpoint_path)
+        if classes_path and os.path.exists(classes_path):
+            with open(classes_path) as f:
+                self.classes = [c.strip() for c in f if c.strip()]
+        else:
+            self.classes = list(DEFAULT_CLASSES)
+
+    def _run(self, batch: np.ndarray):
+        outputs = self.detection_model.run(
+            [o.name for o in self.detection_model.get_outputs()],
+            {self.detection_model.get_inputs()[0].name: batch})
+        return _sniff_outputs([np.asarray(o) for o in outputs])
+
+    def detect(self, img_path, mode: str = "default", min_prob=None):
+        if mode == "fast":
+            image, scale = preprocess_image(img_path, min_side=480,
+                                            max_side=800)
+            min_prob = min_prob or 0.5
+        else:
+            image, scale = preprocess_image(img_path)
+            min_prob = min_prob or 0.6
+        labels, scores, boxes = self._run(np.expand_dims(image, axis=0))
+        boxes = boxes / scale
+        processed = []
+        for box, score, label in zip(boxes[0], scores[0], labels[0]):
+            if score < min_prob:
+                continue
+            processed.append({"box": [int(c) for c in box.astype(int)],
+                              "score": float(score),
+                              "label": self.classes[int(label)]})
+        return processed
+
+    def detect_video(self, video_path, mode: str = "default",
+                     min_prob: float = 0.6, batch_size: int = 2,
+                     show_progress: bool = True):
+        frame_indices, frames, fps, video_length = \
+            get_interest_frames_from_video(video_path)
+        if mode == "fast":
+            frames = [preprocess_image(f, min_side=480, max_side=800)
+                      for f in frames]
+        else:
+            frames = [preprocess_image(f) for f in frames]
+        scale = frames[0][1] if frames else 1.0
+        frames = [f[0] for f in frames]
+        all_results = {"metadata": {"fps": fps, "video_length": video_length,
+                                    "video_path": video_path},
+                       "preds": {}}
+        while frames:
+            batch, frames = frames[:batch_size], frames[batch_size:]
+            batch_indices, frame_indices = (frame_indices[:batch_size],
+                                            frame_indices[batch_size:])
+            if not batch_indices:
+                continue
+            labels, scores, boxes = self._run(np.asarray(batch))
+            boxes = boxes / scale
+            for fi, fb, fs, fl in zip(batch_indices, boxes, scores, labels):
+                preds = all_results["preds"].setdefault(fi, [])
+                for box, score, label in zip(fb, fs, fl):
+                    if score < min_prob:
+                        continue
+                    preds.append({"box": [int(c) for c in box.astype(int)],
+                                  "score": float(score),
+                                  "label": self.classes[int(label)]})
+        return all_results
+
+    def censor(self, img_path, out_path=None, visualize=False,
+               parts_to_blur=()):
+        """Black-box the detected parts (reference detector.py:165-191;
+        visualize/imshow is intentionally not supported headless)."""
+        import cv2
+
+        if not out_path and not visualize:
+            print("No out_path passed and visualize is set to false. "
+                  "There is no point in running this function then.")
+            return None
+        image = cv2.imread(img_path)
+        boxes = self.detect(img_path)
+        if parts_to_blur:
+            boxes = [i["box"] for i in boxes if i["label"] in parts_to_blur]
+        else:
+            boxes = [i["box"] for i in boxes]
+        for box in boxes:
+            image = cv2.rectangle(image, (box[0], box[1]), (box[2], box[3]),
+                                  (0, 0, 0), cv2.FILLED)
+        if out_path:
+            cv2.imwrite(out_path, image)
+        return image
