@@ -2,7 +2,7 @@
 tensor-parallel param sharding."""
 
 from .mesh import make_mesh, replicate, shard_batch
-from .tp import MMDIT_TP_RULES, shard_params_tp
+from .tp import MMDIT_TP_RULES, UNET_TP_RULES, shard_params_tp
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "shard_params_tp",
-           "MMDIT_TP_RULES"]
+           "MMDIT_TP_RULES", "UNET_TP_RULES"]

@@ -29,6 +29,19 @@ MMDIT_TP_RULES: list[tuple[str, P]] = [
     (r"blocks_\d+/ff(_context)?/fc2/kernel$", P("model", None)),
 ]
 
+# SD-v1 UNet Transformer2D blocks (self/cross attention + GEGLU ff) in the
+# same megatron layout; the resnet convs stay replicated — a GroupNorm sits
+# between conv1/conv2, so channel-sharding them would force an all-gather per
+# norm. head_dim 40 x 8 heads = 320-wide projections: clean over model axes
+# dividing 8 heads.
+UNET_TP_RULES: list[tuple[str, P]] = [
+    (r"attentions_\d+/blocks_\d+/attn\d/to_(q|k|v)/kernel$", P(None, "model")),
+    (r"attentions_\d+/blocks_\d+/attn\d/to_out/kernel$", P("model", None)),
+    (r"attentions_\d+/blocks_\d+/ff/net_0/proj/kernel$", P(None, "model")),
+    (r"attentions_\d+/blocks_\d+/ff/net_0/proj/bias$", P("model")),
+    (r"attentions_\d+/blocks_\d+/ff/net_2/kernel$", P("model", None)),
+]
+
 
 def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))

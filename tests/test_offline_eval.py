@@ -40,6 +40,29 @@ def test_list_and_load(image_dirs):
     assert 0.0 <= img.min() and img.max() <= 1.0
 
 
+def test_frechet_distance_healthy_path_closed_form():
+    """Low-dim full-rank Gaussians: the sqrtm is exact and must NOT take the
+    eps-retry (any LinAlgWarning here is an error). Closed form for diagonal
+    covariances: |mu1-mu2|^2 + sum(s1 + s2 - 2*sqrt(s1*s2))."""
+    import warnings
+
+    from scipy.linalg import LinAlgWarning
+
+    from safe_denoiser_tpu.evals.metrics import frechet_distance
+
+    mu1, mu2 = np.zeros(2), np.array([1.0, 2.0])
+    s1, s2 = np.diag([1.0, 4.0]), np.diag([9.0, 1.0])
+    want = (1 + 4) + (1 + 9 - 2 * 3) + (4 + 1 - 2 * 2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", LinAlgWarning)
+        got = frechet_distance(mu1, s1, mu2, s2)
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+@pytest.mark.filterwarnings(
+    # 4 images x 2048-dim features is rank-deficient BY DESIGN (the test
+    # exercises the plumbing; the healthy sqrtm path is pinned above)
+    "ignore:Matrix is singular")
 def test_evaluate_fid_and_is(image_dirs):
     res = evaluate_fid(str(image_dirs / "run" / "all"),
                        str(image_dirs / "ref"), allow_random_init=True)
