@@ -113,75 +113,95 @@ def _self_attention_bhsd(q: jax.Array, kt: jax.Array, v: jax.Array,
     )(q, kt, v)
 
 
-def _attn_kernel_bshd(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
-                      block_k: int):
-    """Natural-layout variant: blocks squeeze to [bq, D] / [S, D]; QK^T uses
-    the transposed-B dimension numbers so no host-side transposes are needed.
+def _attn_kernel_bshd(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                      sm_scale: float, n_kv: int):
+    """Natural-layout variant: no host-side transposes anywhere. KV is
+    blocked via the GRID (a [1, S, H, D] whole-row block would lane-pad D
+    40->128 and double-buffer to 33 MB); online-softmax stats persist in VMEM
+    scratch across the kv grid steps, heads walked by an in-kernel loop.
 
-    q_ref: [1, bq, 1, D]; k_ref/v_ref: [1, S, 1, D]; o_ref: [1, bq, 1, D].
+    q_ref: [1, bq, H, D]; k_ref/v_ref: [1, bk, H, D]; o_ref: [1, bq, H*D];
+    scratch: m/l [H, bq, 128] f32, acc [bq, H*D] f32.
     """
-    bq = q_ref.shape[1]
-    s_kv = k_ref.shape[1]
-    n_chunks = s_kv // block_k
+    n_heads = q_ref.shape[2]
+    d = q_ref.shape[3]
+    j = pl.program_id(2)
     c = sm_scale * math.log2(math.e)
-    q = q_ref[0, :, 0, :]
 
-    def body(i, carry):
-        m_prev, l_prev, acc_prev = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), 0, :]          # [bk, D]
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    for h in range(n_heads):
+        q = q_ref[0, :, h, :]                                     # [bq, D]
+        k = k_ref[0, :, h, :]                                     # [bk, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # [bq, bk]
+            preferred_element_type=jnp.float32)                   # [bq, bk]
         s = s * c
+        m_prev = m_scr[h, :, :1]                                  # [bq, 1]
+        l_prev = l_scr[h, :, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_next)
         p = jnp.exp2(s - m_next)
         l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[0, pl.ds(i * block_k, block_k), 0, :]          # [bk, D]
+        v = v_ref[0, :, h, :]                                     # [bk, D]
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc_next = acc_prev * alpha + pv
-        return m_next, l_next, acc_next
+            preferred_element_type=jnp.float32)                   # [bq, D]
+        acc_prev = acc_scr[:, h * d:(h + 1) * d]
+        acc_scr[:, h * d:(h + 1) * d] = acc_prev * alpha + pv
+        m_scr[h] = jnp.broadcast_to(m_next, m_scr.shape[1:])
+        l_scr[h] = jnp.broadcast_to(l_next, l_scr.shape[1:])
 
-    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, q_ref.shape[3]), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0),
-                                  unroll=True)
-    o_ref[0, :, 0, :] = (acc * (1.0 / l)).astype(o_ref.dtype)
+    @pl.when(j == n_kv - 1)
+    def _finalize():
+        inv = 1.0 / l_scr[:, :, :1]                               # [H, bq, 1]
+        parts = [acc_scr[:, h * d:(h + 1) * d] * inv[h]
+                 for h in range(n_heads)]
+        o_ref[0] = jnp.concatenate(parts, axis=1).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_q", "block_k",
                                              "interpret"))
 def _self_attention_bshd(q: jax.Array, k: jax.Array, v: jax.Array,
-                         sm_scale: float, block_q: int = 512,
+                         sm_scale: float, block_q: int = 256,
                          block_k: int = 512,
                          interpret: bool = False) -> jax.Array:
     """q/k/v: [B, S, H, D] (natural projection layout) -> [B, S, H, D]."""
     b, s, h, d = q.shape
-    grid = (b, h, s // block_q)
+    n_kv = s // block_k
+    grid = (b, s // block_q, n_kv)
     kernel = functools.partial(_attn_kernel_bshd, sm_scale=sm_scale,
-                               block_k=block_k)
-    qspec = pl.BlockSpec((1, block_q, 1, d), lambda i, hh, j: (i, j, hh, 0),
+                               n_kv=n_kv)
+    qspec = pl.BlockSpec((1, block_q, h, d), lambda i, j, k_: (i, j, 0, 0),
                          memory_space=pltpu.VMEM)
-    kvspec = pl.BlockSpec((1, s, 1, d), lambda i, hh, j: (i, 0, hh, 0),
+    kvspec = pl.BlockSpec((1, block_k, h, d), lambda i, j, k_: (i, k_, 0, 0),
                           memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[qspec, kvspec, kvspec],
-        out_specs=qspec,
-        out_shape=jax.ShapeDtypeStruct((b, s, h, d), q.dtype),
+        out_specs=pl.BlockSpec((1, block_q, h * d), lambda i, j, k_: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, h * d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h, block_q, 128), jnp.float32),   # running max
+            pltpu.VMEM((h, block_q, 128), jnp.float32),   # running sum
+            pltpu.VMEM((block_q, h * d), jnp.float32),    # output acc
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s * s * d,
             bytes_accessed=3 * q.nbytes + q.nbytes,
             transcendentals=b * h * s * s),
         interpret=interpret,
     )(q, k, v)
+    return out.reshape(b, s, h, d)  # bitcast, same memory order
 
 
 def supports(s_q: int, s_kv: int, head_dim: int, block_q: int = 512) -> bool:
@@ -196,11 +216,27 @@ def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """Unmasked self-attention over [B, S, H, D] inputs (flax convention).
 
     Returns [B, S, H, D] in v.dtype. Seq must be a multiple of 512.
+
+    Two layouts, SDT_FLASH2_LAYOUT={bhsd|bshd}: `bhsd` (default)
+    pre-transposes K to [BH, D, S] so the in-kernel matmuls are both natural
+    MXU feeds. The transposes anchor a seq-minor layout on the whole
+    transformer block (the ff matmuls then run well off the MXU roofline),
+    but this still measures fastest end-to-end: the natural-layout `bshd`
+    variant needs [*, H, D] blocks whose D=40 lane-pads to 128 (3.2x VMEM)
+    and per-head unaligned lane slices — measured 0.69 img/s vs 1.43 on the
+    50-step bench. Kept for future Mosaic versions.
     """
+    import os
+
     b, s, h, d = q.shape
     compute_dtype = jnp.bfloat16 if v.dtype == jnp.bfloat16 else jnp.float32
-    # [B, S, H, D] -> [B*H, S, D]; K additionally to [B*H, D, S] so both
-    # kernel matmuls are natural [M,K]@[K,N] feeds.
+    if os.environ.get("SDT_FLASH2_LAYOUT", "bhsd") == "bshd":
+        out = _self_attention_bshd(q.astype(compute_dtype),
+                                   k.astype(compute_dtype),
+                                   v.astype(compute_dtype),
+                                   sm_scale=float(sm_scale),
+                                   interpret=interpret)
+        return out.astype(v.dtype)
     qf = jnp.transpose(q, (0, 2, 1, 3)).reshape(b * h, s, d)
     ktf = jnp.transpose(k, (0, 2, 3, 1)).reshape(b * h, d, s)
     vf = jnp.transpose(v, (0, 2, 1, 3)).reshape(b * h, s, d)

@@ -97,3 +97,16 @@ def test_block_shapes_partition():
     got = _self_attention_bhsd(q, kt, v, sm_scale=scale, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_layout_anchor_identity():
+    """ops/layout_anchor.py (a measured-negative perf experiment kept for
+    future Mosaic versions) must be a bit-exact identity."""
+    from safe_denoiser_tpu.ops.layout_anchor import _anchor_3d, layout_anchor
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 512, 320),
+                    dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(_anchor_3d(x, interpret=True)),
+                                  np.asarray(x))
+    # the dispatcher is a no-op off-TPU
+    assert layout_anchor(x) is x

@@ -22,7 +22,7 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
 B, H, S, D = 8, 8, 4096, 40
-N_ITERS = 50
+N_ITERS = 2000
 
 
 def _time(fn, *args):
@@ -39,8 +39,9 @@ def _loop(call):
     @jax.jit
     def run(q, k, v):
         def body(i, x):
-            o = call(q + 0.0 * x[..., :1, :1, :1], k, v)
-            return o
+            # real data dependency on the carry so XLA can't hoist the call;
+            # 0.5x keeps magnitudes bounded across iterations
+            return call(x, k, v) * 0.5 + q * 0.5
         return jax.lax.fori_loop(0, N_ITERS, body, q)
     return run
 
