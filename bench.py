@@ -1,13 +1,22 @@
-"""Benchmark: SD-v1.4 50-step safe-denoiser sampling throughput per chip.
+"""Benchmarks: safe-denoiser sampling throughput per chip, one JSON line each.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Covers the driver's benchmark configurations (BASELINE.md 1-5):
+  * sd14_10step_ddim   — config #1: 10-step DDIM nudity scan
+  * sd14_e2e           — whole pipeline: tokenize → CLIP encode → 50-step
+                         scan → VAE decode (the reference's per-image
+                         wall-clock region, run_nudity.py:414-464)
+  * sd3_50step         — config #5: SD3-medium MMDiT flow-matching scan with
+                         the fast_sdv3 repellency renoising
+  * sd14_50step (LAST) — the headline metric the driver parses: SD-v1.4
+                         50-step safe-denoiser scan, CFG folded into batch,
+                         bf16 weights. The reference runs batch=1 fp32 on one
+                         CUDA GPU; A100-class 50-step SD-v1.4 fp16 batched is
+                         ~1.5 img/s (diffusers A100 benchmarks) — the
+                         vs_baseline denominator.
 
-Measures the flagship workload of the reference (run_nudity.py: 50-step
-SD-v1.4 sampling with CFG + kernel_fast repellency in the 780..1000 timestep
-window) as images/sec/chip on the local accelerator, bf16 UNet weights,
-CFG folded into the batch axis. The reference runs batch=1 fp32 on one CUDA
-GPU; A100-class throughput for 50-step SD-v1.4 fp16 with batching is ~1.5
-img/s (diffusers A100 benchmarks) — used as the vs_baseline denominator.
+The driver records the tail and parses the LAST JSON line, so the headline
+prints last. BENCH_ONLY=sd14|sd14_10|sd14_e2e|sd3 runs a single config;
+BENCH_FAST=1 skips everything but the headline (useful under tight time).
 """
 
 from __future__ import annotations
@@ -23,18 +32,22 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-BASELINE_IMG_PER_SEC = 1.5  # A100-class 50-step SD-v1.4 fp16 batched
+BASELINE_IMG_PER_SEC = 1.5       # A100-class 50-step SD-v1.4 fp16 batched
+BASELINE_10STEP = 7.5            # 5x the 50-step rate (per-step parity)
+BASELINE_SD3 = 0.125             # A100-class SD3-medium 50-step 1024^2
 STEPS = 50
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 BANK_M = 515  # i2p_sexual bank size (reference caches/sd/i2p_sexual)
 
 
-def main():
+def _emit(metric, value, baseline):
+    print(json.dumps({"metric": metric, "value": round(value, 4),
+                      "unit": "images/sec/chip",
+                      "vs_baseline": round(value / baseline, 4)}), flush=True)
+
+
+def _sd14_setup():
     from safe_denoiser_tpu.models import SD14_UNET, UNet2DCondition
-    from safe_denoiser_tpu.pipeline import (
-        GuidanceConfig, RepellencyWindow, sample_sd)
-    from safe_denoiser_tpu.repellency import RepellencyConfig
-    from safe_denoiser_tpu.schedulers import DDPMScheduler
 
     rng = jax.random.PRNGKey(0)
     model = UNet2DCondition(SD14_UNET, dtype=jnp.bfloat16)
@@ -52,40 +65,224 @@ def main():
                                             and len(s.shape) > 1) else s.dtype),
         shapes)
 
-    sched = DDPMScheduler()
+    # params are RETURNED and passed through jit args — closing over them
+    # inlines gigabytes of constants into the lowered HLO and multiplies
+    # compile time (measured: the SD3 bench never finished compiling)
+    def unet_apply(params, lat, t, ctx, freeu=None):
+        return model.apply(params, lat, t, ctx, freeu=freeu)
+
+    return unet_apply, params, latents, text, refs
+
+
+def _time_run(run, args, n_rounds=3):
+    import numpy as np
+
+    def _arr(out):
+        return out[0] if isinstance(out, tuple) else out
+
+    np.asarray(_arr(run(*args, jax.random.PRNGKey(1))))  # warmup, fully real
+    t0 = time.perf_counter()
+    for i in range(n_rounds):
+        out = run(*args, jax.random.PRNGKey(2 + i))
+    _arr(out).block_until_ready()
+    t1 = time.perf_counter()
+    # block_until_ready through the axon tunnel can return before the
+    # computation finishes (measured a 28s SD3 scan "completing" in 8 ms).
+    # A host transfer cannot lie, but it adds ~0.4s of tunnel latency — so
+    # time with the block, then use the transfer only as a lie detector.
+    np.asarray(_arr(out))
+    t2 = time.perf_counter()
+    dt_block, extra = t1 - t0, t2 - t1
+    dt = t2 - t0 if extra > 0.25 * dt_block else dt_block
+    return dt, n_rounds
+
+
+def bench_sd14(steps=STEPS, scheduler_kind="ddpm"):
+    from safe_denoiser_tpu.pipeline import (
+        GuidanceConfig, RepellencyWindow, sample_sd)
+    from safe_denoiser_tpu.repellency import RepellencyConfig
+    from safe_denoiser_tpu.schedulers import (
+        DDIMConfig, DDIMScheduler, DDPMScheduler)
+
+    unet_apply, params, latents, text, refs = _sd14_setup()
+    sched = DDPMScheduler() if scheduler_kind == "ddpm" \
+        else DDIMScheduler(DDIMConfig())
     rep = RepellencyConfig(method="kernel_fast", sigma=3.15, scale=0.33,
                            beta_threshold=7.0, use_beta_gate=True)
 
-    def unet_apply(lat, t, ctx, freeu=None):
-        return model.apply(params, lat, t, ctx, freeu=freeu)
-
     @jax.jit
-    def run(latents, text, refs, rng):
+    def run(params, latents, text, refs, rng):
+        import functools
         lat, applied = sample_sd(
-            unet_apply, sched, text, latents, rng, STEPS,
-            guidance=GuidanceConfig(guidance_scale=7.5),
+            functools.partial(unet_apply, params), sched, text, latents, rng,
+            steps, guidance=GuidanceConfig(guidance_scale=7.5),
             repellency=rep, refs_nchw=refs,
             window=RepellencyWindow(1000.0, 780.0))
         return lat, jnp.sum(applied)
 
-    # warmup/compile
-    out, _ = run(latents, text, refs, jax.random.PRNGKey(1))
-    out.block_until_ready()
+    dt, n = _time_run(run, (params, latents, text, refs))
+    return (n * BATCH) / dt
 
+
+def bench_sd14_e2e():
+    """Whole pipeline wall-clock: tokenize + CLIP-L encode + 50-step scan +
+    VAE decode (fabricated real-size weights)."""
+    import numpy as np
+
+    from safe_denoiser_tpu.models import (
+        CLIP_VIT_L_14, SD14_VAE, AutoencoderKL, CLIPTextModel)
+    from safe_denoiser_tpu.pipeline import (
+        GuidanceConfig, RepellencyWindow, sample_sd)
+    from safe_denoiser_tpu.repellency import RepellencyConfig
+    from safe_denoiser_tpu.schedulers import DDPMScheduler
+
+    unet_apply, unet_params, latents, _, refs = _sd14_setup()
+    rng = jax.random.PRNGKey(3)
+
+    clip = CLIPTextModel(CLIP_VIT_L_14)
+    clip_shapes = jax.eval_shape(
+        lambda: clip.init(rng, jnp.zeros((1, 77), jnp.int32)))
+    clip_params = jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.02, s.dtype), clip_shapes)
+    vae = AutoencoderKL(SD14_VAE, dtype=jnp.bfloat16)
+    vae_shapes = jax.eval_shape(
+        lambda: vae.init({"params": rng}, jnp.zeros((1, 512, 512, 3)), rng))
+    vae_params = jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.02,
+                           jnp.bfloat16 if (s.dtype == jnp.float32
+                                            and len(s.shape) > 1) else s.dtype),
+        vae_shapes)
+
+    sched = DDPMScheduler()
+    rep = RepellencyConfig(method="kernel_fast", sigma=3.15, scale=0.33,
+                           beta_threshold=7.0, use_beta_gate=True)
+
+    # three separate jits — this is how the real runner stages the pipeline,
+    # and one mega-program (encode+scan+decode) took >45 min to compile
+    # through the remote helper
+    @jax.jit
+    def encode(clip_params, ids):
+        ctx, _, _, _ = clip.apply(clip_params, ids)
+        return jnp.stack([ctx[:BATCH], ctx[BATCH:]])
+
+    @jax.jit
+    def scan(unet_params, text, latents, refs, rng):
+        import functools
+        lat, _ = sample_sd(functools.partial(unet_apply, unet_params), sched,
+                           text, latents, rng, STEPS,
+                           guidance=GuidanceConfig(guidance_scale=7.5),
+                           repellency=rep, refs_nchw=refs,
+                           window=RepellencyWindow(1000.0, 780.0))
+        return lat
+
+    @jax.jit
+    def decode(vae_params, lat):
+        img = vae.apply(vae_params, lat / SD14_VAE.scaling_factor,
+                        method=vae.decode)
+        img = jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+        return jnp.round(img * 255).astype(jnp.uint8)
+
+    rs = np.random.RandomState(0)
+
+    def full(rng_key):
+        # host-side tokenize stand-in: the BPE cost is microseconds/prompt
+        ids = jnp.asarray(rs.randint(0, 49408, (2 * BATCH, 77)),
+                          dtype=jnp.int32)
+        text = encode(clip_params, ids)
+        lat = scan(unet_params, text, latents, refs, rng_key)
+        img = decode(vae_params, lat)
+        return np.asarray(img)  # host transfer, like PIL save
+
+    full(jax.random.PRNGKey(1))
     n_rounds = 3
     t0 = time.perf_counter()
     for i in range(n_rounds):
-        out, _ = run(latents, text, refs, jax.random.PRNGKey(2 + i))
-    out.block_until_ready()
+        full(jax.random.PRNGKey(2 + i))
     dt = time.perf_counter() - t0
+    return (n_rounds * BATCH) / dt
 
-    img_per_sec = (n_rounds * BATCH) / dt
-    print(json.dumps({
-        "metric": "sd14_50step_safe_denoiser_throughput",
-        "value": round(img_per_sec, 4),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 4),
-    }))
+
+def bench_sd3(steps=STEPS):
+    """SD3-medium MMDiT 50-step flow-matching scan with fast_sdv3
+    repellency (channel-normalized x), 1024x1024 latents, CFG pair."""
+    from safe_denoiser_tpu.models import SD3_MEDIUM, MMDiT
+    from safe_denoiser_tpu.pipeline import RepellencyWindow
+    from safe_denoiser_tpu.pipeline.sampler import sample_sd3
+    from safe_denoiser_tpu.repellency import RepellencyConfig
+    from safe_denoiser_tpu.schedulers import FlowMatchEulerScheduler
+
+    b = int(os.environ.get("BENCH_SD3_BATCH", "1"))
+    rng = jax.random.PRNGKey(0)
+    model = MMDiT(SD3_MEDIUM, dtype=jnp.bfloat16)
+    latents = jax.random.normal(rng, (b, 128, 128, 16), dtype=jnp.float32)
+    text = jax.random.normal(jax.random.fold_in(rng, 1), (2, b, 333, 4096),
+                             dtype=jnp.float32).astype(jnp.bfloat16)
+    pooled = jax.random.normal(jax.random.fold_in(rng, 2), (2, b, 2048))
+    refs = jax.random.normal(jax.random.fold_in(rng, 3), (16, 16, 128, 128))
+    refs = refs / jnp.linalg.norm(refs, axis=1, keepdims=True)
+
+    shapes = jax.eval_shape(
+        lambda: model.init(rng, latents[:1], jnp.asarray(1.0),
+                           text[0, :1], pooled[0, :1]))
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.02,
+                           jnp.bfloat16 if (s.dtype == jnp.float32
+                                            and len(s.shape) > 1) else s.dtype),
+        shapes)
+
+    def tf_apply(params, lat, t, ctx, pool):
+        return model.apply(params, lat, t, ctx, pool)
+
+    sched = FlowMatchEulerScheduler()
+    # SD3 nudity task hyperparameters (configs/, SURVEY config table)
+    rep = RepellencyConfig(method="kernel_fast", sigma=2.75, scale=0.03,
+                           use_beta_gate=False, normalize_x=True)
+
+    @jax.jit
+    def run(params, latents, text, pooled, refs, rng):
+        import functools
+        lat, applied = sample_sd3(
+            functools.partial(tf_apply, params), sched, text, pooled,
+            latents, rng, steps,
+            guidance_scale=2.5, repellency=rep, refs_nchw=refs,
+            window=RepellencyWindow(1000.0, 780.0))
+        return lat, jnp.sum(applied)
+
+    dt, n = _time_run(run, (params, latents, text, pooled, refs))
+    return (n * b) / dt
+
+
+def main():
+    import sys
+    import traceback
+
+    only = os.environ.get("BENCH_ONLY")
+    fast = os.environ.get("BENCH_FAST") == "1"
+
+    def _try(name, fn, baseline):
+        # a secondary benchmark failing (compile crash, OOM) must never
+        # prevent the headline metric from printing
+        try:
+            _emit(name, fn(), baseline)
+        except Exception:
+            print(f"[bench] {name} FAILED:", file=sys.stderr)
+            traceback.print_exc()
+
+    if not fast:
+        if only in (None, "sd14_10"):
+            _try("sd14_10step_ddim_safe_denoiser_throughput",
+                 lambda: bench_sd14(steps=10, scheduler_kind="ddim"),
+                 BASELINE_10STEP)
+        if only in (None, "sd14_e2e"):
+            _try("sd14_50step_e2e_pipeline_throughput", bench_sd14_e2e,
+                 BASELINE_IMG_PER_SEC)
+        if only in (None, "sd3"):
+            _try("sd3_50step_safe_denoiser_throughput", bench_sd3,
+                 BASELINE_SD3)
+    if only in (None, "sd14"):
+        # headline LAST: the driver parses the final JSON line
+        _emit("sd14_50step_safe_denoiser_throughput", bench_sd14(),
+              BASELINE_IMG_PER_SEC)
 
 
 if __name__ == "__main__":

@@ -34,11 +34,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, sm_scale: float,
-                 block_k: int):
+                 block_k: int, valid_kv: int):
     """One q-block against the full (unmasked) KV row.
 
     q_ref: [1, bq, D] bf16/f32; kt_ref: [1, D, S]; v_ref: [1, S, D];
-    o_ref: [1, bq, D].
+    o_ref: [1, bq, D]. ``valid_kv`` < S masks the zero-padded tail keys
+    (needed for non-512-multiple sequences, e.g. SD3's 4429 joint tokens)
+    — the mask compiles only into the final chunk.
     """
     bq = q_ref.shape[1]
     s_kv = kt_ref.shape[2]
@@ -47,6 +49,7 @@ def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, sm_scale: float,
     c = sm_scale * math.log2(math.e)
 
     q = q_ref[0]
+    masked = valid_kv < s_kv
 
     def body(i, carry):
         m_prev, l_prev, acc_prev = carry
@@ -55,6 +58,9 @@ def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, sm_scale: float,
             q, kt, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                  # [bq, bk]
         s = s * c                                                # log2 domain
+        if masked:  # tail-mask padded keys (no-op chunks fold to identity)
+            col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < valid_kv, s, -jnp.inf)
         m_cur = jnp.max(s, axis=1, keepdims=True)                # [bq, 1]
         m_next = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_next)
@@ -72,23 +78,26 @@ def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, sm_scale: float,
     acc0 = jnp.zeros((bq, q_ref.shape[2]), jnp.float32)
     # full unroll: Mosaic supports only unroll=1|all, and the unrolled body
     # lets the scheduler overlap chunk i's exp2/max (VPU) with chunk i+1's
-    # matmuls (MXU)
+    # matmuls (MXU). (A plain python loop with constant chunk indices
+    # measured 4.6% SLOWER end-to-end — keep the traced-index fori form.)
     _, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0),
                                   unroll=True)
     o_ref[0] = (acc * (1.0 / l)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_q", "block_k",
-                                             "interpret"))
+                                             "valid_kv", "interpret"))
 def _self_attention_bhsd(q: jax.Array, kt: jax.Array, v: jax.Array,
                          sm_scale: float, block_q: int = 512,
-                         block_k: int = 512,
+                         block_k: int = 512, valid_kv: int | None = None,
                          interpret: bool = False) -> jax.Array:
-    """q: [BH, S, D], kt: [BH, D, S], v: [BH, S, D] -> [BH, S, D]."""
+    """q: [BH, S, D], kt: [BH, D, S], v: [BH, S, D] -> [BH, S, D].
+    S must be a multiple of the blocks; ``valid_kv`` masks padded tail keys."""
     bh, s, d = q.shape
     grid = (bh, s // block_q)
     kernel = functools.partial(_attn_kernel, sm_scale=sm_scale,
-                               block_k=block_k)
+                               block_k=block_k,
+                               valid_kv=s if valid_kv is None else valid_kv)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -205,10 +214,10 @@ def _self_attention_bshd(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def supports(s_q: int, s_kv: int, head_dim: int, block_q: int = 512) -> bool:
-    """Shapes this kernel handles: unmasked self-attention, seq a multiple of
-    the q/k block, head dim within two lane tiles (SD uses 40/80/160)."""
-    return (s_q == s_kv and s_q % block_q == 0 and head_dim <= 256
-            and s_q >= block_q)
+    """Shapes this kernel handles: unmasked self-attention, head dim within
+    two lane tiles (SD uses 40/80/160; SD3 64). Non-512-multiple sequences
+    (SD3's 4096+333 joint tokens) are zero-padded and tail-masked."""
+    return s_q == s_kv and head_dim <= 256 and s_q >= block_q
 
 
 def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -230,20 +239,30 @@ def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     b, s, h, d = q.shape
     compute_dtype = jnp.bfloat16 if v.dtype == jnp.bfloat16 else jnp.float32
-    if os.environ.get("SDT_FLASH2_LAYOUT", "bhsd") == "bshd":
+    if os.environ.get("SDT_FLASH2_LAYOUT", "bhsd") == "bshd" and s % 512 == 0:
         out = _self_attention_bshd(q.astype(compute_dtype),
                                    k.astype(compute_dtype),
                                    v.astype(compute_dtype),
                                    sm_scale=float(sm_scale),
                                    interpret=interpret)
         return out.astype(v.dtype)
-    qf = jnp.transpose(q, (0, 2, 1, 3)).reshape(b * h, s, d)
-    ktf = jnp.transpose(k, (0, 2, 3, 1)).reshape(b * h, d, s)
-    vf = jnp.transpose(v, (0, 2, 1, 3)).reshape(b * h, s, d)
+    block = 512
+    s_pad = -(-s // block) * block
+    valid = s
+    if s_pad != s:
+        # zero-pad to the block grid; padded keys are -inf-masked in the
+        # kernel (SD3's joint sequence is 4096 + 333 text tokens), padded
+        # q rows produce garbage that is sliced off below
+        pad = ((0, 0), (0, s_pad - s), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    qf = jnp.transpose(q, (0, 2, 1, 3)).reshape(b * h, s_pad, d)
+    ktf = jnp.transpose(k, (0, 2, 3, 1)).reshape(b * h, d, s_pad)
+    vf = jnp.transpose(v, (0, 2, 1, 3)).reshape(b * h, s_pad, d)
     out = _self_attention_bhsd(qf.astype(compute_dtype),
                                ktf.astype(compute_dtype),
                                vf.astype(compute_dtype),
                                sm_scale=float(sm_scale),
+                               valid_kv=valid if s_pad != s else None,
                                interpret=interpret)
-    out = out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+    out = out.reshape(b, h, s_pad, d).transpose(0, 2, 1, 3)[:, :s]
     return out.astype(v.dtype)

@@ -79,7 +79,8 @@ def test_supports_predicate():
     assert supports(512, 512, 160)
     assert not supports(4096, 77, 40)     # cross-attention
     assert not supports(256, 256, 160)    # below block size
-    assert not supports(640, 640, 40)     # not a block multiple
+    assert supports(640, 640, 40)         # non-multiple: padded + tail-masked
+    assert supports(4429, 4429, 64)       # SD3 joint sequence
     assert not supports(512, 512, 512)    # VAE single-head (too-wide head)
 
 
@@ -110,3 +111,21 @@ def test_layout_anchor_identity():
                                   np.asarray(x))
     # the dispatcher is a no-op off-TPU
     assert layout_anchor(x) is x
+
+
+def test_flash2_padded_non_multiple_seq_matches_einsum():
+    """SD3's joint sequence (img 4096 + text 333) is not a 512 multiple; the
+    kernel zero-pads and -inf-masks the tail keys. Golden vs einsum at a
+    shrunken analogue (600 = 512 + 88)."""
+    rng = np.random.RandomState(3)
+    b, s, h, d = 2, 600, 3, 64
+    q = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    sm = float(d) ** -0.5
+
+    want = einsum_ref(q, k, v, sm)
+    got = self_attention(q, k, v, sm, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+    assert supports(s, s, d)
