@@ -60,8 +60,11 @@ def test_dispatcher_falls_back_above_boundary():
     # assert both paths agree through the dispatcher.
     s1, b1 = rbf_negative_score(x, refs, 2.0)
     s2, b2 = rbf_negative_score_ref(x, refs, 2.0)
-    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-5)
+    # on TPU this compares the real Pallas kernel against jnp (fp32
+    # reassociation): same tolerance as the boundary sweep below
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=5e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=5e-4)
 
 
 @pytest.mark.skipif(os.environ.get("SDT_TPU_TESTS") != "1"
