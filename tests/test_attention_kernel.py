@@ -129,3 +129,21 @@ def test_flash2_padded_non_multiple_seq_matches_einsum():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-5)
     assert supports(s, s, d)
+
+
+@pytest.mark.skipif(__import__("os").environ.get("SDT_TPU_TESTS") != "1"
+                    or jax.default_backend() != "tpu",
+                    reason="real-TPU padded-path check (SDT_TPU_TESTS=1)")
+def test_flash2_padded_on_target_matches_einsum():
+    """The real Mosaic compile of the tail-masked padded path at the actual
+    SD3 joint-sequence length vs the einsum reference."""
+    rng = np.random.RandomState(5)
+    b, s, h, d = 1, 4429, 4, 64
+    q = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    sm = float(d) ** -0.5
+    want = einsum_ref(q, k, v, sm)
+    got = self_attention(q, k, v, sm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-3, rtol=3e-3)
