@@ -6,12 +6,12 @@ inventory completeness (round-1 VERDICT item 10). Differences forced by this
 environment, all documented:
   * checkpoints/classes come from local paths (zero egress — the reference
     downloads from the NudeNet GitHub releases on first use);
-  * the real `detector_v2_*_checkpoint.onnx` is a keras-retinanet export
-    whose graph embeds TopK/NonMaxSuppression; those ops are not in
-    evals/onnx_rt.py yet and will raise NotImplementedError loudly rather
-    than silently mis-executing. The host path (preprocessing, output
-    sniffing, box scaling, censoring, video frame selection) is fully ported
-    and tested against a structured toy graph;
+  * the real `detector_v2_*_checkpoint.onnx` is a keras-retinanet export;
+    evals/onnx_rt.py covers its op family (TopK, NonMaxSuppression, Slice,
+    Exp/Log/Where box decode, GatherND) and still raises loudly on anything
+    outside it. The host path (preprocessing, output sniffing, box scaling,
+    censoring, video frame selection) is fully ported and tested against a
+    structured toy graph; real-weights validation awaits the checkpoint;
   * frame similarity uses an in-repo numpy SSIM (skimage is not installed);
     same 64x64-grayscale + threshold semantics as
     video_utils.is_similar_frame.

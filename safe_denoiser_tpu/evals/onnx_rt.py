@@ -462,11 +462,106 @@ def run_graph(graph: Graph, feeds: dict[str, np.ndarray],
             axes = a.get("axes")
             r = i[0].mean(axis=tuple(axes) if axes else None,
                           keepdims=bool(a.get("keepdims", 1)))
+        elif op == "ReduceMax":
+            axes = a.get("axes")
+            r = i[0].max(axis=tuple(axes) if axes else None,
+                         keepdims=bool(a.get("keepdims", 1)))
+        elif op == "Exp":
+            r = np.exp(i[0])
+        elif op == "Log":
+            r = np.log(i[0])
+        elif op == "Sqrt":
+            r = np.sqrt(i[0])
+        elif op == "Pow":
+            r = np.power(i[0], i[1])
+        elif op == "Neg":
+            r = -i[0]
+        elif op == "Where":
+            r = np.where(i[0], i[1], i[2])
+        elif op in ("Greater", "Less", "Equal"):
+            cmp = {"Greater": np.greater, "Less": np.less,
+                   "Equal": np.equal}[op]
+            r = cmp(i[0], i[1])
+        elif op == "Slice":
+            # opset-10+ input form (starts/ends[/axes[/steps]]); the
+            # detector box-decode idiom slices coordinate columns
+            if len(i) > 1 and i[1] is not None:
+                starts = [int(v) for v in i[1]]
+                ends = [int(v) for v in i[2]]
+                axes = [int(v) for v in i[3]] if len(i) > 3 and \
+                    i[3] is not None else list(range(len(starts)))
+                steps = [int(v) for v in i[4]] if len(i) > 4 and \
+                    i[4] is not None else [1] * len(starts)
+            else:  # opset-1 attribute form
+                starts = list(a["starts"])
+                ends = list(a["ends"])
+                axes = list(a.get("axes", range(len(starts))))
+                steps = [1] * len(starts)
+            sl = [slice(None)] * i[0].ndim
+            for st, en, ax, sp in zip(starts, ends, axes, steps):
+                sl[ax] = slice(st, en, sp)
+            r = i[0][tuple(sl)]
+        elif op == "TopK":
+            k = int(np.asarray(i[1]).reshape(())) if len(i) > 1 else a["k"]
+            ax = a.get("axis", -1)
+            largest = a.get("largest", 1)
+            x = i[0] if largest else -i[0]
+            idx = np.argsort(-x, axis=ax, kind="stable")
+            idx = np.take(idx, range(k), axis=ax)
+            vals = np.take_along_axis(i[0], idx, axis=ax)
+            r = (vals, idx.astype(np.int64))  # multi-output
+        elif op == "NonMaxSuppression":
+            # boxes [N,S,4], scores [N,C,S] -> selected [M,3] (batch, class,
+            # box). center_point_box=0 => [y1,x1,y2,x2] corners (the
+            # keras-retinanet export convention)
+            boxes, scores = i[0], i[1]
+            max_out = int(np.asarray(i[2]).reshape(())) if len(i) > 2 and \
+                i[2] is not None else 0
+            iou_thr = float(np.asarray(i[3]).reshape(())) if len(i) > 3 and \
+                i[3] is not None else 0.0
+            score_thr = float(np.asarray(i[4]).reshape(())) if len(i) > 4 \
+                and i[4] is not None else -np.inf
+            center = a.get("center_point_box", 0)
+            selected = []
+            for n_i in range(boxes.shape[0]):
+                bx = boxes[n_i].astype(np.float64)
+                if center:
+                    cx, cy, w_, h_ = bx[:, 0], bx[:, 1], bx[:, 2], bx[:, 3]
+                    bx = np.stack([cy - h_ / 2, cx - w_ / 2,
+                                   cy + h_ / 2, cx + w_ / 2], axis=1)
+                y1, x1, y2, x2 = (np.minimum(bx[:, 0], bx[:, 2]),
+                                  np.minimum(bx[:, 1], bx[:, 3]),
+                                  np.maximum(bx[:, 0], bx[:, 2]),
+                                  np.maximum(bx[:, 1], bx[:, 3]))
+                areas = (y2 - y1) * (x2 - x1)
+                for c_i in range(scores.shape[1]):
+                    sc = scores[n_i, c_i]
+                    order = np.argsort(-sc, kind="stable")
+                    order = order[sc[order] > score_thr]
+                    keep = []
+                    while order.size and (not max_out or len(keep) < max_out):
+                        b0 = order[0]
+                        keep.append(b0)
+                        rest = order[1:]
+                        yy1 = np.maximum(y1[b0], y1[rest])
+                        xx1 = np.maximum(x1[b0], x1[rest])
+                        yy2 = np.minimum(y2[b0], y2[rest])
+                        xx2 = np.minimum(x2[b0], x2[rest])
+                        inter = (np.clip(yy2 - yy1, 0, None)
+                                 * np.clip(xx2 - xx1, 0, None))
+                        iou = inter / (areas[b0] + areas[rest] - inter + 1e-12)
+                        order = rest[iou <= iou_thr]
+                    selected += [[n_i, c_i, int(b)] for b in keep]
+            r = np.asarray(selected, dtype=np.int64).reshape(-1, 3)
+        elif op == "GatherND":
+            data, idx = i[0], i[1].astype(np.int64)
+            r = data[tuple(np.moveaxis(idx, -1, 0))]
         else:
             raise NotImplementedError(f"ONNX op {op} not supported")
-        for out_name in node.outputs:
+        outs = r if isinstance(r, tuple) else (r,) * len(node.outputs)
+        for out_name, val in zip(node.outputs, outs):
             if out_name:
-                env[out_name] = r
+                env[out_name] = val
 
     return [env[name] for name in outputs]
 

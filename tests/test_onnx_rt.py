@@ -226,3 +226,119 @@ def test_same_upper_auto_pad_and_sigmoid():
     graph = parse_model(_model(nodes, inits, ["x"], ["y"]))
     out = run_graph(graph, {"x": x.numpy()})[0]
     np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# detector-graph op set (TopK / NMS / Slice / box-decode elementwise) —
+# the ops the real keras-retinanet NudeNet detector export needs
+# ---------------------------------------------------------------------------
+
+
+def _run_single(op, inputs, feeds, attrs=b"", n_outputs=1):
+    outs = [f"o{k}" for k in range(n_outputs)]
+    graph = parse_model(_model([_node(op, list(inputs), outs, attrs)],
+                               [], [k for k in feeds], outs))
+    return run_graph(graph, feeds, outs)
+
+
+def test_elementwise_and_slice_ops():
+    x = np.array([[1.0, 2.0], [3.0, 4.0]], dtype=np.float32)
+    np.testing.assert_allclose(
+        _run_single("Exp", ["x"], {"x": x})[0], np.exp(x), rtol=1e-6)
+    np.testing.assert_allclose(
+        _run_single("Log", ["x"], {"x": x})[0], np.log(x), rtol=1e-6)
+    np.testing.assert_allclose(
+        _run_single("Sqrt", ["x"], {"x": x})[0], np.sqrt(x), rtol=1e-6)
+    np.testing.assert_allclose(
+        _run_single("Pow", ["x", "y"], {"x": x, "y": np.float32(2.0)})[0],
+        x ** 2, rtol=1e-6)
+    got = _run_single("Where", ["c", "a", "b"],
+                      {"c": x > 2, "a": x, "b": -x})[0]
+    np.testing.assert_array_equal(got, np.where(x > 2, x, -x))
+    got = _run_single("Greater", ["x", "y"],
+                      {"x": x, "y": np.float32(2.5)})[0]
+    np.testing.assert_array_equal(got, x > 2.5)
+
+    # Slice: opset-10 input form with axes/steps (box-coordinate columns)
+    data = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    got = _run_single("Slice", ["x", "st", "en", "ax", "sp"],
+                      {"x": data, "st": np.array([1], dtype=np.int64),
+                       "en": np.array([4], dtype=np.int64),
+                       "ax": np.array([2], dtype=np.int64),
+                       "sp": np.array([2], dtype=np.int64)})[0]
+    np.testing.assert_array_equal(got, data[:, :, 1:4:2])
+
+
+def test_topk_matches_torch():
+    torch.manual_seed(9)
+    x = torch.randn(3, 17)
+    want_v, want_i = torch.topk(x, 5, dim=1)
+    vals, = _run_single("TopK", ["x", "k"],
+                        {"x": x.numpy(), "k": np.array([5], dtype=np.int64)},
+                        _attr_int("axis", 1), n_outputs=1)
+    np.testing.assert_allclose(vals, want_v.numpy(), rtol=1e-6)
+    # two-output form (values + indices)
+    graph = parse_model(_model(
+        [_node("TopK", ["x", "k"], ["v", "idx"], _attr_int("axis", 1))],
+        [_tensor("k", np.array([5], dtype=np.int64))], ["x"], ["v", "idx"]))
+    v, idx = run_graph(graph, {"x": x.numpy()}, ["v", "idx"])
+    np.testing.assert_allclose(v, want_v.numpy(), rtol=1e-6)
+    np.testing.assert_array_equal(idx, want_i.numpy())
+
+
+def _ref_nms(boxes, scores, iou_thr):
+    """Plain greedy NMS on [S,4] y1x1y2x2 corners + [S] scores."""
+    y1, x1, y2, x2 = boxes.T
+    areas = (y2 - y1) * (x2 - x1)
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    while order.size:
+        b = order[0]
+        keep.append(int(b))
+        rest = order[1:]
+        inter = (np.clip(np.minimum(y2[b], y2[rest])
+                         - np.maximum(y1[b], y1[rest]), 0, None)
+                 * np.clip(np.minimum(x2[b], x2[rest])
+                           - np.maximum(x1[b], x1[rest]), 0, None))
+        iou = inter / (areas[b] + areas[rest] - inter + 1e-12)
+        order = rest[iou <= iou_thr]
+    return keep
+
+
+def test_non_max_suppression():
+    rs = np.random.RandomState(2)
+    n_boxes = 40
+    centers = rs.rand(n_boxes, 2) * 10
+    sizes = rs.rand(n_boxes, 2) * 3 + 0.5
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2],
+                           axis=1).astype(np.float32)  # y1x1y2x2
+    scores = rs.rand(1, 1, n_boxes).astype(np.float32)
+    iou_thr = 0.4
+
+    sel, = _run_single(
+        "NonMaxSuppression",
+        ["boxes", "scores", "maxout", "iou", "sthr"],
+        {"boxes": boxes[None], "scores": scores,
+         "maxout": np.array([n_boxes], dtype=np.int64),
+         "iou": np.array([iou_thr], dtype=np.float32),
+         "sthr": np.array([0.05], dtype=np.float32)})
+    want = [b for b in _ref_nms(boxes, scores[0, 0], iou_thr)
+            if scores[0, 0, b] > 0.05]
+    assert sel.shape[1] == 3
+    np.testing.assert_array_equal(sel[:, 2], want)
+    assert (sel[:, 0] == 0).all() and (sel[:, 1] == 0).all()
+
+    # max_output caps per class
+    sel2, = _run_single(
+        "NonMaxSuppression",
+        ["boxes", "scores", "maxout"],
+        {"boxes": boxes[None], "scores": scores,
+         "maxout": np.array([3], dtype=np.int64)})
+    assert sel2.shape[0] == 3
+
+
+def test_gather_nd():
+    data = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    idx = np.array([[0, 1], [1, 2]], dtype=np.int64)
+    got, = _run_single("GatherND", ["x", "i"], {"x": data, "i": idx})
+    np.testing.assert_array_equal(got, data[[0, 1], [1, 2]])
