@@ -117,3 +117,108 @@ def test_frame_similarity_ssim():
     a3 = np.stack([a] * 3, axis=-1)
     assert is_similar_frame(a3, a3.copy(), thresh=0.9)
     assert not is_similar_frame(a3, np.stack([b] * 3, -1), thresh=0.5)
+
+
+def _retinanet_style_graph():
+    """Toy keras-retinanet-shaped graph: NHWC input -> Transpose -> conv
+    backbone -> per-anchor box DECODE (Exp on sizes) -> NMS -> gathered
+    boxes/scores/int32 labels — the op chain of the real detector_v2 export."""
+    rs = np.random.RandomState(11)
+    from tests.test_onnx_rt import _attr_ints as AI, _attr_int as A, _str, _ld
+
+    def attr_str(name, s):
+        return _ld(7, _str(1, name) + _str(4, s))
+
+    n_anchors = 4
+    w_conv = rs.randn(8, 3, 3, 3).astype(np.float32) * 0.1
+    w_box = rs.randn(8, n_anchors * 4).astype(np.float32) * 0.05
+    w_cls = rs.randn(8, n_anchors * 2).astype(np.float32) * 0.3
+    # fixed anchor boxes [1, n_anchors, 4] (y1 x1 y2 x2)
+    anchors = np.array([[[10, 10, 60, 60], [30, 30, 90, 90],
+                         [5, 40, 55, 100], [40, 5, 100, 55]]],
+                       dtype=np.float32)
+    nodes = [
+        _node("Transpose", ["input_1"], ["x"], AI("perm", [0, 3, 1, 2])),
+        _node("Conv", ["x", "w_conv"], ["c"],
+              AI("kernel_shape", [3, 3]) + AI("strides", [2, 2])
+              + attr_str("auto_pad", "SAME_UPPER")),
+        _node("Relu", ["c"], ["r"]),
+        _node("GlobalAveragePool", ["r"], ["gap"]),
+        _node("Reshape", ["gap", "shape2"], ["feat"]),          # [1, 8]
+        # box deltas -> decoded sizes via Exp (retinanet decode idiom)
+        _node("MatMul", ["feat", "w_box"], ["deltas0"]),
+        _node("Reshape", ["deltas0", "shape_b"], ["deltas"]),   # [1, A, 4]
+        _node("Mul", ["deltas", "scale_d"], ["deltas_s"]),
+        _node("Exp", ["deltas_s"], ["grow"]),
+        _node("Mul", ["anchors", "grow"], ["boxes"]),           # [1, A, 4]
+        _node("MatMul", ["feat", "w_cls"], ["cls0"]),
+        _node("Reshape", ["cls0", "shape_c"], ["cls1"]),        # [1, A, 2]
+        _node("Sigmoid", ["cls1"], ["probs"]),
+        _node("Transpose", ["probs"], ["scores_cf"], AI("perm", [0, 2, 1])),
+        _node("NonMaxSuppression",
+              ["boxes", "scores_cf", "maxout", "iou_thr"], ["sel"]),
+        # gather the selected (batch, class, box) rows (topo order — the
+        # interpreter is a straight-line executor like real exports)
+        _node("Squeeze", ["boxes", "sq0_ax"], ["boxes_sq"]),
+        _node("Slice", ["sel", "sl_st", "sl_en", "sl_ax"], ["box_idx"]),
+        _node("Squeeze", ["box_idx", "sq_ax"], ["box_idx1"]),
+        _node("Gather", ["boxes_sq", "box_idx1"], ["out_boxes0"],
+              A("axis", 0)),
+        _node("Unsqueeze", ["out_boxes0", "unsq_ax"], ["out_boxes"]),
+        _node("Slice", ["sel", "cl_st", "cl_en", "sl_ax"], ["cls_idx"]),
+        _node("Squeeze", ["cls_idx", "sq_ax"], ["cls_idx1"]),
+        _node("Cast", ["cls_idx1"], ["labels0"], A("to", 6)),
+        _node("Unsqueeze", ["labels0", "unsq_ax"], ["out_labels"]),
+        _node("Squeeze", ["probs", "sq0_ax"], ["probs_sq"]),
+        _node("Unsqueeze", ["box_idx1", "unsq1_ax"], ["box_idx1_2d"]),
+        _node("Unsqueeze", ["cls_idx1", "unsq1_ax"], ["cls_idx1_2d"]),
+        _node("Concat", ["box_idx1_2d", "cls_idx1_2d"], ["gnd_idx"],
+              A("axis", 1)),
+        _node("GatherND", ["probs_sq", "gnd_idx"], ["out_scores0"]),
+        _node("Unsqueeze", ["out_scores0", "unsq_ax"], ["out_scores"]),
+    ]
+    inits = [
+        _tensor("w_conv", w_conv), _tensor("w_box", w_box),
+        _tensor("w_cls", w_cls), _tensor("anchors", anchors),
+        _tensor("scale_d", np.full((1, n_anchors, 4), 0.2, np.float32)),
+        _tensor("shape2", np.array([0, -1], dtype=np.int64)),
+        _tensor("shape_b", np.array([1, n_anchors, 4], dtype=np.int64)),
+        _tensor("shape_c", np.array([1, n_anchors, 2], dtype=np.int64)),
+        _tensor("maxout", np.array([n_anchors], dtype=np.int64)),
+        _tensor("iou_thr", np.array([0.5], dtype=np.float32)),
+        _tensor("sl_st", np.array([2], dtype=np.int64)),
+        _tensor("sl_en", np.array([3], dtype=np.int64)),
+        _tensor("sl_ax", np.array([1], dtype=np.int64)),
+        _tensor("cl_st", np.array([1], dtype=np.int64)),
+        _tensor("cl_en", np.array([2], dtype=np.int64)),
+        _tensor("sq_ax", np.array([1], dtype=np.int64)),
+        _tensor("sq0_ax", np.array([0], dtype=np.int64)),
+        _tensor("unsq_ax", np.array([0], dtype=np.int64)),
+        _tensor("unsq1_ax", np.array([1], dtype=np.int64)),
+    ]
+    model = _model(nodes, inits, ["input_1"],
+                   ["out_boxes", "out_scores", "out_labels"])
+    return model
+
+
+def test_detector_through_retinanet_style_graph(tmp_path):
+    """End-to-end Detector.detect over a graph using the real detector
+    export's op chain (conv -> Exp box decode -> NMS -> gathers)."""
+    model = _retinanet_style_graph()
+    ckpt = tmp_path / "detector_v2.onnx"
+    ckpt.write_bytes(model)
+    rs = np.random.RandomState(1)
+    img = rs.randint(0, 255, (120, 100, 3), dtype=np.uint8)
+    img_path = str(tmp_path / "i.png")
+    Image.fromarray(img).save(img_path)
+
+    det = Detector(str(ckpt))
+    res = det.detect(img_path, min_prob=0.0)
+    assert len(res) >= 1
+    for r in res:
+        assert set(r) == {"box", "score", "label"}
+        assert 0.0 <= r["score"] <= 1.0
+        assert r["label"] in det.classes
+        assert len(r["box"]) == 4
+    # min_prob above all sigmoids filters everything
+    assert det.detect(img_path, min_prob=1.01) == []
