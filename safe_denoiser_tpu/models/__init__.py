@@ -10,6 +10,7 @@ from .clip_vision import (
     preprocess_clip,
 )
 from .fourier import FreeUConfig
+from .openclip_factory import create_model_and_transforms
 from .mmdit import MMDiT, MMDiTConfig, SD3_MEDIUM
 from .t5 import T5Config, T5Encoder, T5_XXL
 from .unet import SD14_UNET, UNet2DCondition, UNetConfig
@@ -20,7 +21,7 @@ __all__ = [
     "UNet2DCondition", "UNetConfig", "SD14_UNET",
     "CLIPTextModel", "CLIPTextConfig", "CLIP_VIT_L_14", "CLIP_BIG_G",
     "CLIPVisionModel", "CLIPVisionConfig", "CLIP_VISION_VIT_L_14",
-    "CLIP_VISION_VIT_B_32", "CLIP_VISION_VIT_H_14", "preprocess_clip",
+    "CLIP_VISION_VIT_B_32", "CLIP_VISION_VIT_H_14", "preprocess_clip", "create_model_and_transforms",
     "MMDiT", "MMDiTConfig", "SD3_MEDIUM",
     "T5Encoder", "T5Config", "T5_XXL",
     "FreeUConfig",
