@@ -37,7 +37,9 @@ BASELINE_10STEP = 7.5            # 5x the 50-step rate (per-step parity)
 BASELINE_SD3 = 0.125             # A100-class SD3-medium 50-step 1024^2
 STEPS = 50
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
-BANK_M = 515  # i2p_sexual bank size (reference caches/sd/i2p_sexual)
+BANK_M = int(os.environ.get("BENCH_BANK_M", "515"))  # i2p_sexual bank
+# (reference caches/sd/i2p_sexual); CoPro uses a 3,000-image bank -> set
+# BENCH_BANK_M=3000 for BASELINE config 4
 
 
 def _emit(metric, value, baseline):
@@ -97,7 +99,7 @@ def _time_run(run, args, n_rounds=3):
     return dt, n_rounds
 
 
-def bench_sd14(steps=STEPS, scheduler_kind="ddpm"):
+def bench_sd14(steps=STEPS, scheduler_kind="ddpm", rep=None):
     from safe_denoiser_tpu.pipeline import (
         GuidanceConfig, RepellencyWindow, sample_sd)
     from safe_denoiser_tpu.repellency import RepellencyConfig
@@ -107,8 +109,9 @@ def bench_sd14(steps=STEPS, scheduler_kind="ddpm"):
     unet_apply, params, latents, text, refs = _sd14_setup()
     sched = DDPMScheduler() if scheduler_kind == "ddpm" \
         else DDIMScheduler(DDIMConfig())
-    rep = RepellencyConfig(method="kernel_fast", sigma=3.15, scale=0.33,
-                           beta_threshold=7.0, use_beta_gate=True)
+    if rep is None:
+        rep = RepellencyConfig(method="kernel_fast", sigma=3.15, scale=0.33,
+                               beta_threshold=7.0, use_beta_gate=True)
 
     @jax.jit
     def run(params, latents, text, refs, rng):
@@ -268,6 +271,16 @@ def main():
             print(f"[bench] {name} FAILED:", file=sys.stderr)
             traceback.print_exc()
 
+    # BASELINE configs 3/4 as on-demand variants (not in the default set to
+    # keep the driver's bench run bounded): artist sparse repellency and the
+    # CoPro 3k-image kernel_fast bank (BENCH_BANK_M=3000 BENCH_ONLY=...)
+    if only == "sd14_sparse":
+        from safe_denoiser_tpu.repellency import RepellencyConfig
+        _emit("sd14_50step_sparse_repellency_throughput",
+              bench_sd14(rep=RepellencyConfig(
+                  method="sparse", radius=38.746, scale=1.6)),
+              BASELINE_IMG_PER_SEC)
+        return
     if not fast:
         if only in (None, "sd14_10"):
             _try("sd14_10step_ddim_safe_denoiser_throughput",
