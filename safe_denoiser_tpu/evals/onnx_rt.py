@@ -458,14 +458,15 @@ def run_graph(graph: Graph, feeds: dict[str, np.ndarray],
             r = np.asarray(i[0].shape, dtype=np.int64)
         elif op == "Gather":
             r = np.take(i[0], i[1].astype(np.int64), axis=a.get("axis", 0))
-        elif op == "ReduceMean":
+        elif op in ("ReduceMean", "ReduceMax"):
+            # opset<18 passes axes as an attribute; opset-18 moved them to
+            # input 1 (optional — absent means reduce over all axes)
             axes = a.get("axes")
-            r = i[0].mean(axis=tuple(axes) if axes else None,
-                          keepdims=bool(a.get("keepdims", 1)))
-        elif op == "ReduceMax":
-            axes = a.get("axes")
-            r = i[0].max(axis=tuple(axes) if axes else None,
-                         keepdims=bool(a.get("keepdims", 1)))
+            if axes is None and len(i) > 1 and i[1] is not None:
+                axes = [int(v) for v in np.asarray(i[1]).reshape(-1)]
+            red = i[0].mean if op == "ReduceMean" else i[0].max
+            r = red(axis=tuple(axes) if axes else None,
+                    keepdims=bool(a.get("keepdims", 1)))
         elif op == "Exp":
             r = np.exp(i[0])
         elif op == "Log":
@@ -539,7 +540,9 @@ def run_graph(graph: Graph, feeds: dict[str, np.ndarray],
                     order = np.argsort(-sc, kind="stable")
                     order = order[sc[order] > score_thr]
                     keep = []
-                    while order.size and (not max_out or len(keep) < max_out):
+                    # ONNX spec: max_output_boxes_per_class=0 (the default)
+                    # selects NO boxes — not unlimited
+                    while order.size and len(keep) < max_out:
                         b0 = order[0]
                         keep.append(b0)
                         rest = order[1:]
@@ -554,6 +557,9 @@ def run_graph(graph: Graph, feeds: dict[str, np.ndarray],
                     selected += [[n_i, c_i, int(b)] for b in keep]
             r = np.asarray(selected, dtype=np.int64).reshape(-1, 3)
         elif op == "GatherND":
+            if a.get("batch_dims", 0):
+                raise NotImplementedError(
+                    "ONNX GatherND batch_dims >= 1 not supported")
             data, idx = i[0], i[1].astype(np.int64)
             r = data[tuple(np.moveaxis(idx, -1, 0))]
         else:

@@ -224,7 +224,10 @@ def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                    sm_scale: float, interpret: bool = False) -> jax.Array:
     """Unmasked self-attention over [B, S, H, D] inputs (flax convention).
 
-    Returns [B, S, H, D] in v.dtype. Seq must be a multiple of 512.
+    Returns [B, S, H, D] in v.dtype. Seq >= 512; non-512-multiple sequences
+    (e.g. SD3's 4096+333 joint tokens) are zero-padded to the block grid and
+    the padded tail keys are -inf-masked inside the kernel (padded query
+    rows are computed and sliced off).
 
     Two layouts, SDT_FLASH2_LAYOUT={bhsd|bshd}: `bhsd` (default)
     pre-transposes K to [BH, D, S] so the in-kernel matmuls are both natural

@@ -342,3 +342,32 @@ def test_gather_nd():
     idx = np.array([[0, 1], [1, 2]], dtype=np.int64)
     got, = _run_single("GatherND", ["x", "i"], {"x": data, "i": idx})
     np.testing.assert_array_equal(got, data[[0, 1], [1, 2]])
+
+
+def test_nms_max_out_zero_selects_nothing():
+    # ONNX spec: max_output_boxes_per_class=0 (the default) selects NO boxes
+    boxes = np.array([[[0, 0, 1, 1], [0, 0, 1, 1.1]]], dtype=np.float32)
+    scores = np.array([[[0.9, 0.8]]], dtype=np.float32)
+    sel, = _run_single("NonMaxSuppression", ["b", "s", "m"],
+                       {"b": boxes, "s": scores,
+                        "m": np.array([0], dtype=np.int64)})
+    assert sel.shape == (0, 3)
+
+
+def test_gather_nd_batch_dims_unsupported():
+    data = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    idx = np.array([[0, 1], [1, 2]], dtype=np.int64)
+    with pytest.raises(NotImplementedError):
+        _run_single("GatherND", ["x", "i"], {"x": data, "i": idx},
+                    attrs=_attr_int("batch_dims", 1))
+
+
+def test_reduce_axes_as_input():
+    # opset-18 moved ReduceMean/ReduceMax axes to input 1
+    x = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    got, = _run_single("ReduceMean", ["x", "ax"],
+                       {"x": x, "ax": np.array([1], dtype=np.int64)})
+    np.testing.assert_allclose(got, x.mean(axis=1, keepdims=True))
+    got, = _run_single("ReduceMax", ["x", "ax"],
+                       {"x": x, "ax": np.array([0, 2], dtype=np.int64)})
+    np.testing.assert_allclose(got, x.max(axis=(0, 2), keepdims=True))
