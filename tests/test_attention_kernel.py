@@ -23,13 +23,15 @@ def einsum_ref(q, k, v, scale):
     return jnp.einsum("bhqk,bkhd->bqhd", w, v.astype(jnp.float32))
 
 
+@pytest.mark.parametrize("layout", ["nt", "bhsd"])
 @pytest.mark.parametrize("shape", [
     (1, 512, 2, 40),    # SD-1.4 level-1 head_dim
     (2, 1024, 2, 80),   # level-2
     (1, 512, 1, 160),   # level-3/mid
     (1, 512, 1, 128),   # generic full-lane head
 ])
-def test_matches_einsum_f32(shape):
+def test_matches_einsum_f32(shape, layout, monkeypatch):
+    monkeypatch.setenv("SDT_FLASH2_LAYOUT", layout)
     b, s, h, d = shape
     rng = jax.random.PRNGKey(0)
     q = jax.random.normal(rng, shape, jnp.float32)
@@ -113,10 +115,12 @@ def test_layout_anchor_identity():
     assert layout_anchor(x) is x
 
 
-def test_flash2_padded_non_multiple_seq_matches_einsum():
+@pytest.mark.parametrize("layout", ["nt", "bhsd"])
+def test_flash2_padded_non_multiple_seq_matches_einsum(layout, monkeypatch):
     """SD3's joint sequence (img 4096 + text 333) is not a 512 multiple; the
     kernel zero-pads and -inf-masks the tail keys. Golden vs einsum at a
     shrunken analogue (600 = 512 + 88)."""
+    monkeypatch.setenv("SDT_FLASH2_LAYOUT", layout)
     rng = np.random.RandomState(3)
     b, s, h, d = 2, 600, 3, 64
     q = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))

@@ -24,6 +24,10 @@ from safe_denoiser_tpu.schedulers import (
 
 GOLDEN = json.load(open(os.path.join(os.path.dirname(__file__), "golden",
                                      "scheduler_golden.json")))
+# provenance is stamped by the generator: "torch_transcription" today;
+# re-run tests/golden/generate_scheduler_golden.py under an environment with
+# diffusers to upgrade to true library goldens (VERDICT r2 Missing #3)
+GOLDEN_PROVENANCE = GOLDEN.pop("_provenance", "unstamped")
 SAMPLE = jnp.asarray([0.73, -1.91, 0.244, 3.5], dtype=jnp.float32)
 EPS = jnp.asarray([-0.31, 0.62, -1.55, 0.09], dtype=jnp.float32)
 
