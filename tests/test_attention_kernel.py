@@ -23,7 +23,7 @@ def einsum_ref(q, k, v, scale):
     return jnp.einsum("bhqk,bkhd->bqhd", w, v.astype(jnp.float32))
 
 
-@pytest.mark.parametrize("layout", ["nt", "bhsd"])
+@pytest.mark.parametrize("layout", ["nt", "bhsd", "nt_repack"])
 @pytest.mark.parametrize("shape", [
     (1, 512, 2, 40),    # SD-1.4 level-1 head_dim
     (2, 1024, 2, 80),   # level-2
@@ -31,7 +31,11 @@ def einsum_ref(q, k, v, scale):
     (1, 512, 1, 128),   # generic full-lane head
 ])
 def test_matches_einsum_f32(shape, layout, monkeypatch):
-    monkeypatch.setenv("SDT_FLASH2_LAYOUT", layout)
+    if layout == "nt_repack":
+        monkeypatch.setenv("SDT_FLASH2_LAYOUT", "nt")
+        monkeypatch.setenv("SDT_ATTN_REPACK", "1")
+    else:
+        monkeypatch.setenv("SDT_FLASH2_LAYOUT", layout)
     b, s, h, d = shape
     rng = jax.random.PRNGKey(0)
     q = jax.random.normal(rng, shape, jnp.float32)
@@ -102,6 +106,21 @@ def test_block_shapes_partition():
                                atol=2e-4, rtol=2e-4)
 
 
+def test_repack_kernels_roundtrip():
+    """repack_to_heads/repack_from_heads == the XLA transposes, bit-exact."""
+    from safe_denoiser_tpu.ops.attention import (repack_from_heads,
+                                                 repack_to_heads)
+
+    rng = np.random.RandomState(5)
+    b, s, h, d = 2, 1024, 8, 40
+    x = jnp.asarray(rng.randn(b, s, h * d).astype(np.float32))
+    want = jnp.transpose(x.reshape(b, s, h, d), (0, 2, 1, 3))
+    got = repack_to_heads(x, h, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    back = repack_from_heads(got, interpret=True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
 def test_layout_anchor_identity():
     """ops/layout_anchor.py (a measured-negative perf experiment kept for
     future Mosaic versions) must be a bit-exact identity."""
@@ -115,12 +134,16 @@ def test_layout_anchor_identity():
     assert layout_anchor(x) is x
 
 
-@pytest.mark.parametrize("layout", ["nt", "bhsd"])
+@pytest.mark.parametrize("layout", ["nt", "bhsd", "nt_repack"])
 def test_flash2_padded_non_multiple_seq_matches_einsum(layout, monkeypatch):
     """SD3's joint sequence (img 4096 + text 333) is not a 512 multiple; the
     kernel zero-pads and -inf-masks the tail keys. Golden vs einsum at a
     shrunken analogue (600 = 512 + 88)."""
-    monkeypatch.setenv("SDT_FLASH2_LAYOUT", layout)
+    if layout == "nt_repack":
+        monkeypatch.setenv("SDT_FLASH2_LAYOUT", "nt")
+        monkeypatch.setenv("SDT_ATTN_REPACK", "1")
+    else:
+        monkeypatch.setenv("SDT_FLASH2_LAYOUT", layout)
     rng = np.random.RandomState(3)
     b, s, h, d = 2, 600, 3, 64
     q = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
