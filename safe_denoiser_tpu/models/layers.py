@@ -203,6 +203,22 @@ class Attention(nn.Module):
         return dense(self.out_dim or x.shape[-1], self.use_out_bias, "to_out")(out)
 
 
+def _gelu_for(dtype) -> Callable:
+    """Exact-erf gelu for f32; tanh-form for bf16 compute.
+
+    Measured on v5e (r3 microbench, [32768, 1280] GEGLU gate): XLA's f32 erf
+    polynomial costs +0.48 ms per level-0 transformer layer — 77% of the
+    layer's entire matmul bill — while the tanh form is free (+0.01 ms).
+    max|gelu_erf - gelu_tanh| = 4.8e-4 absolute over all x, below the bf16
+    resolution of the activations it feeds (ulp(1.0)=3.9e-3), so under bf16
+    compute the two are within quantization noise of each other. f32 compute
+    (CPU tests, parity harnesses) keeps the exact erf the torch reference
+    uses. Opt out with SDT_FAST_GELU=0."""
+    if dtype == jnp.bfloat16 and os.environ.get("SDT_FAST_GELU", "1") == "1":
+        return lambda x: nn.gelu(x, approximate=True)
+    return lambda x: nn.gelu(x, approximate=False)
+
+
 class GEGLU(nn.Module):
     dim_out: int
     dtype: Dtype = jnp.float32
@@ -211,7 +227,7 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate, approximate=False)
+        return h * _gelu_for(self.dtype)(gate)
 
 
 class FeedForward(nn.Module):
@@ -227,8 +243,8 @@ class FeedForward(nn.Module):
         if self.activation == "geglu":
             h = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
         elif self.activation == "gelu":
-            h = nn.gelu(nn.Dense(inner, dtype=self.dtype, name="net_0")(x),
-                        approximate=False)
+            h = _gelu_for(self.dtype)(
+                nn.Dense(inner, dtype=self.dtype, name="net_0")(x))
         elif self.activation == "gelu-approximate":
             h = nn.gelu(nn.Dense(inner, dtype=self.dtype, name="net_0")(x),
                         approximate=True)

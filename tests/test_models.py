@@ -94,3 +94,20 @@ def test_t5_encoder():
     params = model.init(jax.random.PRNGKey(0), ids)
     out = jax.jit(model.apply)(params, ids)
     assert out.shape == (1, 6, 32)
+
+
+def test_fast_gelu_bound_and_gating():
+    """bf16 compute uses the tanh-form gelu (SDT_FAST_GELU default on);
+    f32 keeps the exact erf. The forms differ by <= 4.8e-4 absolute
+    everywhere — below bf16 activation resolution (layers._gelu_for)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from safe_denoiser_tpu.models.layers import _gelu_for
+
+    x = jnp.asarray(np.linspace(-12.0, 12.0, 20001), dtype=jnp.float32)
+    exact = jax.nn.gelu(x, approximate=False)
+    fast = _gelu_for(jnp.bfloat16)(x)
+    assert float(jnp.max(jnp.abs(fast - exact))) <= 4.8e-4
+    # f32 path is the exact erf form
+    np.testing.assert_array_equal(np.asarray(_gelu_for(jnp.float32)(x)),
+                                  np.asarray(exact))
