@@ -37,6 +37,18 @@ def _group_onehot(c: int, groups: int) -> np.ndarray:
     return m
 
 
+def _fast_act_ok(dtype) -> bool:
+    """Apply the trailing activation at bf16 instead of f32 when the output
+    is bf16 anyway. The normalized value is cast to bf16 for the next conv
+    regardless, so silu(bf16(y)) differs from bf16(silu_f32(y)) by ~1 ulp —
+    while XLA's f32 sigmoid costs ~2x the whole GroupNorm (measured r3:
+    0.067 vs 0.048 ms per level-0 norm, ~0.5 ms/step over the UNet's 109
+    norm+silu sites). Stats stay fp32 always. Opt out: SDT_FAST_SILU=0."""
+    import os
+    return (dtype == jnp.bfloat16
+            and os.environ.get("SDT_FAST_SILU", "1") == "1")
+
+
 def group_norm_ref(x: jax.Array, scale: jax.Array, bias: jax.Array,
                    groups: int, epsilon: float = 1e-6,
                    act: str | None = None) -> jax.Array:
@@ -48,6 +60,9 @@ def group_norm_ref(x: jax.Array, scale: jax.Array, bias: jax.Array,
     y = (xf - mean) * jax.lax.rsqrt(var + epsilon)
     y = y.reshape(b, s, c) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if act == "silu":
+        if _fast_act_ok(x.dtype):
+            y = y.astype(x.dtype)
+            return y * jax.nn.sigmoid(y)
         y = y * jax.nn.sigmoid(y)
     return y.astype(x.dtype)
 
@@ -57,7 +72,7 @@ _S_TILE = 512
 
 def _gn_kernel(x_ref, scale_ref, bias_ref, onehot_ref, out_ref,
                *, groups: int, epsilon: float, act: str | None,
-               n_per_group: float):
+               n_per_group: float, fast_act: bool = False):
     """x stays VMEM-resident in the input dtype; fp32 temporaries exist only
     per S-tile, keeping scoped VMEM under the 16 MB v5e limit."""
     s = x_ref.shape[1]
@@ -98,7 +113,11 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, onehot_ref, out_ref,
         xc = x_ref[0, pl.ds(i * tile, tile), :].astype(jnp.float32)
         y = xc * a[None, :] + b[None, :]
         if act == "silu":
-            y = y * jax.nn.sigmoid(y)
+            if fast_act:  # match group_norm_ref's bf16-act numerics
+                y = y.astype(out_ref.dtype)
+                y = (y * jax.nn.sigmoid(y)).astype(jnp.float32)
+            else:
+                y = y * jax.nn.sigmoid(y)
         out_ref[0, pl.ds(i * tile, tile), :] = y.astype(out_ref.dtype)
         return 0
 
@@ -115,7 +134,8 @@ def group_norm_pallas(x: jax.Array, scale: jax.Array, bias: jax.Array,
     b, s, c = x.shape
     onehot = jnp.asarray(_group_onehot(c, groups))
     kernel = functools.partial(_gn_kernel, groups=groups, epsilon=epsilon,
-                               act=act, n_per_group=float(s * (c // groups)))
+                               act=act, n_per_group=float(s * (c // groups)),
+                               fast_act=_fast_act_ok(x.dtype))
     return pl.pallas_call(
         kernel,
         grid=(b,),
