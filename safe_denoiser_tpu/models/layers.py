@@ -84,6 +84,11 @@ class GroupNorm32(nn.Module):
 
 
 class LayerNormFp32(nn.Module):
+    """LayerNorm with fp32 statistics. Under bf16 compute the scale/bias
+    application happens at bf16 (the output is cast to bf16 regardless, so
+    this differs by ~1 ulp while halving the elementwise bandwidth — same
+    argument as ops/group_norm._fast_act_ok). SDT_FAST_SILU=0 opts out."""
+
     epsilon: float = 1e-5
     use_bias: bool = True
     use_scale: bool = True
@@ -91,9 +96,11 @@ class LayerNormFp32(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
+        from ..ops.group_norm import _fast_act_ok
+        apply_dtype = orig_dtype if _fast_act_ok(orig_dtype) else jnp.float32
         x = nn.LayerNorm(epsilon=self.epsilon, use_bias=self.use_bias,
                          use_scale=self.use_scale,
-                         dtype=jnp.float32, param_dtype=jnp.float32)(
+                         dtype=apply_dtype, param_dtype=jnp.float32)(
             x.astype(jnp.float32))
         return x.astype(orig_dtype)
 
