@@ -1,10 +1,13 @@
 """Benchmarks: safe-denoiser sampling throughput per chip, one JSON line each.
 
-Covers the driver's benchmark configurations (BASELINE.md 1-5):
+Covers ALL the driver's benchmark configurations (BASELINE.md 1-5), six
+JSON lines in the default run:
   * sd14_10step_ddim   — config #1: 10-step DDIM nudity scan
   * sd14_e2e           — whole pipeline: tokenize → CLIP encode → 50-step
                          scan → VAE decode (the reference's per-image
                          wall-clock region, run_nudity.py:414-464)
+  * sd14_sparse        — config #3: artist-erasure sparse (SPELL) repellency
+  * sd14_bank3k        — config #4: CoPro's 3,000-image kernel_fast bank
   * sd3_50step         — config #5: SD3-medium MMDiT flow-matching scan with
                          the fast_sdv3 repellency renoising
   * sd14_50step (LAST) — the headline metric the driver parses: SD-v1.4
@@ -15,8 +18,8 @@ Covers the driver's benchmark configurations (BASELINE.md 1-5):
                          vs_baseline denominator.
 
 The driver records the tail and parses the LAST JSON line, so the headline
-prints last. BENCH_ONLY=sd14|sd14_10|sd14_e2e|sd3 runs a single config;
-BENCH_FAST=1 skips everything but the headline (useful under tight time).
+prints last. BENCH_ONLY=sd14|sd14_10|sd14_e2e|sd14_sparse|sd14_bank3k|sd3
+runs a single config; BENCH_FAST=1 skips everything but the headline.
 """
 
 from __future__ import annotations
@@ -187,20 +190,28 @@ def bench_sd14_e2e():
 
     rs = np.random.RandomState(0)
 
-    def full(rng_key):
+    def dispatch(rng_key):
         # host-side tokenize stand-in: the BPE cost is microseconds/prompt
         ids = jnp.asarray(rs.randint(0, 49408, (2 * BATCH, 77)),
                           dtype=jnp.int32)
         text = encode(clip_params, ids)
         lat = scan(unet_params, text, latents, refs, rng_key)
-        img = decode(vae_params, lat)
-        return np.asarray(img)  # host transfer, like PIL save
+        return decode(vae_params, lat)
 
-    full(jax.random.PRNGKey(1))
+    # double-buffered: batch i's host transfer (np.asarray, the PIL-save
+    # stand-in) overlaps batch i+1's on-device scan — jax dispatch is async,
+    # so only the LAST conversion waits on the device (VERDICT r2 item 2:
+    # the serial np.asarray between stages was dead time)
+    np.asarray(dispatch(jax.random.PRNGKey(1)))  # warmup, fully real
     n_rounds = 3
     t0 = time.perf_counter()
+    pending = None
     for i in range(n_rounds):
-        full(jax.random.PRNGKey(2 + i))
+        img = dispatch(jax.random.PRNGKey(2 + i))
+        if pending is not None:
+            np.asarray(pending)
+        pending = img
+    np.asarray(pending)
     dt = time.perf_counter() - t0
     return (n_rounds * BATCH) / dt
 
@@ -271,16 +282,21 @@ def main():
             print(f"[bench] {name} FAILED:", file=sys.stderr)
             traceback.print_exc()
 
-    # BASELINE configs 3/4 as on-demand variants (not in the default set to
-    # keep the driver's bench run bounded): artist sparse repellency and the
-    # CoPro 3k-image kernel_fast bank (BENCH_BANK_M=3000 BENCH_ONLY=...)
-    if only == "sd14_sparse":
+    def _sd14_sparse():
+        # BASELINE config 3: artist-erasure sparse (SPELL) repellency
         from safe_denoiser_tpu.repellency import RepellencyConfig
-        _emit("sd14_50step_sparse_repellency_throughput",
-              bench_sd14(rep=RepellencyConfig(
-                  method="sparse", radius=38.746, scale=1.6)),
-              BASELINE_IMG_PER_SEC)
-        return
+        return bench_sd14(rep=RepellencyConfig(
+            method="sparse", radius=38.746, scale=1.6))
+
+    def _sd14_bank3k():
+        # BASELINE config 4: CoPro's 3,000-image kernel_fast bank
+        global BANK_M
+        saved, BANK_M = BANK_M, 3000
+        try:
+            return bench_sd14()
+        finally:
+            BANK_M = saved
+
     if not fast:
         if only in (None, "sd14_10"):
             _try("sd14_10step_ddim_safe_denoiser_throughput",
@@ -288,6 +304,12 @@ def main():
                  BASELINE_10STEP)
         if only in (None, "sd14_e2e"):
             _try("sd14_50step_e2e_pipeline_throughput", bench_sd14_e2e,
+                 BASELINE_IMG_PER_SEC)
+        if only in (None, "sd14_sparse"):
+            _try("sd14_50step_sparse_repellency_throughput", _sd14_sparse,
+                 BASELINE_IMG_PER_SEC)
+        if only in (None, "sd14_bank3k"):
+            _try("sd14_50step_bank3000_throughput", _sd14_bank3k,
                  BASELINE_IMG_PER_SEC)
         if only in (None, "sd3"):
             _try("sd3_50step_safe_denoiser_throughput", bench_sd3,

@@ -83,25 +83,19 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        # NOTE(perf, measured on v5e): the flash2 custom-call's row-major
-        # operand constraint makes XLA lay the whole block out seq-minor,
-        # which puts the ff/out-proj matmuls ~5x off the MXU roofline. Every
-        # attempted round-2 fix measured SLOWER end-to-end than letting XLA
-        # choose: 2-D-flattened dense ops 1.345, Pallas layout anchors on the
-        # block outputs (ops/layout_anchor.py, SDT_LAYOUT_ANCHOR=1) 1.396,
-        # natural-layout bshd kernel 0.69 — vs 1.426 img/s for this code.
-        # The anchor A/B was within the compile-drift band (VERDICT r2 Weak
-        # #6), so it stays wired behind SDT_LAYOUT_ANCHOR=1 for same-session
-        # re-measurement.
-        import os
-
-        from ..ops.layout_anchor import layout_anchor
-        anchor = (layout_anchor
-                  if os.environ.get("SDT_LAYOUT_ANCHOR") == "1"
-                  else (lambda y: y))
+        # NOTE(perf, settled round 3 — see tools_block_trace.py): the round-1
+        # "flash2 anchors a seq-minor layout that slows the ff/qkv matmuls"
+        # theory is REFUTED. A 4-variant same-session block-level trace A/B
+        # (bhsd 5.013 ms / nt 5.092 / nt+repack-with-zero-HLO-transposes
+        # 5.096 / Pallas layout anchors 5.120) shows identical matmul-fusion
+        # times in every variant; the matmuls sit at their intrinsic
+        # lane-padding ceiling (C=320 -> 384 on both contraction and output:
+        # ~69-83%). The real round-2 gap was the f32 erf gelu + f32 sigmoid
+        # (see _gelu_for / ops.group_norm._fast_act_ok). The layout-anchor
+        # module was deleted after losing its re-run.
         h = LayerNormFp32(name="norm1")(x)
-        x = anchor(x + Attention(self.num_heads, self.head_dim,
-                                 dtype=self.dtype, name="attn1")(h))
+        x = x + Attention(self.num_heads, self.head_dim, dtype=self.dtype,
+                          name="attn1")(h)
         h = LayerNormFp32(name="norm2")(x)
         x = x + Attention(self.num_heads, self.head_dim,
                           context_dim=self.context_dim, dtype=self.dtype,

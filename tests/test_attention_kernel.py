@@ -121,19 +121,6 @@ def test_repack_kernels_roundtrip():
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
 
-def test_layout_anchor_identity():
-    """ops/layout_anchor.py (a measured-negative perf experiment kept for
-    future Mosaic versions) must be a bit-exact identity."""
-    from safe_denoiser_tpu.ops.layout_anchor import _anchor_3d, layout_anchor
-
-    x = jnp.asarray(np.random.RandomState(0).randn(2, 512, 320),
-                    dtype=jnp.float32)
-    np.testing.assert_array_equal(np.asarray(_anchor_3d(x, interpret=True)),
-                                  np.asarray(x))
-    # the dispatcher is a no-op off-TPU
-    assert layout_anchor(x) is x
-
-
 @pytest.mark.parametrize("layout", ["nt", "bhsd", "nt_repack"])
 def test_flash2_padded_non_multiple_seq_matches_einsum(layout, monkeypatch):
     """SD3's joint sequence (img 4096 + text 333) is not a 512 multiple; the
