@@ -97,10 +97,11 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        # NOTE: profiled alternatives on v5e — a reshape+broadcast nearest-2x
-        # shifts cost into the following conv's relayout and is net slower;
-        # resize's gather fusion wins end to end.
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        # broadcast-reshape nearest-2x: r3 probe at [4,256,256,512] bf16
+        # measured 0.20 ms vs jax.image.resize's gather lowering at 0.69 ms
+        # (select fusions + copies); decode-level trace confirmed the win
+        x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                             (b, h, 2, w, 2, c)).reshape(b, h * 2, w * 2, c)
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv")(x)
 

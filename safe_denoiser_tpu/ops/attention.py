@@ -351,10 +351,18 @@ def repack_from_heads(x: jax.Array, interpret: bool = False) -> jax.Array:
 
 
 def supports(s_q: int, s_kv: int, head_dim: int, block_q: int = 512) -> bool:
-    """Shapes this kernel handles: unmasked self-attention, head dim within
-    two lane tiles (SD uses 40/80/160; SD3 64). Non-512-multiple sequences
-    (SD3's 4096+333 joint tokens) are zero-padded and tail-masked."""
-    return s_q == s_kv and head_dim <= 256 and s_q >= block_q
+    """Shapes this kernel handles: unmasked self-attention with head dim
+    within two lane tiles (SD uses 40/80/160; SD3 64) — or a WIDE full-lane
+    head (the VAE mid-block single-head D=512 attention, routed to the bshd
+    kernel: without it the einsum path materializes [S, S] f32 logits,
+    268 MB per 512^2 image, ~150 ms of the VAE decode). Non-512-multiple
+    sequences (SD3's 4096+333 joint tokens) are zero-padded and
+    tail-masked."""
+    if s_q != s_kv or s_q < block_q:
+        return False
+    if head_dim > 256:  # wide-head: bshd kernel, no padding, needs 512-grid
+        return head_dim % 128 == 0 and head_dim <= 1024 and s_q % 512 == 0
+    return True
 
 
 def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -387,6 +395,11 @@ def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     b, s, h, d = q.shape
     layout = os.environ.get("SDT_FLASH2_LAYOUT", "bhsd")
     compute_dtype = jnp.bfloat16 if v.dtype == jnp.bfloat16 else jnp.float32
+    if d > 256:
+        # wide full-lane head (VAE mid-block: H=1, D=512): the bshd kernel
+        # has no lane padding or head-split cost here and takes the natural
+        # layout directly
+        layout = "bshd"
     if layout == "bshd" and s % 512 == 0:
         out = _self_attention_bshd(q.astype(compute_dtype),
                                    k.astype(compute_dtype),

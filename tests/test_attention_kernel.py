@@ -87,7 +87,9 @@ def test_supports_predicate():
     assert not supports(256, 256, 160)    # below block size
     assert supports(640, 640, 40)         # non-multiple: padded + tail-masked
     assert supports(4429, 4429, 64)       # SD3 joint sequence
-    assert not supports(512, 512, 512)    # VAE single-head (too-wide head)
+    assert supports(4096, 4096, 512)      # VAE mid-block single wide head
+    assert not supports(640, 640, 512)    # wide head needs the 512 grid
+    assert not supports(512, 512, 300)    # wide head must be full-lane
 
 
 def test_block_shapes_partition():
@@ -102,6 +104,21 @@ def test_block_shapes_partition():
     logits = jnp.einsum("bqd,bdk->bqk", q * scale, kt)
     ref = jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(logits, -1), v)
     got = _self_attention_bhsd(q, kt, v, sm_scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_wide_head_routes_to_bshd_and_matches_einsum():
+    """The VAE mid-block shape (H=1, D=512) must route to the bshd kernel
+    regardless of SDT_FLASH2_LAYOUT and match the einsum reference."""
+    rng = jax.random.PRNGKey(21)
+    b, s, h, d = 2, 512, 1, 512
+    q = jax.random.normal(rng, (b, s, h, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (b, s, h, d))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (b, s, h, d))
+    scale = d ** -0.5
+    ref = einsum_ref(q, k, v, scale)
+    got = self_attention(q, k, v, scale, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
 

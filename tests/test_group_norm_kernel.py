@@ -46,3 +46,24 @@ def test_dispatch_cpu_fallback():
     x = jnp.ones((1, 60, 32))  # s not tile-divisible; cpu anyway
     out = group_norm(x, jnp.ones(32), jnp.zeros(32), 8)
     assert out.shape == x.shape
+
+
+def test_fast_bf16_formulation_matches_two_pass():
+    """The bf16 fast path (one-pass sum/sumsq over S, groups folded after,
+    bf16 affine apply) must match the two-pass f32 reference evaluated on
+    the SAME bf16-quantized input to within ~1 bf16 ulp."""
+    import numpy as np
+
+    rng = jax.random.PRNGKey(9)
+    xb = (jax.random.normal(rng, (2, 1024, 64), jnp.float32) * 2
+          + 5).astype(jnp.bfloat16)
+    sc = jax.random.normal(jax.random.fold_in(rng, 1), (64,)) * 0.5 + 1
+    bi = jax.random.normal(jax.random.fold_in(rng, 2), (64,)) * 0.1
+
+    fast = group_norm_ref(xb, sc, bi, 8, 1e-5, "silu")
+    # two-pass reference on the identical quantized input
+    want = group_norm_ref(xb.astype(jnp.float32), sc, bi, 8, 1e-5, "silu")
+    d = np.abs(np.asarray(fast, np.float32) - np.asarray(want, np.float32))
+    mag = np.abs(np.asarray(want)).max()
+    # ~3 bf16 ulp: one-pass stats + the bf16-rounded affine coefficients
+    assert d.max() <= 3.0 * mag * 2 ** -8
