@@ -67,3 +67,17 @@ def test_fast_bf16_formulation_matches_two_pass():
     mag = np.abs(np.asarray(want)).max()
     # ~3 bf16 ulp: one-pass stats + the bf16-rounded affine coefficients
     assert d.max() <= 3.0 * mag * 2 ** -8
+
+
+def test_gn_stats_kernel_matches_reduce():
+    """One-pass Pallas stats == the jnp reduces, over the chunked grid."""
+    import numpy as np
+    from safe_denoiser_tpu.ops.group_norm import gn_stats_pallas
+
+    rng = jax.random.PRNGKey(3)
+    x = (jax.random.normal(rng, (2, 2048, 256), jnp.float32) * 2
+         + 3).astype(jnp.bfloat16)
+    s1, s2 = gn_stats_pallas(x, interpret=True)
+    xf = np.asarray(x, np.float32)
+    np.testing.assert_allclose(np.asarray(s1), xf.sum(1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2), (xf * xf).sum(1), rtol=1e-5)
