@@ -148,11 +148,20 @@ class UpsampleT(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
+
         b, h, w, c = x.shape
-        # NOTE: profiled alternatives on v5e — a reshape+broadcast nearest-2x
-        # shifts cost into the following conv's relayout and is net slower;
-        # resize's gather fusion wins end to end.
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        # r2 note said resize's gather fusion beat reshape+broadcast in the
+        # scan; the r3 fusion landscape (fast gelu/silu) changed the
+        # neighbors, so the choice is env-switchable for same-session A/Bs
+        # (the VAE decoder measured rbroad clearly better and uses it
+        # unconditionally)
+        if os.environ.get("SDT_UPSAMPLE", "resize") == "rbroad":
+            x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                                 (b, h, 2, w, 2, c)).reshape(b, h * 2,
+                                                             w * 2, c)
+        else:
+            x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv")(x)
 

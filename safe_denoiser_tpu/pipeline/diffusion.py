@@ -151,14 +151,19 @@ class SafeDiffusionPipeline:
         self.logger = logger
         self.vae_scale_factor = 2 ** (len(vae.config.block_out_channels) - 1)
 
-        self._encode = jax.jit(
-            lambda ids: self.text_encoder.apply(self.text_params, ids))
-        self._vae_decode = jax.jit(
-            lambda z: self.vae.apply(self.vae_params, z,
-                                     method=AutoencoderKL.decode))
-        self._vae_encode = jax.jit(
-            lambda x, rng: self.vae.apply(self.vae_params, x, rng,
-                                          method=AutoencoderKL.sample_latent))
+        # params are passed as jit ARGUMENTS, never closed over: captured
+        # arrays become HLO constants, and at real scale (860M-param UNet)
+        # the inlined weights blow the remote-compile request limit
+        # (HTTP 413 — caught by tests/test_real_scale_drill.py)
+        _enc = jax.jit(lambda p, ids: self.text_encoder.apply(p, ids))
+        self._encode = lambda ids: _enc(self.text_params, ids)
+        _dec = jax.jit(
+            lambda p, z: self.vae.apply(p, z, method=AutoencoderKL.decode))
+        self._vae_decode = lambda z: _dec(self.vae_params, z)
+        _venc = jax.jit(
+            lambda p, x, rng: self.vae.apply(p, x, rng,
+                                             method=AutoencoderKL.sample_latent))
+        self._vae_encode = lambda x, rng: _venc(self.vae_params, x, rng)
 
     # -- constructors -------------------------------------------------------
     @classmethod
@@ -203,9 +208,8 @@ class SafeDiffusionPipeline:
         if "unet" in sd and not hasattr(sd["unet"], "shape"):
             sd = sd["unet"]
         self.unet_params = convert_unet(sd, self.unet.config)
-        # the jitted sampler closes over unet_params at trace time — drop the
-        # cached closure so the swapped weights actually take effect
-        self.__dict__.pop("_jitted_sample", None)
+        # params are jit arguments (not closed-over constants), so the
+        # swapped weights take effect without invalidating the cached jit
 
     # -- text encoding ------------------------------------------------------
     def encode_prompt(self, prompt: str, negative_prompt: Optional[str] = None,
@@ -247,14 +251,18 @@ class SafeDiffusionPipeline:
 
     # -- generation ---------------------------------------------------------
     @functools.cached_property
-    def _jitted_sample(self):
+    def _jitted_sample_fn(self):
+        """Params enter as jit ARGUMENTS (first two positions): closing over
+        them inlines the full weight set into the HLO as constants, which at
+        real scale exceeds the compile service's request limit (HTTP 413 —
+        tests/test_real_scale_drill.py) and bloats every recompile."""
         @functools.partial(
             jax.jit,
             static_argnames=("steps", "guidance", "repellency", "window",
                              "freeu", "height", "width"))
-        def run(text_embeds, text_embeds_alt, use_alt, refs, seeds,
-                guidance_scale, steps, guidance, repellency, window, freeu,
-                height, width):
+        def run(unet_params, text_embeds, text_embeds_alt,
+                use_alt, refs, seeds, guidance_scale, steps, guidance,
+                repellency, window, freeu, height, width):
             b = text_embeds.shape[1]
             single = (height // self.vae_scale_factor,
                       width // self.vae_scale_factor,
@@ -270,19 +278,26 @@ class SafeDiffusionPipeline:
             # its own seed (batched == row-wise, order-independent)
             samp_rng = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
             latents, applied = sample_sd(
-                lambda l, t, c, fu: self.unet.apply(self.unet_params, l, t, c,
+                lambda l, t, c, fu: self.unet.apply(unet_params, l, t, c,
                                                     freeu=fu),
                 self.scheduler, text_embeds, latents, samp_rng, steps,
                 guidance=guidance, repellency=repellency, refs_nchw=refs,
                 window=window, text_embeds_alt=text_embeds_alt,
                 use_alt_per_step=use_alt, freeu=freeu,
                 guidance_scale=guidance_scale)
-            image = self.vae.apply(
-                self.vae_params, latents / self.vae.config.scaling_factor,
-                method=AutoencoderKL.decode)
-            return latents, image, applied
+            return latents, applied
 
         return run
+
+    def _jitted_sample(self, *args, **kwargs):
+        """Scan and decode are SEPARATE jit programs: the fused mega-program
+        at full SD-1.4 scale kills the compile helper (SIGKILL — caught by
+        tests/test_real_scale_drill.py), and staging also lets decode of
+        batch i overlap the host work of batch i+1."""
+        latents, applied = self._jitted_sample_fn(self.unet_params, *args,
+                                                  **kwargs)
+        image = self._vae_decode(latents / self.vae.config.scaling_factor)
+        return latents, image, applied
 
     def _prepare_text(self, prompt, negative_prompt, negative_prompt_space,
                       sf, erase_spec, safe_config, num_inference_steps,

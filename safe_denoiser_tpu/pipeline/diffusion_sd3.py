@@ -75,9 +75,18 @@ class SafeDiffusion3Pipeline:
         self.vae_scale_factor = 2 ** (len(vae.config.block_out_channels) - 1)
         self.joint_dim = transformer.config.joint_attention_dim
 
-        self._enc_l = jax.jit(lambda ids: self.clip_l.apply(self.clip_l_params, ids))
-        self._enc_g = jax.jit(lambda ids: self.clip_g.apply(self.clip_g_params, ids))
-        self._enc_t5 = jax.jit(lambda ids: self.t5.apply(self.t5_params, ids))
+        # params as jit arguments, never closed over (closed-over arrays are
+        # inlined into the HLO as constants; at real scale the T5-XXL alone
+        # would blow the remote-compile request limit — see the HTTP 413
+        # note in diffusion.py)
+        _el = jax.jit(lambda p, ids: self.clip_l.apply(p, ids))
+        self._enc_l = lambda ids: _el(self.clip_l_params, ids)
+        _eg = jax.jit(lambda p, ids: self.clip_g.apply(p, ids))
+        self._enc_g = lambda ids: _eg(self.clip_g_params, ids)
+        _et = jax.jit(lambda p, ids: self.t5.apply(p, ids))
+        self._enc_t5 = lambda ids: _et(self.t5_params, ids)
+        self._vae_decode_jit = jax.jit(
+            lambda p, z: self.vae.apply(p, z, method=AutoencoderKL.decode))
 
     @classmethod
     def from_pretrained(cls, model_dir: str, logger=None):
@@ -174,13 +183,16 @@ class SafeDiffusion3Pipeline:
 
     # -- generation ---------------------------------------------------------
     @functools.cached_property
-    def _jitted_sample(self):
+    def _jitted_sample_fn(self):
+        """Transformer/VAE params enter as jit arguments (HTTP 413 note in
+        diffusion.py — the 2B-param MMDiT must not inline into the HLO)."""
         @functools.partial(
             jax.jit,
             static_argnames=("steps", "repellency", "window", "height",
                             "width"))
-        def run(text_embeds, pooled, refs, rng, guidance_scale, steps,
-                repellency, window, height, width):
+        def run(transformer_params, text_embeds, pooled, refs,
+                rng, guidance_scale, steps, repellency, window, height,
+                width):
             b = text_embeds.shape[1]
             lat_rng, samp_rng = jax.random.split(rng)
             c = self.transformer.config.in_channels
@@ -189,17 +201,22 @@ class SafeDiffusion3Pipeline:
             latents = jax.random.normal(lat_rng, shape, dtype=jnp.float32)
             latents, applied = sample_sd3(
                 lambda l, t, ctx, p: self.transformer.apply(
-                    self.transformer_params, l, t, ctx, p),
+                    transformer_params, l, t, ctx, p),
                 self.scheduler, text_embeds, pooled, latents, samp_rng, steps,
                 guidance_scale=guidance_scale, repellency=repellency,
                 refs_nchw=refs, window=window)
-            z = latents / self.vae.config.scaling_factor \
-                + self.vae.config.shift_factor
-            image = self.vae.apply(self.vae_params, z,
-                                   method=AutoencoderKL.decode)
-            return latents, image, applied
+            return latents, applied
 
         return run
+
+    def _jitted_sample(self, *args, **kwargs):
+        """Scan and decode as separate jits (SIGKILL note in diffusion.py)."""
+        latents, applied = self._jitted_sample_fn(self.transformer_params,
+                                                  *args, **kwargs)
+        z = latents / self.vae.config.scaling_factor \
+            + self.vae.config.shift_factor
+        image = self._vae_decode_jit(self.vae_params, z)
+        return latents, image, applied
 
     def __call__(self, prompt: str,
                  negative_prompt: Optional[str] = None,

@@ -76,7 +76,12 @@ def _write_full_checkpoint(root):
     import transformers
 
     torch.manual_seed(0)
-    hf_text = transformers.CLIPTextModel(transformers.CLIPTextConfig()).eval()
+    # CLIP-L/14 dims (SD-1.4's text_encoder) — transformers' default
+    # CLIPTextConfig is CLIP-base (512 wide), which this drill caught
+    hf_text = transformers.CLIPTextModel(transformers.CLIPTextConfig(
+        hidden_size=768, intermediate_size=3072, num_hidden_layers=12,
+        num_attention_heads=12, max_position_embeddings=77,
+        hidden_act="quick_gelu", projection_dim=768)).eval()
     tdir = os.path.join(root, "text_encoder")
     os.makedirs(tdir, exist_ok=True)
     save_file({k: v.numpy() for k, v in hf_text.state_dict().items()
