@@ -79,13 +79,22 @@ def _sd14_setup():
     return unet_apply, params, latents, text, refs
 
 
-def _time_run(run, args, n_rounds=3):
+def _time_run(run, args, n_rounds=3, min_seconds=6.0):
     import numpy as np
 
     def _arr(out):
         return out[0] if isinstance(out, tuple) else out
 
     np.asarray(_arr(run(*args, jax.random.PRNGKey(1))))  # warmup, fully real
+    # pilot round: short runs (10-step DDIM is ~0.5 s) must amortize the
+    # fixed dispatch/sync overhead over enough rounds or the throughput
+    # number measures the harness, not the scan. The pilot is timed via a
+    # host transfer (block_until_ready can lie through the tunnel), which
+    # overestimates by ~0.4 s of tunnel latency — conservative.
+    t0 = time.perf_counter()
+    np.asarray(_arr(run(*args, jax.random.PRNGKey(2))))
+    pilot = time.perf_counter() - t0
+    n_rounds = max(n_rounds, min(12, int(min_seconds / max(pilot, 1e-3))))
     t0 = time.perf_counter()
     for i in range(n_rounds):
         out = run(*args, jax.random.PRNGKey(2 + i))

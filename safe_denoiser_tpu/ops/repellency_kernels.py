@@ -120,7 +120,7 @@ def _rbf_kernel(x_ref, refs_ref, num_ref, beta_ref,
         beta_ref[:] = beta
 
 
-def _pick_tile_m(n: int, d: int, vmem_budget: int = 6 * 2 ** 20) -> int:
+def _pick_tile_m(n: int, d: int, vmem_budget: int = 7 * 2 ** 20) -> int:
     """Largest M-tile (multiple of 8) whose working set fits the budget.
 
     Budget is conservative: the refs tile is double-buffered by the Mosaic

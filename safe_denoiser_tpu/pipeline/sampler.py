@@ -18,19 +18,28 @@ repellency hook — composes through static config:
   * SAFREE adaptive window = per-step boolean table computed host-side from
     f_beta (:472-486), selecting projected vs. original embeddings per step
 
-All gating is branchless (``jnp.where`` masks) so the scan is trace-static;
-per-step PRNG keys are folded in, never threaded through host code.
+Per-sample gating (beta gate, SAFREE window) is branchless ``jnp.where``
+masks so the scan is trace-static; the per-step *scalar* repellency-window
+predicate is a real ``lax.cond`` so the bank-streaming kernel is skipped
+on-device outside the window. Per-step PRNG keys are folded in, never
+threaded through host code.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..repellency.methods import RepellencyConfig, apply_repellency
+
+
+def _window_cond_enabled() -> bool:
+    """Read at trace time so one process can A/B both forms."""
+    return os.environ.get("SDT_WINDOW_COND", "1") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -195,9 +204,26 @@ def sample_sd(unet_apply: Callable[..., jax.Array],
 
         if repellency is not None:
             in_window = window.mask(i, t)
-            latents, applied = _repellency_hook(
-                scheduler, eps, t, latents, refs_nchw, repellency, in_window,
-                _noise(step_rng, 1, latents.shape))
+            # The window predicate is a per-step scalar, so the whole hook
+            # (bank-streaming kernel + Tweedie + renoise) sits under a real
+            # lax.cond: outside the window the branch is skipped on-device
+            # instead of computed-and-discarded through a jnp.where mask.
+            # Same math as the masked form — the false branch returns
+            # latents unchanged, exactly what the all-false mask produced
+            # (agreement is to f32 fusion-reassociation tolerance).
+            # SDT_WINDOW_COND=0 restores the masked form (A/B control).
+            if _window_cond_enabled():
+                latents, applied = jax.lax.cond(
+                    in_window,
+                    lambda lat: _repellency_hook(
+                        scheduler, eps, t, lat, refs_nchw, repellency,
+                        jnp.bool_(True), _noise(step_rng, 1, lat.shape)),
+                    lambda lat: (lat, jnp.zeros((b,), dtype=bool)),
+                    latents)
+            else:
+                latents, applied = _repellency_hook(
+                    scheduler, eps, t, latents, refs_nchw, repellency,
+                    in_window, _noise(step_rng, 1, latents.shape))
         else:
             applied = jnp.zeros((b,), dtype=bool)
 
@@ -254,19 +280,35 @@ def sample_sd3(transformer_apply: Callable[..., jax.Array],
         euler = latents + (sigma_next - sigma) * v
 
         if repellency is not None:
-            x0 = latents - sigma * v
-            x1 = latents + (1.0 - sigma) * v
-            x0_nchw = jnp.transpose(x0, (0, 3, 1, 2))
-            x0_rep, is_neg = apply_repellency(x0_nchw, refs_nchw, repellency)
-            x0_rep = jnp.transpose(x0_rep, (0, 2, 3, 1))
-            eps = jax.random.normal(jax.random.fold_in(step_rng, 1),
-                                    latents.shape, dtype=jnp.float32)
-            noise = jnp.sqrt(sigma_next) * x1 + jnp.sqrt(1.0 - sigma_next) * eps
-            renoised = x0_rep + sigma_next * (noise - x0_rep)
             in_window = window.mask(i, t)
-            use = jnp.logical_and(in_window, is_neg)[:, None, None, None]
-            latents = jnp.where(use, renoised, euler)
-            applied = jnp.logical_and(in_window, is_neg)
+
+            # Scalar window predicate → lax.cond skips the whole repellency
+            # branch on-device outside the window (same rationale as the
+            # SD-v1 hook above; bit-identical to the jnp.where-masked form).
+            def _renoise(lat, gate=None):
+                x0 = lat - sigma * v
+                x1 = lat + (1.0 - sigma) * v
+                x0_nchw = jnp.transpose(x0, (0, 3, 1, 2))
+                x0_rep, is_neg = apply_repellency(x0_nchw, refs_nchw,
+                                                  repellency)
+                x0_rep = jnp.transpose(x0_rep, (0, 2, 3, 1))
+                eps = jax.random.normal(jax.random.fold_in(step_rng, 1),
+                                        lat.shape, dtype=jnp.float32)
+                noise = (jnp.sqrt(sigma_next) * x1
+                         + jnp.sqrt(1.0 - sigma_next) * eps)
+                renoised = x0_rep + sigma_next * (noise - x0_rep)
+                applied = is_neg if gate is None \
+                    else jnp.logical_and(gate, is_neg)
+                use = applied[:, None, None, None]
+                return jnp.where(use, renoised, euler), applied
+
+            if _window_cond_enabled():
+                latents, applied = jax.lax.cond(
+                    in_window, _renoise,
+                    lambda lat: (euler, jnp.zeros((b,), dtype=bool)),
+                    latents)
+            else:
+                latents, applied = _renoise(latents, gate=in_window)
         else:
             latents = euler
             applied = jnp.zeros((b,), dtype=bool)

@@ -169,3 +169,54 @@ def test_sample_sd3_flow_runs():
     applied = np.asarray(applied)[:, 0]
     ts, _ = sched.timesteps_and_sigmas(10)
     np.testing.assert_array_equal(applied, (ts <= 1000) & (ts >= 780))
+
+
+def test_window_cond_matches_where_mask(monkeypatch):
+    """The lax.cond window gate must match the jnp.where masked control
+    form (SDT_WINDOW_COND=0) for SD-v1 and SD3 — same math, so agreement
+    to f32 fusion-reassociation tolerance; `applied` flags exactly."""
+    sched = DDPMScheduler()
+    text = jnp.ones((2, 2, 7, 8))
+    lat = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+    refs = jax.random.normal(jax.random.PRNGKey(2), (6, 4, 8, 8))
+    rep = RepellencyConfig(method="kernel_fast", sigma=3.0, scale=0.33,
+                           beta_threshold=0.0, use_beta_gate=True)
+    win = RepellencyWindow(t_start=1000.0, t_end=500.0, by_timestep=True)
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("SDT_WINDOW_COND", flag)
+        outs[flag] = sample_sd(_dummy_unet, sched, text, lat,
+                               jax.random.PRNGKey(1), 10,
+                               repellency=rep, refs_nchw=refs, window=win)
+    np.testing.assert_allclose(np.asarray(outs["0"][0]),
+                               np.asarray(outs["1"][0]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(outs["0"][1]),
+                                  np.asarray(outs["1"][1]))
+    assert np.asarray(outs["1"][1]).any()  # window actually fired
+
+    sched3 = FlowMatchEulerScheduler()
+
+    def dummy_tf(latents, t, ctx, pooled):
+        return 0.05 * latents + 0.001 * jnp.mean(pooled) * jnp.ones_like(latents)
+
+    text3 = jnp.ones((2, 1, 6, 8))
+    pooled = jnp.ones((2, 1, 5))
+    lat3 = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 16))
+    refs3 = jax.random.normal(jax.random.PRNGKey(2), (4, 16, 8, 8))
+    rep3 = RepellencyConfig(method="kernel_fast", sigma=2.75, scale=0.03,
+                            normalize_x=True, use_beta_gate=False)
+    outs3 = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("SDT_WINDOW_COND", flag)
+        outs3[flag] = sample_sd3(dummy_tf, sched3, text3, pooled, lat3,
+                                 jax.random.PRNGKey(1), 10, guidance_scale=3.5,
+                                 repellency=rep3, refs_nchw=refs3,
+                                 window=RepellencyWindow(1000.0, 780.0))
+    np.testing.assert_allclose(np.asarray(outs3["0"][0]),
+                               np.asarray(outs3["1"][0]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(outs3["0"][1]),
+                                  np.asarray(outs3["1"][1]))
+    assert np.asarray(outs3["1"][1]).any()
