@@ -208,17 +208,24 @@ def _self_attention_nt(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def _attn_kernel_bshd(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                      sm_scale: float, n_kv: int):
+                      sm_scale: float, n_kv: int, block_k_inner: int):
     """Natural-layout variant: no host-side transposes anywhere. KV is
     blocked via the GRID (a [1, S, H, D] whole-row block would lane-pad D
     40->128 and double-buffer to 33 MB); online-softmax stats persist in VMEM
     scratch across the kv grid steps, heads walked by an in-kernel loop.
+    Within a grid step the kv block is walked in ``block_k_inner`` chunks by
+    an unrolled fori loop — the unrolled body lets the Mosaic scheduler
+    overlap chunk i's exp2/max (VPU) with chunk i+1's matmuls (MXU), same as
+    the bhsd kernel; scratch is read/written once per grid step, the chunk
+    carry lives in registers.
 
     q_ref: [1, bq, H, D]; k_ref/v_ref: [1, bk, H, D]; o_ref: [1, bq, H*D];
     scratch: m/l [H, bq, 128] f32, acc [bq, H*D] f32.
     """
     n_heads = q_ref.shape[2]
     d = q_ref.shape[3]
+    bk = k_ref.shape[1]
+    n_inner = bk // block_k_inner
     j = pl.program_id(2)
     c = sm_scale * math.log2(math.e)
 
@@ -230,24 +237,30 @@ def _attn_kernel_bshd(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
     for h in range(n_heads):
         q = q_ref[0, :, h, :]                                     # [bq, D]
-        k = k_ref[0, :, h, :]                                     # [bk, D]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                   # [bq, bk]
-        s = s * c
-        m_prev = m_scr[h, :, :1]                                  # [bq, 1]
-        l_prev = l_scr[h, :, :1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s - m_next)
-        l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[0, :, h, :]                                     # [bk, D]
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                   # [bq, D]
-        acc_prev = acc_scr[:, h * d:(h + 1) * d]
-        acc_scr[:, h * d:(h + 1) * d] = acc_prev * alpha + pv
+
+        def body(i, carry, h=h, q=q):
+            m_prev, l_prev, acc_prev = carry
+            k = k_ref[0, pl.ds(i * block_k_inner, block_k_inner), h, :]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)               # [bq, bki]
+            s = s * c
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next)
+            l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            v = v_ref[0, pl.ds(i * block_k_inner, block_k_inner), h, :]
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)               # [bq, D]
+            return m_next, l_next, acc_prev * alpha + pv
+
+        carry0 = (m_scr[h, :, :1], l_scr[h, :, :1],
+                  acc_scr[:, h * d:(h + 1) * d])
+        m_next, l_next, acc_next = jax.lax.fori_loop(
+            0, n_inner, body, carry0, unroll=True)
+        acc_scr[:, h * d:(h + 1) * d] = acc_next
         m_scr[h] = jnp.broadcast_to(m_next, m_scr.shape[1:])
         l_scr[h] = jnp.broadcast_to(l_next, l_scr.shape[1:])
 
@@ -260,17 +273,18 @@ def _attn_kernel_bshd(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_q", "block_k",
-                                             "interpret"))
+                                             "block_k_inner", "interpret"))
 def _self_attention_bshd(q: jax.Array, k: jax.Array, v: jax.Array,
                          sm_scale: float, block_q: int = 256,
-                         block_k: int = 512,
+                         block_k: int = 512, block_k_inner: int | None = None,
                          interpret: bool = False) -> jax.Array:
     """q/k/v: [B, S, H, D] (natural projection layout) -> [B, S, H, D]."""
     b, s, h, d = q.shape
     n_kv = s // block_k
     grid = (b, s // block_q, n_kv)
     kernel = functools.partial(_attn_kernel_bshd, sm_scale=sm_scale,
-                               n_kv=n_kv)
+                               n_kv=n_kv,
+                               block_k_inner=block_k_inner or block_k)
     qspec = pl.BlockSpec((1, block_q, h, d), lambda i, j, k_: (i, j, 0, 0),
                          memory_space=pltpu.VMEM)
     kvspec = pl.BlockSpec((1, block_k, h, d), lambda i, j, k_: (i, k_, 0, 0),
@@ -350,12 +364,36 @@ def repack_from_heads(x: jax.Array, interpret: bool = False) -> jax.Array:
     )(x)
 
 
+@functools.partial(jax.jit, static_argnames=("sm_scale", "chunk_q"))
+def _chunked_einsum_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                              sm_scale: float,
+                              chunk_q: int = 512) -> jax.Array:
+    """Wide-head attention as a q-chunked einsum: per chunk, the [B,H,cq,S]
+    f32 logits round-trip HBM between the two MXU dots (33 MB per chunk at
+    the VAE mid-block shape, vs 268 MB one-shot) and XLA pipelines
+    dot -> softmax -> dot across chunks. q/k/v: [B, S, H, D] -> [B, S, H, D].
+    """
+    b, s, h, d = q.shape
+    n = s // chunk_q
+    qs = q.reshape(b, n, chunk_q, h, d).transpose(1, 0, 2, 3, 4)
+
+    def f(qc):
+        lg = jnp.einsum("bqhd,bkhd->bhqk", qc, k,
+                        preferred_element_type=jnp.float32) * sm_scale
+        p = jax.nn.softmax(lg, axis=-1).astype(v.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                          preferred_element_type=jnp.float32).astype(q.dtype)
+
+    out = jax.lax.map(f, qs)                        # [n, B, cq, H, D]
+    return out.transpose(1, 0, 2, 3, 4).reshape(b, s, h, d)
+
+
 def supports(s_q: int, s_kv: int, head_dim: int, block_q: int = 512) -> bool:
     """Shapes this kernel handles: unmasked self-attention with head dim
     within two lane tiles (SD uses 40/80/160; SD3 64) — or a WIDE full-lane
-    head (the VAE mid-block single-head D=512 attention, routed to the bshd
-    kernel: without it the einsum path materializes [S, S] f32 logits,
-    268 MB per 512^2 image, ~150 ms of the VAE decode). Non-512-multiple
+    head (the VAE mid-block single-head D=512 attention, routed to the
+    q-chunked einsum path: one-shot einsum materializes [S, S] f32 logits,
+    268 MB per 512^2 image, ~150 ms of the VAE decode; chunked is 1.7 ms). Non-512-multiple
     sequences (SD3's 4096+333 joint tokens) are zero-padded and
     tail-masked."""
     if s_q != s_kv or s_q < block_q:
@@ -395,11 +433,19 @@ def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     b, s, h, d = q.shape
     layout = os.environ.get("SDT_FLASH2_LAYOUT", "bhsd")
     compute_dtype = jnp.bfloat16 if v.dtype == jnp.bfloat16 else jnp.float32
-    if d > 256:
-        # wide full-lane head (VAE mid-block: H=1, D=512): the bshd kernel
-        # has no lane padding or head-split cost here and takes the natural
-        # layout directly
-        layout = "bshd"
+    if d > 256 and s % 512 == 0:
+        # wide full-lane head (VAE mid-block: H=1, D=512, S=4096): the
+        # q-chunked einsum beats every Pallas formulation here — v5e
+        # same-session microbench at [4,4096,1,512] bf16: chunked einsum
+        # 1.705 ms vs bshd kernel 7.9 ms (10% of roofline; tiny grid steps
+        # and 4D blocks dominate) vs one-shot einsum 10.6 ms (268 MB f32
+        # logits). XLA pipelines the per-chunk dot -> f32 softmax -> dot
+        # through HBM at near-bandwidth.
+        out = _chunked_einsum_attention(q.astype(compute_dtype),
+                                        k.astype(compute_dtype),
+                                        v.astype(compute_dtype),
+                                        float(sm_scale))
+        return out.astype(v.dtype)
     if layout == "bshd" and s % 512 == 0:
         out = _self_attention_bshd(q.astype(compute_dtype),
                                    k.astype(compute_dtype),

@@ -123,6 +123,22 @@ def test_wide_head_routes_to_bshd_and_matches_einsum():
                                atol=2e-4, rtol=2e-4)
 
 
+def test_wide_head_inner_chunk_loop_matches_einsum():
+    """S=1024 wide head exercises the in-kernel 512-chunk loop
+    (block_k=1024, block_k_inner=512 -> n_inner=2) added for the VAE
+    mid-block; must still match einsum."""
+    rng = jax.random.PRNGKey(23)
+    b, s, h, d = 1, 1024, 1, 512
+    q = jax.random.normal(rng, (b, s, h, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (b, s, h, d))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (b, s, h, d))
+    scale = d ** -0.5
+    ref = einsum_ref(q, k, v, scale)
+    got = self_attention(q, k, v, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_repack_kernels_roundtrip():
     """repack_to_heads/repack_from_heads == the XLA transposes, bit-exact."""
     from safe_denoiser_tpu.ops.attention import (repack_from_heads,
