@@ -212,7 +212,7 @@ def bench_sd14_e2e():
     # so only the LAST conversion waits on the device (VERDICT r2 item 2:
     # the serial np.asarray between stages was dead time)
     np.asarray(dispatch(jax.random.PRNGKey(1)))  # warmup, fully real
-    n_rounds = 3
+    n_rounds = 5   # ~14 s measured region: the 3-round number wobbled +-2%
     t0 = time.perf_counter()
     pending = None
     for i in range(n_rounds):
