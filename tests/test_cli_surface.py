@@ -2,6 +2,7 @@
 reference's flags; --config JSON feeds argparse defaults (3-tier config)."""
 
 import json
+import os
 
 import pytest
 
@@ -58,3 +59,44 @@ def test_shipped_base_configs_load():
         t = load_yaml(p)
         assert "repellency" in t and "data" in t and "mean_processor" in t
         assert "params" in t["repellency"]
+
+
+def test_evaluate_entry_scripts_run(tmp_path):
+    """Drive both evaluate_* entry scripts' main() on tiny fixtures
+    (random-init towers; reference evaluate_coco30k_fid_clip.py /
+    evaluate_copro_aes_clip.py CLI surface). In-process: the axon plugin
+    sometimes ignores JAX_PLATFORMS=cpu in subprocesses (CLAUDE.md)."""
+    import importlib.util
+    import sys
+
+    import numpy as np
+    from PIL import Image
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rs = np.random.RandomState(0)
+    sample = tmp_path / "run" / "all"
+    ref = tmp_path / "ref"
+    sample.mkdir(parents=True)
+    ref.mkdir()
+    for i in range(3):
+        Image.fromarray(rs.randint(0, 255, (64, 64, 3), np.uint8)).save(
+            sample / f"{i}.png")
+        Image.fromarray(rs.randint(0, 255, (64, 64, 3), np.uint8)).save(
+            ref / f"{i}.png")
+
+    def load(name):
+        spec = importlib.util.spec_from_file_location(
+            name, os.path.join(root, name + ".py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    coco = load("evaluate_coco30k_fid_clip")
+    coco.main(["--sample_dir", str(sample), "--dataset_root", str(ref),
+               "--allow_random_init"])
+    assert (tmp_path / "run" / "metrics_org_coco30k_10k.yaml").exists()
+
+    # copro script: both optional weight flags absent -> parses and returns
+    # without touching weights (the reference requires real weights here)
+    copro = load("evaluate_copro_aes_clip")
+    copro.main(["--sample_dir", str(sample)])
