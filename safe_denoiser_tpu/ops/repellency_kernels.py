@@ -53,14 +53,20 @@ def _pairwise_dist(x: jax.Array, refs: jax.Array) -> jax.Array:
 
 
 def rbf_negative_score_ref(x: jax.Array, refs: jax.Array, sigma: float,
-                           epsilon: float = 1e-8):
-    """jnp implementation. x: [N, D], refs: [M, D] → (score [N, D], beta [N])."""
+                           epsilon: float = 1e-8, normalize: bool = True):
+    """jnp implementation. x: [N, D], refs: [M, D] → (score [N, D], beta [N]).
+
+    ``normalize=False`` returns the raw partial sums (Σ w·r, Σ w) without the
+    epsilon or the division — the bank-sharded path psums partials across
+    devices before normalizing (parallel/bank.py)."""
     dist = _pairwise_dist(x, refs)
     w = jnp.exp(-dist / (2.0 * sigma ** 2))                # [N, M]
     num = jax.lax.dot_general(w, refs.astype(jnp.float32),
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32,
                               precision=jax.lax.Precision.HIGHEST)  # [N, D]
+    if not normalize:
+        return num, jnp.sum(w, axis=-1)
     beta = jnp.sum(w, axis=-1) + epsilon                   # [N]
     return num / beta[:, None], beta
 
@@ -72,7 +78,7 @@ def rbf_negative_score_ref(x: jax.Array, refs: jax.Array, sigma: float,
 
 def _rbf_kernel(x_ref, refs_ref, num_ref, beta_ref,
                 acc_num, acc_beta, *, sigma: float, epsilon: float,
-                valid_rows_last: int):
+                valid_rows_last: int, normalize: bool):
     """Grid over M-tiles. Per tile: distances → weights → accumulate."""
     m = pl.program_id(0)
     n_tiles = pl.num_programs(0)
@@ -115,9 +121,13 @@ def _rbf_kernel(x_ref, refs_ref, num_ref, beta_ref,
 
     @pl.when(m == n_tiles - 1)
     def _finalize():
-        beta = acc_beta[:] + epsilon
-        num_ref[:] = acc_num[:] / beta[:, :1]
-        beta_ref[:] = beta
+        if normalize:
+            beta = acc_beta[:] + epsilon
+            num_ref[:] = acc_num[:] / beta[:, :1]
+            beta_ref[:] = beta
+        else:   # raw partials for the bank-sharded psum path
+            num_ref[:] = acc_num[:]
+            beta_ref[:] = acc_beta[:]
 
 
 def _pick_tile_m(n: int, d: int, vmem_budget: int = 7 * 2 ** 20) -> int:
@@ -134,9 +144,11 @@ def _pick_tile_m(n: int, d: int, vmem_budget: int = 7 * 2 ** 20) -> int:
     return tm
 
 
-@functools.partial(jax.jit, static_argnames=("sigma", "epsilon", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sigma", "epsilon", "normalize",
+                                              "interpret"))
 def rbf_negative_score_pallas(x: jax.Array, refs: jax.Array, sigma: float,
-                              epsilon: float = 1e-8, interpret: bool = False):
+                              epsilon: float = 1e-8, normalize: bool = True,
+                              interpret: bool = False):
     """Fused single-pass kernel. x: [N, D], refs: [M, D] (D % 128 == 0)."""
     n, d = x.shape
     m = refs.shape[0]
@@ -153,7 +165,7 @@ def rbf_negative_score_pallas(x: jax.Array, refs: jax.Array, sigma: float,
 
     kernel = functools.partial(
         _rbf_kernel, sigma=sigma, epsilon=epsilon,
-        valid_rows_last=valid_last)
+        valid_rows_last=valid_last, normalize=normalize)
 
     num, beta = pl.pallas_call(
         kernel,
@@ -196,14 +208,18 @@ def _pallas_fits_vmem(n: int, d: int, budget: int = 12 * 2 ** 20) -> bool:
 
 
 def rbf_negative_score(x: jax.Array, refs: jax.Array, sigma: float,
-                       epsilon: float = 1e-8, use_pallas: bool | None = None):
-    """Dispatch: Pallas on TPU, jnp elsewhere. Returns (score [N,D], beta [N])."""
+                       epsilon: float = 1e-8, use_pallas: bool | None = None,
+                       normalize: bool = True):
+    """Dispatch: Pallas on TPU, jnp elsewhere. Returns (score [N,D], beta [N]);
+    ``normalize=False`` returns raw (Σ w·r, Σ w) partials (bank-sharded path)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if (use_pallas and x.shape[-1] % 128 == 0
             and _pallas_fits_vmem(x.shape[0], x.shape[-1])):
-        return rbf_negative_score_pallas(x, refs, sigma, epsilon)
-    return rbf_negative_score_ref(x, refs, sigma, epsilon)
+        return rbf_negative_score_pallas(x, refs, sigma, epsilon,
+                                         normalize=normalize)
+    return rbf_negative_score_ref(x, refs, sigma, epsilon,
+                                  normalize=normalize)
 
 
 # ---------------------------------------------------------------------------
@@ -211,7 +227,8 @@ def rbf_negative_score(x: jax.Array, refs: jax.Array, sigma: float,
 # ---------------------------------------------------------------------------
 
 
-def sparse_repellency_force(x: jax.Array, refs: jax.Array, radius: float):
+def sparse_repellency_force(x: jax.Array, refs: jax.Array, radius: float,
+                            raw: bool = False):
     """Truncated repulsive force away from in-radius bank points.
 
     Reference semantics (repellency_methods_threshold.py:415-439):
@@ -220,6 +237,10 @@ def sparse_repellency_force(x: jax.Array, refs: jax.Array, radius: float):
 
     Returns (force [N, D], trunc_weight_sum [N]) — the weight sum drives the
     reference's is_negation flag (":450-453").
+
+    ``raw=True`` returns (Σ c·r [N, D], Σ c [N]) instead — both plain sums
+    over M, so the bank-sharded path (parallel/bank.py) psums them across
+    shards and forms ``force = x·Σc − Σc·r`` once afterwards.
     """
     dist = _pairwise_dist(x, refs)                          # [N, M]
     in_radius = dist < radius
@@ -230,5 +251,7 @@ def sparse_repellency_force(x: jax.Array, refs: jax.Array, radius: float):
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST)  # [N, D]
+    if raw:
+        return cr, c_sum
     force = x.astype(jnp.float32) * c_sum[:, None] - cr
     return force, c_sum

@@ -1,8 +1,12 @@
 """Distribution layer: mesh construction, data-parallel prompt sharding,
-tensor-parallel param sharding."""
+tensor-parallel param sharding, bank-sharded repellency."""
 
+from .bank import (ShardedBank, pad_bank, shard_bank, sharded_negative_score,
+                   sharded_sparse_force)
 from .mesh import make_mesh, replicate, shard_batch
 from .tp import MMDIT_TP_RULES, UNET_TP_RULES, shard_params_tp
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "shard_params_tp",
-           "MMDIT_TP_RULES", "UNET_TP_RULES"]
+           "MMDIT_TP_RULES", "UNET_TP_RULES",
+           "pad_bank", "shard_bank", "sharded_negative_score",
+           "sharded_sparse_force", "ShardedBank"]

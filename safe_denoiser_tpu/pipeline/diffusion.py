@@ -259,10 +259,10 @@ class SafeDiffusionPipeline:
         @functools.partial(
             jax.jit,
             static_argnames=("steps", "guidance", "repellency", "window",
-                             "freeu", "height", "width"))
+                             "freeu", "height", "width", "rep_bank"))
         def run(unet_params, text_embeds, text_embeds_alt,
                 use_alt, refs, seeds, guidance_scale, steps, guidance,
-                repellency, window, freeu, height, width):
+                repellency, window, freeu, height, width, rep_bank=None):
             b = text_embeds.shape[1]
             single = (height // self.vae_scale_factor,
                       width // self.vae_scale_factor,
@@ -284,10 +284,27 @@ class SafeDiffusionPipeline:
                 guidance=guidance, repellency=repellency, refs_nchw=refs,
                 window=window, text_embeds_alt=text_embeds_alt,
                 use_alt_per_step=use_alt, freeu=freeu,
-                guidance_scale=guidance_scale)
+                guidance_scale=guidance_scale, rep_bank=rep_bank)
             return latents, applied
 
         return run
+
+    def enable_bank_sharding(self, mesh, axis: str = "data",
+                             batch_axis: Optional[str] = None) -> None:
+        """Opt into M-sharded repellency: the negative bank is placed
+        M-sharded over ``mesh``'s ``axis`` and the in-scan kernels psum
+        partials over ICI (parallel/bank.py). The production mode for banks
+        too large to replicate per chip (a 10k-row SD3 bank is ~10 GB)."""
+        from ..parallel.bank import ShardedBank
+        self._rep_bank = ShardedBank(mesh, axis=axis, batch_axis=batch_axis)
+
+    _rep_bank = None
+
+    def _maybe_shard_refs(self, refs):
+        if refs is None or self._rep_bank is None:
+            return refs
+        from ..parallel.bank import shard_bank
+        return shard_bank(refs, self._rep_bank.mesh, self._rep_bank.axis)
 
     def _jitted_sample(self, *args, **kwargs):
         """Scan and decode are SEPARATE jit programs: the fused mega-program
@@ -406,14 +423,14 @@ class SafeDiffusionPipeline:
             # (no β threshold; reference run_copro.py:52)
             repellency_cfg = dataclasses.replace(
                 repellency_processor.config(), use_beta_gate=use_beta_gate)
-            refs = repellency_processor.get_proj_ref()
+            refs = self._maybe_shard_refs(repellency_processor.get_proj_ref())
 
         latents, image, applied = self._jitted_sample(
             text_embeds, embeds_alt2, use_alt, refs,
             jnp.asarray([seed], dtype=jnp.uint32),
             jnp.asarray([guidance_scale], dtype=jnp.float32),
             num_inference_steps, guidance, repellency_cfg, erase_spec.window,
-            freeu, height, width)
+            freeu, height, width, rep_bank=self._rep_bank)
 
         applied = np.asarray(applied)
         if logger is not None:
@@ -468,14 +485,14 @@ class SafeDiffusionPipeline:
         if repellency_processor is not None and erase_spec.repellency:
             repellency_cfg = dataclasses.replace(
                 repellency_processor.config(), use_beta_gate=use_beta_gate)
-            refs = repellency_processor.get_proj_ref()
+            refs = self._maybe_shard_refs(repellency_processor.get_proj_ref())
 
         _, image, applied = self._jitted_sample(
             text_embeds, embeds_alt, use_alt, refs,
             jnp.asarray(list(seeds), dtype=jnp.uint32),
             jnp.asarray(list(guidance_scales), dtype=jnp.float32),
             num_inference_steps, guidance, repellency_cfg, erase_spec.window,
-            freeu, height, width)
+            freeu, height, width, rep_bank=self._rep_bank)
 
         if logger is not None:
             ts = self.scheduler.timesteps(num_inference_steps)

@@ -115,13 +115,15 @@ def _combine_guidance(noise_pred: jax.Array, i, guidance: GuidanceConfig,
 
 
 def _repellency_hook(scheduler, noise_pred, t, latents, refs_nchw,
-                     rep_cfg: RepellencyConfig, in_window, noise):
+                     rep_cfg: RepellencyConfig, in_window, noise,
+                     rep_bank=None):
     """Tweedie → repellency → renoise → masked replace (reference :552-569)."""
     x0 = scheduler.pred_original_sample(noise_pred, t, latents)
     if isinstance(x0, tuple):
         x0 = x0[0]
     x0_nchw = jnp.transpose(x0, (0, 3, 1, 2))
-    x0_rep, is_neg = apply_repellency(x0_nchw, refs_nchw, rep_cfg)
+    x0_rep, is_neg = apply_repellency(x0_nchw, refs_nchw, rep_cfg,
+                                      bank=rep_bank)
     x0_rep = jnp.transpose(x0_rep, (0, 2, 3, 1))
     renoised = scheduler.add_noise(x0_rep, noise, t)
     use = jnp.logical_and(in_window, is_neg)[:, None, None, None]
@@ -141,7 +143,8 @@ def sample_sd(unet_apply: Callable[..., jax.Array],
               text_embeds_alt: Optional[jax.Array] = None,
               use_alt_per_step: Optional[jax.Array] = None,
               freeu=None,
-              guidance_scale=None):
+              guidance_scale=None,
+              rep_bank=None):
     """Run the full reverse-diffusion scan for SD-v1.x.
 
     Args:
@@ -158,6 +161,9 @@ def sample_sd(unet_apply: Callable[..., jax.Array],
         context (SAFREE adaptive window; reference :525-532): at step i the
         context is ``text_embeds_alt`` where ``use_alt_per_step[i]``.
       freeu: optional FreeUConfig forwarded to the UNet (SafeGuard filters).
+      rep_bank: optional ``parallel.ShardedBank`` — runs the repellency
+        kernels over an M-sharded bank (refs_nchw pre-placed via
+        ``shard_bank``) with psum'd partials instead of a replicated bank.
 
     Returns ``(final latents [B, H, W, C], rep_applied [steps, B] bool)``.
     """
@@ -217,13 +223,14 @@ def sample_sd(unet_apply: Callable[..., jax.Array],
                     in_window,
                     lambda lat: _repellency_hook(
                         scheduler, eps, t, lat, refs_nchw, repellency,
-                        jnp.bool_(True), _noise(step_rng, 1, lat.shape)),
+                        jnp.bool_(True), _noise(step_rng, 1, lat.shape),
+                        rep_bank),
                     lambda lat: (lat, jnp.zeros((b,), dtype=bool)),
                     latents)
             else:
                 latents, applied = _repellency_hook(
                     scheduler, eps, t, latents, refs_nchw, repellency,
-                    in_window, _noise(step_rng, 1, latents.shape))
+                    in_window, _noise(step_rng, 1, latents.shape), rep_bank)
         else:
             applied = jnp.zeros((b,), dtype=bool)
 
@@ -248,7 +255,8 @@ def sample_sd3(transformer_apply: Callable[..., jax.Array],
                guidance_scale: float = 7.0,
                repellency: Optional[RepellencyConfig] = None,
                refs_nchw: Optional[jax.Array] = None,
-               window: RepellencyWindow = RepellencyWindow()):
+               window: RepellencyWindow = RepellencyWindow(),
+               rep_bank=None):
     """SD3 flow-matching scan with the safe-denoiser renoising path.
 
     Implements the reference's flow repellency (models/sdv3/
@@ -290,7 +298,7 @@ def sample_sd3(transformer_apply: Callable[..., jax.Array],
                 x1 = lat + (1.0 - sigma) * v
                 x0_nchw = jnp.transpose(x0, (0, 3, 1, 2))
                 x0_rep, is_neg = apply_repellency(x0_nchw, refs_nchw,
-                                                  repellency)
+                                                  repellency, bank=rep_bank)
                 x0_rep = jnp.transpose(x0_rep, (0, 2, 3, 1))
                 eps = jax.random.normal(jax.random.fold_in(step_rng, 1),
                                         lat.shape, dtype=jnp.float32)

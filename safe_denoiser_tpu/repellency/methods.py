@@ -87,7 +87,7 @@ def _channel_normalize(x: jax.Array) -> jax.Array:
 
 
 def apply_repellency(x0: jax.Array, refs: jax.Array, cfg: RepellencyConfig,
-                     rng: jax.Array | None = None):
+                     rng: jax.Array | None = None, bank=None):
     """Pure repellency update on x̂₀.
 
     Args:
@@ -95,6 +95,10 @@ def apply_repellency(x0: jax.Array, refs: jax.Array, cfg: RepellencyConfig,
       refs: [M, C, H, W] projected (channel-normalized) negative bank.
       cfg:  static config; ``cfg.method`` selects the math at trace time.
       rng:  PRNG key (random_noise method only).
+      bank: optional bank-sharded kernel provider (parallel/bank.py
+        ``ShardedBank``) — swaps in the M-sharded psum'd score/force with
+        the replicated kernels' exact signatures. refs may then carry
+        ``pad_bank`` padding rows (exact no-ops).
 
     Returns ``(x0_new [N,C,H,W], is_negation [N] bool)``. For β-gated methods
     the caller must apply ``jnp.where(is_negation, renoised, plain)`` — this
@@ -108,7 +112,8 @@ def apply_repellency(x0: jax.Array, refs: jax.Array, cfg: RepellencyConfig,
     refs_flat = refs.reshape(refs.shape[0], d).astype(jnp.float32)
 
     if cfg.method in ("kernel_fast", "kernel", "euclidean"):
-        score, beta = rbf_negative_score(x_flat, refs_flat, cfg.sigma, cfg.epsilon)
+        score_fn = bank.score if bank is not None else rbf_negative_score
+        score, beta = score_fn(x_flat, refs_flat, cfg.sigma, cfg.epsilon)
         x0_new = x0 - cfg.scale * score.reshape(n, c, h, w)
         if cfg.use_beta_gate:
             is_neg = beta > (cfg.beta_threshold - cfg.beta_threshold_margin)
@@ -117,7 +122,9 @@ def apply_repellency(x0: jax.Array, refs: jax.Array, cfg: RepellencyConfig,
         return x0_new, is_neg
 
     if cfg.method == "sparse":
-        force, c_sum = sparse_repellency_force(x_flat, refs_flat, cfg.radius)
+        force_fn = (bank.sparse_force if bank is not None
+                    else sparse_repellency_force)
+        force, c_sum = force_fn(x_flat, refs_flat, cfg.radius)
         # sparse ADDS the repulsive force (reference :446-448)
         x0_new = x0 + cfg.scale * force.reshape(n, c, h, w)
         return x0_new, c_sum > 0.0

@@ -160,3 +160,24 @@ def test_generate_batch_matches_single(tiny_pipe):
         num_inference_steps=3, height=32, width=32)
     np.testing.assert_array_equal(swapped[0], single_b)
     np.testing.assert_array_equal(swapped[1], single_a)
+
+
+def test_bank_sharding_matches_replicated_pipeline(tiny_pipe):
+    """enable_bank_sharding: the same prompt+seed through the M-sharded
+    repellency path (parallel/bank.py) reproduces the replicated-bank images
+    (psum reassociation may flip a uint8 rounding, nothing more)."""
+    from safe_denoiser_tpu.parallel import make_mesh
+
+    rep = _repellency(tiny_pipe)
+    kw = dict(num_inference_steps=5, height=32, width=32, seed=3,
+              repellency_processor=rep,
+              erase_spec=ERASE_SPECS["std_rep"])
+    want = tiny_pipe("a cat dog", **kw)[0]
+
+    tiny_pipe.enable_bank_sharding(make_mesh(8))
+    try:
+        got = tiny_pipe("a cat dog", **kw)[0]
+    finally:
+        tiny_pipe._rep_bank = None
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1 and (diff == 0).mean() > 0.99

@@ -236,3 +236,116 @@ def test_tp_scan_sd_unet_matches_unsharded():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_array_equal(np.asarray(got_applied),
                                   np.asarray(want_applied))
+
+
+def test_bank_sharded_negative_score_matches_replicated():
+    """M-sharded repellency partials + psum == the replicated-bank score
+    (SURVEY §5: the TPU analogue of sequence parallelism is sharding the
+    M×D pairwise-distance computation)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from safe_denoiser_tpu.ops.repellency_kernels import rbf_negative_score_ref
+    from safe_denoiser_tpu.parallel import (
+        make_mesh, pad_bank, shard_bank, sharded_negative_score)
+
+    mesh = make_mesh(8)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (4, 256), jnp.float32)
+    refs = jax.random.normal(jax.random.fold_in(rng, 1), (21, 256))
+    refs = refs / jnp.linalg.norm(refs, axis=-1, keepdims=True)
+
+    want_score, want_beta = rbf_negative_score_ref(x, refs, sigma=3.15)
+
+    # 21 rows pad to 24 over 8 shards; padded rows must be exact no-ops
+    padded = pad_bank(refs, 8)
+    assert padded.shape[0] == 24
+    sharded = shard_bank(refs, mesh)
+    got_score, got_beta = jax.jit(
+        lambda x, r: sharded_negative_score(x, r, 3.15, mesh=mesh))(
+            x, sharded)
+
+    np.testing.assert_allclose(np.asarray(got_beta), np.asarray(want_beta),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_score), np.asarray(want_score),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bank_sharded_sparse_force_matches_replicated():
+    """Sparse (SPELL) partials psum across bank shards == replicated force,
+    with pad rows exact no-ops (outside any radius)."""
+    from safe_denoiser_tpu.ops.repellency_kernels import sparse_repellency_force
+    from safe_denoiser_tpu.parallel import (
+        make_mesh, shard_bank, sharded_sparse_force)
+
+    mesh = make_mesh(8)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (4, 256), jnp.float32)
+    refs = jax.random.normal(jax.random.fold_in(rng, 1), (21, 256))
+
+    # radius wide enough that most rows are in-radius neighbors
+    want_force, want_csum = sparse_repellency_force(x, refs, radius=25.0)
+    assert float(jnp.min(want_csum)) > 0.0
+
+    sharded = shard_bank(refs, mesh)
+    got_force, got_csum = jax.jit(
+        lambda x, r: sharded_sparse_force(x, r, 25.0, mesh=mesh))(x, sharded)
+
+    np.testing.assert_allclose(np.asarray(got_csum), np.asarray(want_csum),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_force), np.asarray(want_force),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bank_sharded_scan_matches_replicated():
+    """The FULL SD sampling scan with the negative bank M-sharded over the
+    'model' axis and the batch over 'data' (rep_bank=ShardedBank) must
+    reproduce the replicated-bank scan — the production layout for banks too
+    large to replicate (one 10k SD3 bank is ~10 GB; parallel/bank.py)."""
+    from safe_denoiser_tpu.models import UNetConfig, UNet2DCondition
+    from safe_denoiser_tpu.parallel import ShardedBank, shard_bank, shard_batch
+    from safe_denoiser_tpu.pipeline import (GuidanceConfig, RepellencyWindow,
+                                            sample_sd)
+    from safe_denoiser_tpu.repellency import RepellencyConfig
+    from safe_denoiser_tpu.schedulers import DDPMScheduler
+
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "model"))
+
+    cfg = UNetConfig(sample_size=8, block_out_channels=(16, 32),
+                     layers_per_block=1, cross_attention_dim=16,
+                     num_attention_heads=4, norm_num_groups=8)
+    model = UNet2DCondition(cfg)
+    rng = jax.random.PRNGKey(0)
+    b = 2
+    latents = jax.random.normal(rng, (b, 8, 8, 4), dtype=jnp.float32)
+    text = jax.random.normal(jax.random.fold_in(rng, 1), (2, b, 7, 16))
+    refs = jax.random.normal(jax.random.fold_in(rng, 2), (6, 4, 8, 8))
+    params = model.init(rng, latents[:1], jnp.asarray(1), text[0, :1])
+    sched = DDPMScheduler()
+    rep = RepellencyConfig(method="kernel_fast", sigma=100.0, scale=0.33,
+                           beta_threshold=-1e9, use_beta_gate=True)
+
+    def run(lat, txt, rfs, rep_bank=None):
+        def unet_apply(l, t, c, freeu=None):
+            return model.apply(params, l, t, c, freeu=freeu)
+        return sample_sd(unet_apply, sched, txt, lat, jax.random.PRNGKey(3),
+                         3, guidance=GuidanceConfig(7.5), repellency=rep,
+                         refs_nchw=rfs, window=RepellencyWindow(1000.0, 780.0),
+                         rep_bank=rep_bank)
+
+    want, want_applied = jax.jit(run)(latents, text, refs)
+
+    bank = ShardedBank(mesh, axis="model", batch_axis="data")
+    refs_s = shard_bank(refs, mesh, axis="model")   # 6 rows pad to 8
+    assert refs_s.shape[0] == 8
+    lat_s = shard_batch(latents, mesh)
+    text_s = shard_batch(text, mesh, batch_dim=1)
+    got, got_applied = jax.jit(
+        lambda lat, txt, rfs: run(lat, txt, rfs, rep_bank=bank))(
+            lat_s, text_s, refs_s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(got_applied),
+                                  np.asarray(want_applied))
