@@ -189,10 +189,10 @@ class SafeDiffusion3Pipeline:
         @functools.partial(
             jax.jit,
             static_argnames=("steps", "repellency", "window", "height",
-                            "width"))
+                            "width", "rep_bank"))
         def run(transformer_params, text_embeds, pooled, refs,
                 rng, guidance_scale, steps, repellency, window, height,
-                width):
+                width, rep_bank=None):
             b = text_embeds.shape[1]
             lat_rng, samp_rng = jax.random.split(rng)
             c = self.transformer.config.in_channels
@@ -204,10 +204,26 @@ class SafeDiffusion3Pipeline:
                     transformer_params, l, t, ctx, p),
                 self.scheduler, text_embeds, pooled, latents, samp_rng, steps,
                 guidance_scale=guidance_scale, repellency=repellency,
-                refs_nchw=refs, window=window)
+                refs_nchw=refs, window=window, rep_bank=rep_bank)
             return latents, applied
 
         return run
+
+    # M-sharded repellency bank (the SD3 bank is the big one: 10k rows of
+    # 16*128*128 f32 is ~10 GB — see parallel/bank.py); same surface as
+    # SafeDiffusionPipeline.enable_bank_sharding
+    _rep_bank = None
+
+    def enable_bank_sharding(self, mesh, axis: str = "data",
+                             batch_axis: Optional[str] = None) -> None:
+        from ..parallel.bank import ShardedBank
+        self._rep_bank = ShardedBank(mesh, axis=axis, batch_axis=batch_axis)
+
+    def _maybe_shard_refs(self, refs):
+        if refs is None or self._rep_bank is None:
+            return refs
+        from ..parallel.bank import shard_bank
+        return shard_bank(refs, self._rep_bank.mesh, self._rep_bank.axis)
 
     def _jitted_sample(self, *args, **kwargs):
         """Scan and decode as separate jits (SIGKILL note in diffusion.py)."""
@@ -266,12 +282,12 @@ class SafeDiffusion3Pipeline:
                 sigma=1.0,
                 normalize_x=True,
                 use_beta_gate=False)
-            refs = repellency_processor.get_proj_ref()
+            refs = self._maybe_shard_refs(repellency_processor.get_proj_ref())
 
         latents, image, applied = self._jitted_sample(
             embeds, pooled, refs, jax.random.PRNGKey(seed),
             jnp.float32(guidance_scale), num_inference_steps, repellency_cfg,
-            window, height, width)
+            window, height, width, rep_bank=self._rep_bank)
 
         if self.logger is not None:
             ts, _ = self.scheduler.timesteps_and_sigmas(num_inference_steps)

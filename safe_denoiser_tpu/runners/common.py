@@ -108,6 +108,11 @@ def base_parser(description: str) -> tuple[argparse.ArgumentParser, dict]:
     p.add_argument("--resume", action="store_true", default=g("resume", False),
                    help="skip cases whose all/ output already exists "
                         "(crash-resume; the reference regenerates everything)")
+    p.add_argument("--shard_bank", action="store_true",
+                   default=g("shard_bank", False),
+                   help="shard the negative-reference bank's M axis over all "
+                        "devices (psum'd partials; parallel/bank.py) — for "
+                        "banks too large to replicate per chip")
     return p, cfg
 
 
@@ -120,6 +125,24 @@ def make_save_dirs(save_dir: str) -> dict[str, str]:
     return dirs
 
 
+def maybe_enable_bank_sharding(args, pipe, logger: Logger) -> None:
+    """--shard_bank: place the repellency bank M-sharded over all devices
+    (parallel/bank.py). A no-op on one device — the replicated kernel is
+    already the whole machine there."""
+    if not getattr(args, "shard_bank", False):
+        return
+    import jax
+
+    from ..parallel import make_mesh
+
+    n = len(jax.devices())
+    if n < 2:
+        logger.log("--shard_bank: single device, keeping the replicated bank")
+        return
+    pipe.enable_bank_sharding(make_mesh(n))
+    logger.log(f"Repellency bank sharded over {n} devices")
+
+
 def build_pipeline(args, logger: Logger) -> SafeDiffusionPipeline:
     if args.model_dir is None:
         raise SystemExit(
@@ -129,6 +152,7 @@ def build_pipeline(args, logger: Logger) -> SafeDiffusionPipeline:
     if args.erase_concept_checkpoint and "std" not in args.erase_id:
         pipe.load_unet_state_dict(args.erase_concept_checkpoint)
         logger.log(f"ESD unet: {args.erase_concept_checkpoint} is loaded...")
+    maybe_enable_bank_sharding(args, pipe, logger)
     return pipe
 
 

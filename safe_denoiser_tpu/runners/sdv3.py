@@ -15,7 +15,8 @@ from ..pipeline.sampler import RepellencyWindow
 from ..repellency import get_repellency_method
 from ..utils.config import load_yaml
 from ..utils.logging import Logger
-from .common import DetectAggregator, base_parser, build_eval, make_save_dirs
+from .common import (DetectAggregator, base_parser, build_eval,
+                     make_save_dirs, maybe_enable_bank_sharding)
 from .nudity import save_png
 
 
@@ -85,6 +86,7 @@ def main_nudity(argv=None):
     if args.model_dir is None:
         raise SystemExit("--model_dir with a local SD3 checkpoint is required")
     pipe = SafeDiffusion3Pipeline.from_pretrained(args.model_dir, logger=logger)
+    maybe_enable_bank_sharding(args, pipe, logger)
     repellency_processor, task_config = build_sd3_repellency(args, pipe, logger)
     eval_func = build_eval(args)
 
@@ -137,6 +139,7 @@ def main_coco30k(argv=None):
     if args.model_dir is None:
         raise SystemExit("--model_dir with a local SD3 checkpoint is required")
     pipe = SafeDiffusion3Pipeline.from_pretrained(args.model_dir, logger=logger)
+    maybe_enable_bank_sharding(args, pipe, logger)
     repellency_processor, _ = build_sd3_repellency(args, pipe, logger)
 
     for case in iter_prompt_cases(dataset, default_guidance=args.guidance_scale,

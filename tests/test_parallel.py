@@ -349,3 +349,48 @@ def test_bank_sharded_scan_matches_replicated():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_array_equal(np.asarray(got_applied),
                                   np.asarray(want_applied))
+
+
+def test_bank_sharded_scan_sd3_matches_replicated():
+    """sample_sd3's flow-renoising repellency with the M-sharded bank
+    (normalize_x path — the SD3 fast_sdv3 config) == replicated."""
+    from safe_denoiser_tpu.parallel import ShardedBank, shard_bank
+    from safe_denoiser_tpu.pipeline import RepellencyWindow
+    from safe_denoiser_tpu.pipeline.sampler import sample_sd3
+    from safe_denoiser_tpu.repellency import RepellencyConfig
+    from safe_denoiser_tpu.schedulers import FlowMatchEulerScheduler
+
+    mesh = make_mesh(8)
+    model = MMDiT(TINY)
+    rng = jax.random.PRNGKey(0)
+    b = 2
+    latents = jax.random.normal(rng, (b, 8, 8, 16), dtype=jnp.float32)
+    text = jax.random.normal(jax.random.fold_in(rng, 1), (2, b, 12, 48))
+    pooled = jax.random.normal(jax.random.fold_in(rng, 2), (2, b, 40))
+    refs = jax.random.normal(jax.random.fold_in(rng, 3), (5, 16, 8, 8))
+    params = model.init(jax.random.fold_in(rng, 4), latents[:1],
+                        jnp.asarray(1.0), text[0, :1], pooled[0, :1])
+    sched = FlowMatchEulerScheduler()
+    rep = RepellencyConfig(method="kernel_fast", sigma=100.0, scale=0.03,
+                           use_beta_gate=False, normalize_x=True)
+
+    def run(lat, txt, pool, rfs, rep_bank=None):
+        def tf_apply(l, t, c, p):
+            return model.apply(params, l, t, c, p)
+        return sample_sd3(tf_apply, sched, txt, pool, lat,
+                          jax.random.PRNGKey(5), 3, guidance_scale=2.5,
+                          repellency=rep, refs_nchw=rfs,
+                          window=RepellencyWindow(1000.0, 0.0),
+                          rep_bank=rep_bank)
+
+    want, want_applied = jax.jit(run)(latents, text, pooled, refs)
+
+    bank = ShardedBank(mesh)                        # 1-D data-axis sharding
+    refs_s = shard_bank(refs, mesh)                 # 5 rows pad to 8
+    got, got_applied = jax.jit(
+        lambda lat, txt, pool, rfs: run(lat, txt, pool, rfs, rep_bank=bank))(
+            latents, text, pooled, refs_s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(got_applied),
+                                  np.asarray(want_applied))

@@ -135,6 +135,23 @@ mean_processor: null
     logs = (save_dir / "logs.txt").read_text()
     assert "Repellency method : kernel_fast" in logs
 
+    # --shard_bank: same run with the negative bank M-sharded over the
+    # 8-device test mesh (parallel/bank.py) — images must match the
+    # replicated run up to psum reassociation in the uint8 rounding
+    from PIL import Image as PILImage
+    sharded_dir = tmp_path / "out_sharded"
+    main(["--data", str(csv), "--save-dir", str(sharded_dir),
+          "--erase_id", "std_rep", "--model_dir", str(ckpt),
+          "--task_config", str(task_yaml),
+          "--category", "artists-Test", "--shard_bank",
+          "--num_inference_steps", "3", "--image_length", "32"])
+    logs2 = (sharded_dir / "logs.txt").read_text()
+    assert "Repellency bank sharded over 8 devices" in logs2
+    a = np.asarray(PILImage.open(save_dir / "all" / "0.png"), dtype=np.int32)
+    b = np.asarray(PILImage.open(sharded_dir / "all" / "0.png"),
+                   dtype=np.int32)
+    assert np.abs(a - b).max() <= 1
+
 
 def test_run_artist_cli(tmp_path):
     tok = _tiny_tokenizer()
