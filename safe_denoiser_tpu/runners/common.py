@@ -156,6 +156,34 @@ def build_pipeline(args, logger: Logger) -> SafeDiffusionPipeline:
     return pipe
 
 
+def check_bank_matches_image_length(ref_imgs, repellency_config,
+                                    image_length: int) -> None:
+    """Fail fast on a negative-bank / image-size mismatch.
+
+    A fresh bank projection VAE-encodes the transformed bank images; if their
+    side differs from --image_length the projected refs cannot match the
+    sampling latents, and the failure would otherwise surface only after the
+    (possibly expensive) bank encode as a cryptic reshape error deep in the
+    scan. The reference fails the same late way — its torch.cdist raises on
+    the flattened-feature mismatch (repellency_methods_fast_sdv3.py:155-162);
+    it never hits this in practice because its published caches were built at
+    the sampling resolution. Skipped when the proj-ref cache is imported
+    (cache_proj_ref): the bank images are unused then.
+    """
+    if repellency_config.get("params", {}).get("cache_proj_ref"):
+        return
+    side = int(ref_imgs.shape[-1])
+    if side != image_length:
+        raise SystemExit(
+            f"task-YAML data transform resizes the negative bank to "
+            f"{side}x{side} but --image_length is {image_length}: the "
+            f"VAE-projected bank ({side // 8}x{side // 8} latents) cannot "
+            f"match the sampling latents "
+            f"({image_length // 8}x{image_length // 8}). Set data.size: "
+            f"{image_length} in the task YAML (or pass --image_length "
+            f"{side}).")
+
+
 def build_repellency(args, pipe: SafeDiffusionPipeline, logger: Logger):
     """Assemble the repellency processor from the task YAML
     (reference run_nudity.py:294-329)."""
@@ -169,6 +197,8 @@ def build_repellency(args, pipe: SafeDiffusionPipeline, logger: Logger):
     transform = get_transform(**data_config)
     dataset = get_dataset(**data_config, transforms=transform)
     ref_imgs = np.stack([dataset[i] for i in range(len(dataset))])
+    check_bank_matches_image_length(ref_imgs, task_config["repellency"],
+                                    args.image_length)
 
     def embed_fn(x):
         nhwc = jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))

@@ -16,7 +16,8 @@ from ..repellency import get_repellency_method
 from ..utils.config import load_yaml
 from ..utils.logging import Logger
 from .common import (DetectAggregator, base_parser, build_eval,
-                     make_save_dirs, maybe_enable_bank_sharding)
+                     check_bank_matches_image_length, make_save_dirs,
+                     maybe_enable_bank_sharding)
 from .nudity import save_png
 
 
@@ -33,6 +34,8 @@ def build_sd3_repellency(args, pipe: SafeDiffusion3Pipeline, logger: Logger):
     dataset = get_dataset(**data_config,
                           transforms=get_transform(**data_config))
     ref_imgs = np.stack([dataset[i] for i in range(len(dataset))])
+    check_bank_matches_image_length(ref_imgs, task_config["repellency"],
+                                    args.image_length)
 
     from ..models import AutoencoderKL
 

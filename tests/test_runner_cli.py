@@ -255,3 +255,27 @@ def test_run_coco30k_batched(tmp_path):
     for case in (10, 11, 12):
         assert (save_dir / "all" / f"{case}.png").exists()
     assert "Wall-Clock Time for batch of 2" in (save_dir / "logs.txt").read_text()
+
+
+def test_bank_image_length_mismatch_fails_fast():
+    """A task-YAML bank resized to a different side than --image_length must
+    fail BEFORE the bank VAE-encode with an actionable message (a 512-side
+    bank against a tiny test model previously burned tens of GB in the VAE
+    mid-block attention before dying on a cryptic reshape deep in the scan).
+    The cache-import path skips the check: the bank images are unused there."""
+    from safe_denoiser_tpu.runners.common import (
+        check_bank_matches_image_length)
+
+    refs_512 = np.zeros((2, 3, 512, 512), np.float32)
+    with pytest.raises(SystemExit) as ei:
+        check_bank_matches_image_length(
+            refs_512, {"params": {"sigma": 1.0}}, 32)
+    msg = str(ei.value)
+    assert "data.size: 32" in msg and "--image_length 512" in msg
+
+    # matched side: fine
+    check_bank_matches_image_length(
+        np.zeros((2, 3, 32, 32), np.float32), {"params": {}}, 32)
+    # cache-imported proj refs: bank images unused, mismatch tolerated
+    check_bank_matches_image_length(
+        refs_512, {"params": {"cache_proj_ref": True}}, 32)
