@@ -13,13 +13,53 @@ the mid-block as one fused einsum over the flattened spatial axis.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import conv3x3 as _c3
 from .layers import Attention, GroupNorm32
+
+
+class Conv3x3(nn.Module):
+    """Drop-in for ``nn.Conv(out, (3, 3), padding=1)`` — identical param
+    names/shapes/initializers, so checkpoints and the weight converters see
+    no difference. SDT_PALLAS_CONV=1 routes bf16 TPU inputs at the VAE
+    decoder's shapes through the Pallas halo-DMA conv (ops/conv3x3.py).
+    Default OFF: the kernel beats the XLA conv emitter 1.15-1.64x on pure
+    conv compute, but in situ XLA fuses the halo pad / upsample broadcast /
+    GN-affine+silu apply / residual add into its conv fusions, and those
+    become standalone passes around the Pallas call — measured decode leg
+    identical (102.1 vs 101.6 ms, e2e trace 2026-08-17). Winning in situ
+    requires absorbing those prologues/epilogues into the kernel. All other
+    paths (f32 parity, CPU tests, unsupported shapes) run the same
+    lax.conv_general_dilated that nn.Conv lowers to."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, ci, self.out_channels))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.out_channels,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        if (x.dtype == jnp.bfloat16
+                and os.environ.get("SDT_PALLAS_CONV", "0") == "1"
+                and jax.default_backend() == "tpu"
+                and _c3.supports(x.shape, ci, self.out_channels)):
+            return _c3.conv3x3(x, kernel, bias)
+        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        out = jax.lax.conv_general_dilated(x, kernel, (1, 1), "SAME",
+                                           dimension_numbers=dn)
+        return out + bias
 
 
 @dataclass(frozen=True)
@@ -52,11 +92,9 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = GroupNorm32(self.groups, act="silu", name="norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv1")(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(h)
         h = GroupNorm32(self.groups, act="silu", name="norm2")(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv2")(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         name="conv_shortcut")(x)
@@ -102,8 +140,7 @@ class Upsample(nn.Module):
         # (select fusions + copies); decode-level trace confirmed the win
         x = jnp.broadcast_to(x[:, :, None, :, None, :],
                              (b, h, 2, w, 2, c)).reshape(b, h * 2, w * 2, c)
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                       name="conv")(x)
+        return Conv3x3(self.out_channels, dtype=self.dtype, name="conv")(x)
 
 
 class MidBlock(nn.Module):
