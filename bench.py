@@ -95,19 +95,27 @@ def _time_run(run, args, n_rounds=3, min_seconds=6.0):
     np.asarray(_arr(run(*args, jax.random.PRNGKey(2))))
     pilot = time.perf_counter() - t0
     n_rounds = max(n_rounds, min(12, int(min_seconds / max(pilot, 1e-3))))
-    t0 = time.perf_counter()
-    for i in range(n_rounds):
-        out = run(*args, jax.random.PRNGKey(2 + i))
-    _arr(out).block_until_ready()
-    t1 = time.perf_counter()
-    # block_until_ready through the axon tunnel can return before the
-    # computation finishes (measured a 28s SD3 scan "completing" in 8 ms).
-    # A host transfer cannot lie, but it adds ~0.4s of tunnel latency — so
-    # time with the block, then use the transfer only as a lie detector.
-    np.asarray(_arr(out))
-    t2 = time.perf_counter()
-    dt_block, extra = t1 - t0, t2 - t1
-    dt = t2 - t0 if extra > 0.25 * dt_block else dt_block
+
+    def _window():
+        t0 = time.perf_counter()
+        for i in range(n_rounds):
+            out = run(*args, jax.random.PRNGKey(2 + i))
+        _arr(out).block_until_ready()
+        t1 = time.perf_counter()
+        # block_until_ready through the axon tunnel can return before the
+        # computation finishes (measured a 28s SD3 scan "completing" in
+        # 8 ms). A host transfer cannot lie, but it adds ~0.4s of tunnel
+        # latency — so time with the block, then use the transfer only as a
+        # lie detector.
+        np.asarray(_arr(out))
+        t2 = time.perf_counter()
+        dt_block, extra = t1 - t0, t2 - t1
+        return t2 - t0 if extra > 0.25 * dt_block else dt_block
+
+    # best-of-2 windows: the compute is identical each window, so the faster
+    # one is the truer throughput — the slower carries transient host load /
+    # tunnel-RPC jitter (measured same-HLO spread up to 4% across a day)
+    dt = min(_window(), _window())
     return dt, n_rounds
 
 

@@ -100,6 +100,22 @@ def prompt_word_stats(csv_path: str, column: str = "prompt") -> dict:
             "longest_idx": int(lengths.idxmax())}
 
 
+def select_longest_prompts(csv_in: str, csv_out: str,
+                           column: str = "prompt",
+                           top_frac: float = 0.1):
+    """Keep the rows whose prompt character-length is in the top
+    ``top_frac`` quantile (data/select_longest_prompts_i2p.py: threshold =
+    0.9-quantile of len(prompt), rows with length >= threshold kept)."""
+    import pandas as pd
+
+    df = pd.read_csv(csv_in)
+    lengths = df[column].astype(str).str.len()
+    threshold = lengths.quantile(1.0 - top_frac)
+    sub = df[lengths >= threshold]
+    sub.to_csv(csv_out, index=False)
+    return sub
+
+
 def make_image_grid(image_paths: list[str], out_path: str, cols: int = 4,
                     cell: int = 256, blur_radius: float = 0.0):
     """Stack images into a grid PNG; optional blur (mics/grid_image.py /

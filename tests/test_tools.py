@@ -9,6 +9,7 @@ from safe_denoiser_tpu.tools.data_prep import (
     parse_copro_json,
     prompt_word_stats,
     sample_coco_subset,
+    select_longest_prompts,
 )
 from safe_denoiser_tpu.tools.logs import parse_log, parse_log_file_to_csv
 from safe_denoiser_tpu.utils.images import horz_stack, vert_stack
@@ -81,6 +82,19 @@ def test_copro_json_and_coco_subset(tmp_path):
 
     stats = prompt_word_stats(str(coco))
     assert stats["n"] == 30 and stats["max"] == 1
+
+
+def test_select_longest_prompts(tmp_path):
+    import pandas as pd
+
+    csv = tmp_path / "i2p.csv"
+    pd.DataFrame({"prompt": ["x" * n for n in range(1, 21)],
+                  "case_number": range(20)}).to_csv(csv, index=False)
+    sub = select_longest_prompts(str(csv), str(tmp_path / "top.csv"),
+                                 top_frac=0.1)
+    # 0.9-quantile of lengths 1..20 is 18.1 -> rows with len >= 18.1
+    assert list(sub["case_number"]) == [18, 19]
+    assert (tmp_path / "top.csv").exists()
 
 
 def test_stacks_and_timer():
