@@ -219,7 +219,13 @@ def parse_graph(buf: bytes) -> Graph:
                     node.outputs.append(nv.decode("utf-8"))
                 elif nf == 4:
                     node.op_type = nv.decode("utf-8")
-                elif nf == 7:
+                elif nf == 5:
+                    # NodeProto.attribute = 5 (field 7 is `domain`). This was
+                    # mis-read as 7 until a real torch.onnx-exported graph —
+                    # whose attributes all silently vanished — exposed it;
+                    # the hand-built fixtures had encoded the same wrong
+                    # field number, so they round-tripped regardless
+                    # (tests/test_onnx_torch_export.py guards this now).
                     k, v = parse_attribute(nv)
                     node.attrs[k] = v
             g.nodes.append(node)
@@ -454,6 +460,22 @@ def run_graph(graph: Graph, feeds: dict[str, np.ndarray],
         elif op in ("Identity", "Dropout", "Cast"):
             r = i[0].astype(ONNX_DTYPES.get(a.get("to"), i[0].dtype)) \
                 if op == "Cast" else i[0]
+        elif op == "Constant":
+            # real exporters (torch.onnx, tf2onnx) emit weights/shape vectors
+            # as Constant nodes, not only as graph initializers
+            if "value" in a:
+                r = a["value"]
+            elif "value_float" in a:
+                r = np.asarray(a["value_float"], dtype=np.float32)
+            elif "value_floats" in a:
+                r = np.asarray(a["value_floats"], dtype=np.float32)
+            elif "value_int" in a:
+                r = np.asarray(a["value_int"], dtype=np.int64)
+            elif "value_ints" in a:
+                r = np.asarray(a["value_ints"], dtype=np.int64)
+            else:
+                raise NotImplementedError(
+                    f"ONNX Constant without a supported value form: {a}")
         elif op == "Shape":
             r = np.asarray(i[0].shape, dtype=np.int64)
         elif op == "Gather":
@@ -477,6 +499,8 @@ def run_graph(graph: Graph, feeds: dict[str, np.ndarray],
             r = np.power(i[0], i[1])
         elif op == "Neg":
             r = -i[0]
+        elif op == "Abs":
+            r = np.abs(i[0])
         elif op == "Where":
             r = np.where(i[0], i[1], i[2])
         elif op in ("Greater", "Less", "Equal"):

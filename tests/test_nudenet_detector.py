@@ -127,7 +127,7 @@ def _retinanet_style_graph():
     from tests.test_onnx_rt import _attr_ints as AI, _attr_int as A, _str, _ld
 
     def attr_str(name, s):
-        return _ld(7, _str(1, name) + _str(4, s))
+        return _ld(5, _str(1, name) + _str(4, s))
 
     n_anchors = 4
     w_conv = rs.randn(8, 3, 3, 3).astype(np.float32) * 0.1

@@ -25,7 +25,7 @@ from tests.test_onnx_rt import (  # noqa: E402
 
 
 def _attr_str(name, s):
-    return _ld(7, _str(1, name) + _str(4, s))
+    return _ld(5, _str(1, name) + _str(4, s))
 
 
 def _same_pad(x, k, s, value=0.0):

@@ -50,16 +50,16 @@ def _tensor(name: str, arr: np.ndarray) -> bytes:
 
 
 def _attr_ints(name: str, vals) -> bytes:
-    return _ld(7, _str(1, name) +
+    return _ld(5, _str(1, name) +
                b"".join(_field(8, 0, _varint(v)) for v in vals))
 
 
 def _attr_int(name: str, v: int) -> bytes:
-    return _ld(7, _str(1, name) + _field(3, 0, _varint(v)))
+    return _ld(5, _str(1, name) + _field(3, 0, _varint(v)))
 
 
 def _attr_float(name: str, v: float) -> bytes:
-    return _ld(7, _str(1, name) + _field(2, 5, struct.pack("<f", v)))
+    return _ld(5, _str(1, name) + _field(2, 5, struct.pack("<f", v)))
 
 
 def _node(op: str, inputs, outputs, attrs: bytes = b"") -> bytes:
@@ -160,7 +160,7 @@ def test_pad_opset11_constant_value_and_modes():
 
     # opset-11+: fill value arrives as input 2, not the `value` attribute
     nodes = [_node("Pad", ["x", "pads", "cv"], ["y"],
-                   _ld(7, _str(1, "mode") + _str(4, "constant")))]
+                   _ld(5, _str(1, "mode") + _str(4, "constant")))]
     inits = [_tensor("pads", pads),
              _tensor("cv", np.array(5.0, dtype=np.float32).reshape(()))]
     graph = parse_model(_model(nodes, inits, ["x"], ["y"]))
@@ -171,7 +171,7 @@ def test_pad_opset11_constant_value_and_modes():
     # reflect / edge modes
     for mode in ("reflect", "edge"):
         nodes = [_node("Pad", ["x", "pads"], ["y"],
-                       _ld(7, _str(1, "mode") + _str(4, mode)))]
+                       _ld(5, _str(1, "mode") + _str(4, mode)))]
         graph = parse_model(_model(nodes, [_tensor("pads", pads)],
                                    ["x"], ["y"]))
         out = run_graph(graph, {"x": x})[0]
@@ -180,7 +180,7 @@ def test_pad_opset11_constant_value_and_modes():
 
     # unsupported mode must raise, not silently zero-pad
     nodes = [_node("Pad", ["x", "pads"], ["y"],
-                   _ld(7, _str(1, "mode") + _str(4, "wrap")))]
+                   _ld(5, _str(1, "mode") + _str(4, "wrap")))]
     graph = parse_model(_model(nodes, [_tensor("pads", pads)], ["x"], ["y"]))
     with pytest.raises(NotImplementedError):
         run_graph(graph, {"x": x})
@@ -214,7 +214,7 @@ def test_same_upper_auto_pad_and_sigmoid():
         want = torch.sigmoid(torch.nn.functional.conv2d(
             torch.nn.functional.pad(x, (1, 1, 1, 1)), conv.weight, conv.bias,
             stride=2)).numpy()
-    auto = _ld(7, _str(1, "auto_pad") + _str(4, "SAME_UPPER"))
+    auto = _ld(5, _str(1, "auto_pad") + _str(4, "SAME_UPPER"))
     nodes = [
         _node("Conv", ["x", "w", "b"], ["c"],
               _attr_ints("strides", [2, 2]) + auto
