@@ -370,13 +370,28 @@ def _resnet(sd: StateDict, key: str) -> dict:
     return out
 
 
+def _vae_attn(sd: StateDict, key: str) -> dict:
+    """The 2022-era SD-1.x hub ``vae/diffusion_pytorch_model.bin`` files
+    (what the reference's diffusers ``from_pretrained`` downloads,
+    run_nudity.py:105-136) carry the LEGACY diffusers AttentionBlock naming
+    ``query/key/value/proj_attn``; diffusers remaps them on load
+    (``_convert_deprecated_attention_blocks``). Accept both spellings —
+    all four are plain [C, C] Linears in either era."""
+    if f"{key}.to_q.weight" in sd:
+        return _attn(sd, key)
+    return {"to_q": _lin(sd, f"{key}.query"),
+            "to_k": _lin(sd, f"{key}.key"),
+            "to_v": _lin(sd, f"{key}.value"),
+            "to_out": _lin(sd, f"{key}.proj_attn")}
+
+
 def _vae_mid(sd: StateDict, key: str) -> dict:
     return {
         "resnets_0": _resnet(sd, f"{key}.resnets.0"),
         "resnets_1": _resnet(sd, f"{key}.resnets.1"),
         "attentions_0": {
             "group_norm": _gn(sd, f"{key}.attentions.0.group_norm"),
-            "attention": _attn(sd, f"{key}.attentions.0"),
+            "attention": _vae_attn(sd, f"{key}.attentions.0"),
         },
     }
 

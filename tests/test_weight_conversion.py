@@ -144,3 +144,40 @@ def test_vae_conversion_roundtrip():
     want = model.apply(params, x, rng, method=AutoencoderKL.sample_latent)
     got = model.apply(params2, x, rng, method=AutoencoderKL.sample_latent)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_vae_legacy_attention_key_naming():
+    """The 2022-era SD-1.x hub vae .bin names the mid-block attention
+    query/key/value/proj_attn (legacy diffusers AttentionBlock); the modern
+    naming is to_q/to_k/to_v/to_out.0. convert_vae must accept both and
+    produce the identical param tree."""
+    import jax
+
+    from safe_denoiser_tpu.models import AutoencoderKL, VAEConfig
+    from safe_denoiser_tpu.models.weights import convert_vae
+    from tests.helpers_invert import invert_vae
+
+    cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                    norm_num_groups=4, sample_size=16)
+    model = AutoencoderKL(cfg)
+    rng = jax.random.PRNGKey(1)
+    params = model.init({"params": rng}, jnp.zeros((1, 16, 16, 3)), rng)
+    sd = invert_vae(params["params"], cfg)
+
+    rename = {".to_q.": ".query.", ".to_k.": ".key.", ".to_v.": ".value.",
+              ".to_out.0.": ".proj_attn."}
+    legacy = {}
+    for k, v in sd.items():
+        if ".attentions.0." in k:
+            for new, old in rename.items():
+                k = k.replace(new, old)
+        legacy[k] = v
+    assert any(".query.weight" in k for k in legacy)
+
+    a = convert_vae(sd, cfg)
+    b = convert_vae(legacy, cfg)
+    flat_a = jax.tree_util.tree_leaves_with_path(a)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(b))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(leaf, flat_b[path])
