@@ -323,6 +323,51 @@ def _conv(x, w, b, attrs):
     return out
 
 
+def _resize_coords(out_len: int, in_len: int, scale: float, ct: str):
+    """Output index -> continuous input coordinate per ONNX Resize's
+    coordinate_transformation_mode."""
+    idx = np.arange(out_len, dtype=np.float64)
+    if ct == "asymmetric":
+        return idx / scale
+    if ct == "align_corners":
+        return idx * ((in_len - 1) / (out_len - 1)) if out_len > 1 \
+            else np.zeros(out_len)
+    if ct == "pytorch_half_pixel":
+        return (idx + 0.5) / scale - 0.5 if out_len > 1 else np.zeros(out_len)
+    if ct in ("half_pixel", "tf_half_pixel_for_nn"):
+        return (idx + 0.5) / scale - 0.5
+    raise NotImplementedError(f"ONNX Resize coordinate mode {ct!r}")
+
+
+def _resize_axis(x, axis: int, out_len: int, scale: float, mode: str,
+                 ct: str, nearest_mode: str):
+    in_len = x.shape[axis]
+    coords = _resize_coords(out_len, in_len, scale, ct)
+    if mode == "nearest":
+        if nearest_mode == "round_prefer_floor":
+            idx = np.ceil(coords - 0.5)
+        elif nearest_mode == "round_prefer_ceil":
+            idx = np.floor(coords + 0.5)
+        elif nearest_mode == "floor":
+            idx = np.floor(coords)
+        elif nearest_mode == "ceil":
+            idx = np.ceil(coords)
+        else:
+            raise NotImplementedError(f"ONNX Resize nearest_mode {nearest_mode!r}")
+        return np.take(x, np.clip(idx, 0, in_len - 1).astype(np.int64),
+                       axis=axis)
+    if mode == "linear":
+        lo = np.clip(np.floor(coords), 0, in_len - 1).astype(np.int64)
+        hi = np.minimum(lo + 1, in_len - 1)
+        w = np.clip(coords - lo, 0.0, 1.0)
+        shape = [1] * x.ndim
+        shape[axis] = out_len
+        w = w.reshape(shape).astype(np.float32)
+        return (np.take(x, lo, axis=axis) * (1.0 - w)
+                + np.take(x, hi, axis=axis) * w)
+    raise NotImplementedError(f"ONNX Resize mode {mode!r}")
+
+
 def _pool(x, attrs, mode):
     kernel = attrs["kernel_shape"]
     strides = attrs.get("strides", [1, 1])
@@ -478,6 +523,30 @@ def run_graph(graph: Graph, feeds: dict[str, np.ndarray],
                     f"ONNX Constant without a supported value form: {a}")
         elif op == "Shape":
             r = np.asarray(i[0].shape, dtype=np.int64)
+        elif op == "Resize":
+            # the keras-retinanet detector export (UpsampleLike) and torch's
+            # F.interpolate both lower here; inputs are (X, roi, scales[,
+            # sizes]) from opset 11 on
+            x = i[0]
+            sizes = i[3] if len(i) > 3 and i[3] is not None else None
+            scales = i[2] if len(i) > 2 and i[2] is not None else None
+            in_shape = np.asarray(x.shape, dtype=np.int64)
+            if sizes is not None and np.asarray(sizes).size:
+                out_shape = np.asarray(sizes, dtype=np.int64)
+                sc = out_shape / in_shape
+            elif scales is not None and np.asarray(scales).size:
+                sc = np.asarray(scales, dtype=np.float64)
+                out_shape = np.floor(in_shape * sc).astype(np.int64)
+            else:
+                raise NotImplementedError("ONNX Resize without scales/sizes")
+            r = x
+            for ax in range(x.ndim):
+                if int(out_shape[ax]) != r.shape[ax]:
+                    r = _resize_axis(
+                        r, ax, int(out_shape[ax]), float(sc[ax]),
+                        a.get("mode", "nearest"),
+                        a.get("coordinate_transformation_mode", "half_pixel"),
+                        a.get("nearest_mode", "round_prefer_floor"))
         elif op == "Gather":
             r = np.take(i[0], i[1].astype(np.int64), axis=a.get("axis", 0))
         elif op in ("ReduceMean", "ReduceMax"):

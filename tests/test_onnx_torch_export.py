@@ -168,6 +168,30 @@ def test_batchnorm_matmul_negative_axis(tmp_path):
     np.testing.assert_allclose(got, m(x).detach().numpy(), atol=1e-5)
 
 
+class ResizeNet(nn.Module):
+    """F.interpolate → Resize: nearest/asymmetric/floor and
+    bilinear/pytorch_half_pixel plus align_corners — the coordinate modes
+    the keras-retinanet detector export (UpsampleLike) also uses."""
+
+    def forward(self, x):
+        a = F.interpolate(x, scale_factor=2, mode="nearest")
+        b = F.interpolate(x, scale_factor=2, mode="bilinear",
+                          align_corners=False)
+        c = F.interpolate(x, size=(5, 7), mode="bilinear", align_corners=True)
+        return a + b, c
+
+
+def test_resize_modes(tmp_path):
+    m = ResizeNet().eval()
+    x = torch.randn(2, 3, 4, 6)
+    p = tmp_path / "resize.onnx"
+    _export(m, (x,), p, input_names=["x"], output_names=["ab", "c"])
+    ab, c = _run(p, {"x": x.numpy()}, ["ab", "c"])
+    wab, wc = m(x)
+    np.testing.assert_allclose(ab, wab.numpy(), atol=1e-5)
+    np.testing.assert_allclose(c, wc.numpy(), atol=1e-5)
+
+
 def test_unsupported_op_fails_loudly(tmp_path):
     class ErfNet(nn.Module):
         def forward(self, x):
