@@ -314,6 +314,17 @@ def main():
         finally:
             BANK_M = saved
 
+    # headline FIRST as a hedge, re-printed LAST for the driver's last-line
+    # parse: the axon tunnel can wedge indefinitely mid-run (2026-08-17: the
+    # first RPC of a full run blocked >40 min until the timeout killed it) —
+    # measuring the headline before the secondaries means a mid-run wedge
+    # still leaves the headline line in the recorded tail.
+    headline = None
+    if only in (None, "sd14") and not fast:
+        headline = bench_sd14()
+        _emit("sd14_50step_safe_denoiser_throughput", headline,
+              BASELINE_IMG_PER_SEC)
+
     if not fast:
         if only in (None, "sd14_10"):
             _try("sd14_10step_ddim_safe_denoiser_throughput",
@@ -332,8 +343,11 @@ def main():
             _try("sd3_50step_safe_denoiser_throughput", bench_sd3,
                  BASELINE_SD3)
     if only in (None, "sd14"):
-        # headline LAST: the driver parses the final JSON line
-        _emit("sd14_50step_safe_denoiser_throughput", bench_sd14(),
+        # headline LAST: the driver parses the final JSON line (the value
+        # re-printed from the up-front measurement when one exists)
+        if headline is None:
+            headline = bench_sd14()
+        _emit("sd14_50step_safe_denoiser_throughput", headline,
               BASELINE_IMG_PER_SEC)
 
 

@@ -106,7 +106,9 @@ def get_dataloader(dataset, batch_size: int, num_workers: int = 0,
 
 def get_all_imgs(dataset, batch_size: int = 64) -> np.ndarray:
     """Materialize the whole bank as one [M, 3, H, W] fp32 array
-    (reference get_all_imgs :28-33 — the bank is small enough by design)."""
+    (reference get_all_imgs :28-33 — the bank is small enough by design).
+    A thread-pooled variant measured exactly 1.0x here (single-vCPU host);
+    keep the simple loop."""
     out = [dataset[i] for i in range(len(dataset))]
     return np.stack(out, axis=0)
 

@@ -128,9 +128,27 @@ class SafeDiffusion3Pipeline:
             tok3 = transformers.AutoTokenizer.from_pretrained(tok3_dir)
         except Exception:
             tok3 = CLIPTokenizer.from_pretrained(tok3_dir)
+
+        # honor the checkpoint's scheduler_config.json (the reference keeps
+        # whatever FlowMatchEuler from_pretrained loads — sdv3 runners pass
+        # no custom scheduler); the defaults match SD3-medium (shift=3.0)
+        # but must not silently override a checkpoint that differs
+        from ..schedulers.flow_match import FlowMatchEulerConfig
+        sched_cfg = FlowMatchEulerConfig()
+        sched_path = os.path.join(model_dir, "scheduler",
+                                  "scheduler_config.json")
+        if os.path.exists(sched_path):
+            import dataclasses
+            import json
+            with open(sched_path) as f:
+                raw = json.load(f)
+            fields = {f.name for f in dataclasses.fields(FlowMatchEulerConfig)}
+            sched_cfg = FlowMatchEulerConfig(
+                **{k: v for k, v in raw.items() if k in fields})
+
         return cls(tf, tf_params, vae, vae_params, clip_l, clip_l_params,
                    clip_g, clip_g_params, t5, t5_params, tok, tok2, tok3,
-                   FlowMatchEulerScheduler(), logger=logger)
+                   FlowMatchEulerScheduler(sched_cfg), logger=logger)
 
     # -- text encoding ------------------------------------------------------
     def _t5_ids(self, texts, padding="max_length", max_length=None):

@@ -116,6 +116,12 @@ def main_nudity(argv=None):
                     window=window, efficient=args.efficient)
         logger.log(f"Wall-Clock Time for image generation "
                    f"(Case#: {case.case_number}): {time.time() - start:.2f} seconds")
+        if "artists-" in args.category:
+            # reference run_nudity_sdv3.py:367-369 — artists runs save the
+            # image and skip the online gate entirely
+            save_png(imgs[0], os.path.join(dirs["all"],
+                                           f"{case.case_number}.png"))
+            continue
         is_unsafe, pred = eval_func(imgs, threshold=args.nudity_thr)
         agg.add(case.categories, is_unsafe, float(pred))
         tag = f"{case.case_number}_{'-'.join(case.categories)}.png"
@@ -125,7 +131,13 @@ def main_nudity(argv=None):
         logger.log(f"Optimized image is unsafe: {is_unsafe}, "
                    f"toxicity pred: {float(pred):.3f}")
 
-    agg.dump(args, args.save_dir, logger, task_config)
+    if "artists-" not in args.category:
+        agg.dump(args, args.save_dir, logger, task_config)
+    else:
+        # config.yaml + empty detect_dict.json, same as the SD-v1 artists
+        # branch (reference run_nudity_sdv3.py:407 gates only the ratios)
+        from .common import dump_run_artifacts
+        dump_run_artifacts(args, args.save_dir, task_config, detect_dict={})
     print("end")
 
 

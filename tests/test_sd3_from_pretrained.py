@@ -150,7 +150,15 @@ def test_sd3_from_pretrained_and_generate(tmp_path):
     _write_tokenizer(root / "tokenizer_2", tok, 8)
     _write_t5_fast_tokenizer(root / "tokenizer_3", max_vocab=len(tok.vocab))
 
+    # the checkpoint's scheduler config must be honored, not the defaults
+    sdir = root / "scheduler"
+    sdir.mkdir()
+    (sdir / "scheduler_config.json").write_text(json.dumps({
+        "_class_name": "FlowMatchEulerDiscreteScheduler",
+        "num_train_timesteps": 1000, "shift": 1.75}))
+
     pipe = SafeDiffusion3Pipeline.from_pretrained(str(root))
+    assert pipe.scheduler.config.shift == 1.75
     pipe.max_sequence_length = 12
     # the AutoTokenizer branch must win over the CLIPTokenizer fallback
     assert isinstance(pipe.tokenizer_3, transformers.T5TokenizerFast)
@@ -271,3 +279,13 @@ mean_processor: null
     assert (save_dir / "detect_dict.json").exists()
     assert (save_dir / "logs.txt").exists()
     assert len(list((save_dir / "all").glob("*.png"))) == 1
+
+    # artists-* branch: save-and-skip-eval, empty detect_dict (reference
+    # run_nudity_sdv3.py:367-369,407) — no NudeNet gate needed
+    artist_dir = tmp_path / "out_artist"
+    main_nudity(["--data", str(csv), "--save-dir", str(artist_dir),
+                 "--model_dir", str(root), "--task_config", str(task_yaml),
+                 "--category", "artists-Test",
+                 "--num_inference_steps", "2", "--image_length", "16"])
+    assert (artist_dir / "all" / "0.png").exists()
+    assert json.loads((artist_dir / "detect_dict.json").read_text()) == {}
