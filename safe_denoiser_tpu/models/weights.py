@@ -129,11 +129,68 @@ def load_component_config(model_dir: str, kind: str):
     raise ValueError(kind)
 
 
+# safetensors dtype tags that numpy can represent natively; anything else
+# (BF16, F8_*) routes through the manual reader below
+_ST_NUMPY_DTYPES = {
+    "F64": np.float64, "F32": np.float32, "F16": np.float16,
+    "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+    "U8": np.uint8, "BOOL": np.bool_,
+}
+
+
+def _read_safetensors_header(path: str) -> tuple[dict, int]:
+    import json
+    with open(path, "rb") as f:
+        n = int.from_bytes(f.read(8), "little")
+        header = json.loads(f.read(n))
+    return header, 8 + n
+
+
+def _load_safetensors_raw(path: str, header: dict, base: int) -> dict[str, Array]:
+    """Self-contained safetensors reader for dtypes ``safetensors.numpy``
+    refuses (it raises on BF16 because numpy has no native bfloat16 — real
+    SD3.5-era / redistributed-T5 checkpoints ship bf16 shards, so first
+    contact with one must not fail). BF16 buffers are viewed through
+    ``ml_dtypes.bfloat16`` (jax's own extension dtype — ``jnp.asarray``
+    consumes it zero-copy). The file is memory-mapped: a 4.5 GB T5 shard
+    pages in lazily instead of doubling host RAM."""
+    import mmap
+
+    import ml_dtypes
+
+    with open(path, "rb") as f:
+        buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    out: dict[str, Array] = {}
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        tag = meta["dtype"]
+        if tag == "BF16":
+            dt = np.dtype(ml_dtypes.bfloat16)
+        elif tag in ("F8_E4M3", "F8_E5M2"):
+            dt = np.dtype(getattr(ml_dtypes,
+                                  "float8_e4m3fn" if tag == "F8_E4M3"
+                                  else "float8_e5m2"))
+        elif tag in _ST_NUMPY_DTYPES:
+            dt = np.dtype(_ST_NUMPY_DTYPES[tag])
+        else:
+            raise NotImplementedError(f"safetensors dtype {tag} in {path}")
+        o0, o1 = meta["data_offsets"]
+        count = (o1 - o0) // dt.itemsize
+        out[name] = np.frombuffer(buf, dtype=dt, count=count,
+                                  offset=base + o0).reshape(meta["shape"])
+    return out
+
+
 def load_state_dict(path: str) -> dict[str, Array]:
     """Load a flat {key: np.ndarray} state dict from .safetensors/.pt/.bin."""
     if path.endswith(".safetensors"):
-        from safetensors.numpy import load_file
-        return dict(load_file(path))
+        header, base = _read_safetensors_header(path)
+        tags = {m["dtype"] for k, m in header.items() if k != "__metadata__"}
+        if tags <= set(_ST_NUMPY_DTYPES):
+            from safetensors.numpy import load_file
+            return dict(load_file(path))
+        return _load_safetensors_raw(path, header, base)
     obj = load_pt(path)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]

@@ -181,3 +181,38 @@ def test_vae_legacy_attention_key_naming():
     assert len(flat_a) == len(flat_b)
     for path, leaf in flat_a:
         np.testing.assert_array_equal(leaf, flat_b[path])
+
+
+def test_bf16_safetensors_loading(tmp_path):
+    """safetensors.numpy raises on BF16 files; the manual reader must load
+    them (real SD3.5-era / redistributed-T5 checkpoints ship bf16 shards).
+    Fixture written by safetensors.torch — the same writer HF uses."""
+    from safetensors.torch import save_file
+
+    from safe_denoiser_tpu.models.weights import load_state_dict
+
+    t = {
+        "a.weight": torch.randn(4, 6, dtype=torch.float32).to(torch.bfloat16),
+        "b.bias": torch.randn(8, dtype=torch.float16),
+        "c.scalar": torch.tensor(2.5, dtype=torch.bfloat16),
+        "d.ints": torch.arange(12, dtype=torch.int64).reshape(3, 4),
+    }
+    path = tmp_path / "model.safetensors"
+    save_file(t, str(path))
+
+    sd = load_state_dict(str(path))
+    assert set(sd) == set(t)
+    for k, v in t.items():
+        got = sd[k]
+        assert tuple(got.shape) == tuple(v.shape)
+        np.testing.assert_array_equal(
+            np.asarray(got, dtype=np.float32),
+            v.to(torch.float32).numpy())
+    # bf16 arrays must survive the converter idioms (transpose + contiguous)
+    # and feed jnp directly
+    kt = np.ascontiguousarray(sd["a.weight"].T)
+    assert jnp.asarray(kt).dtype == jnp.bfloat16
+    # an all-numpy-dtype file still takes the battle-tested library path
+    save_file({"x": torch.randn(3, 3)}, str(tmp_path / "f32.safetensors"))
+    sd2 = load_state_dict(str(tmp_path / "f32.safetensors"))
+    assert sd2["x"].dtype == np.float32
