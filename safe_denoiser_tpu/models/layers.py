@@ -73,11 +73,17 @@ class GroupNorm32(nn.Module):
     act: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x):
-        from ..ops.group_norm import group_norm
+    def __call__(self, x, coefs_only: bool = False):
+        from ..ops.group_norm import gn_affine_coefs, group_norm
 
         scale, bias = _GNParams(x.shape[-1], name="GroupNorm_0")()
         shape = x.shape
+        if coefs_only:
+            # f32 (a_c, b_c) [B, C] for the fused Pallas conv prologue
+            # (ops/conv3x3.py) — the affine apply (+ the trailing act) then
+            # happens inside the consumer's halo band instead of here
+            return gn_affine_coefs(x.reshape(shape[0], -1, shape[-1]),
+                                   scale, bias, self.num_groups, self.epsilon)
         y = group_norm(x.reshape(shape[0], -1, shape[-1]), scale, bias,
                        self.num_groups, self.epsilon, self.act)
         return y.reshape(shape)

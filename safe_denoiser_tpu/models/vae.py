@@ -24,25 +24,38 @@ from ..ops import conv3x3 as _c3
 from .layers import Attention, GroupNorm32
 
 
+def _pallas_conv_mode(x, ci: int, co: int) -> str | None:
+    """SDT_PALLAS_CONV gate for the fused halo-DMA conv (ops/conv3x3.py):
+    '1' routes bf16 TPU inputs at the VAE's shapes through the kernel,
+    'interpret' forces the kernel in Pallas interpreter mode on any backend
+    (CPU numerics tests). Returns 'tpu' | 'interpret' | None."""
+    flag = os.environ.get("SDT_PALLAS_CONV", "0")
+    if (flag not in ("1", "interpret") or x.dtype != jnp.bfloat16
+            or not _c3.supports(x.shape, ci, co)):
+        return None
+    if flag == "interpret":
+        return "interpret"
+    return "tpu" if jax.default_backend() == "tpu" else None
+
+
 class Conv3x3(nn.Module):
     """Drop-in for ``nn.Conv(out, (3, 3), padding=1)`` — identical param
     names/shapes/initializers, so checkpoints and the weight converters see
-    no difference. SDT_PALLAS_CONV=1 routes bf16 TPU inputs at the VAE
-    decoder's shapes through the Pallas halo-DMA conv (ops/conv3x3.py).
-    Default OFF: the kernel beats the XLA conv emitter 1.15-1.64x on pure
-    conv compute, but in situ XLA fuses the halo pad / upsample broadcast /
-    GN-affine+silu apply / residual add into its conv fusions, and those
-    become standalone passes around the Pallas call — measured decode leg
-    identical (102.1 vs 101.6 ms, e2e trace 2026-08-17). Winning in situ
-    requires absorbing those prologues/epilogues into the kernel. All other
-    paths (f32 parity, CPU tests, unsupported shapes) run the same
-    lax.conv_general_dilated that nn.Conv lowers to."""
+    no difference. SDT_PALLAS_CONV=1 routes bf16 TPU inputs at the VAE's
+    shapes through the fused Pallas halo-DMA conv (ops/conv3x3.py), which
+    also absorbs the GroupNorm affine+SiLU prologue and residual epilogue
+    the callers pass in (``pre``/``act``/``residual``) — the r3 in-situ
+    trace showed the unfused kernel's win was exactly cancelled by XLA
+    emitting those as standalone passes (102.1 vs 101.6 ms decode). All
+    other paths (f32 parity, CPU tests, unsupported shapes) run the same
+    lax.conv_general_dilated composition that nn.Conv lowers to, with the
+    prologue applied at x.dtype exactly like group_norm_ref's fast path."""
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pre=None, act=None, residual=None):
         ci = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, ci, self.out_channels))
@@ -50,16 +63,24 @@ class Conv3x3(nn.Module):
                           (self.out_channels,))
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
-        if (x.dtype == jnp.bfloat16
-                and os.environ.get("SDT_PALLAS_CONV", "0") == "1"
-                and jax.default_backend() == "tpu"
-                and _c3.supports(x.shape, ci, self.out_channels)):
-            return _c3.conv3x3(x, kernel, bias)
+        mode = _pallas_conv_mode(x, ci, self.out_channels)
+        ps, pb = pre if pre is not None else (None, None)
+        if mode is not None:
+            return _c3.conv3x3(x, kernel, bias, ps, pb, act, residual,
+                               interpret=(mode == "interpret"))
+        if pre is not None:
+            x = (x * ps.astype(x.dtype)[:, None, None, :]
+                 + pb.astype(x.dtype)[:, None, None, :])
+        if act == "silu":
+            x = x * jax.nn.sigmoid(x)
         dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
                                             ("NHWC", "HWIO", "NHWC"))
         out = jax.lax.conv_general_dilated(x, kernel, (1, 1), "SAME",
                                            dimension_numbers=dn)
-        return out + bias
+        out = out + bias
+        if residual is not None:
+            out = out + residual
+        return out
 
 
 @dataclass(frozen=True)
@@ -91,14 +112,32 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = GroupNorm32(self.groups, act="silu", name="norm1")(x)
-        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm32(self.groups, act="silu", name="norm2")(h)
-        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(h)
-        if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        name="conv_shortcut")(x)
-        return x + h
+        from ..ops.group_norm import _fast_act_ok
+
+        norm1 = GroupNorm32(self.groups, act="silu", name="norm1")
+        conv1 = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")
+        norm2 = GroupNorm32(self.groups, act="silu", name="norm2")
+        conv2 = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")
+        b, hh, ww, ci = x.shape
+        co = self.out_channels
+        shortcut = x
+        if ci != co:
+            shortcut = nn.Conv(co, (1, 1), dtype=self.dtype,
+                               name="conv_shortcut")(x)
+        # fused path: GN stats stay a one-pass kernel, but the affine+silu
+        # apply, the SAME-pad and the residual add all move inside the conv
+        # kernel's halo band (see ops/conv3x3.py header for the in-situ
+        # trace that motivated this)
+        if (_pallas_conv_mode(x, ci, co) is not None
+                and _c3.supports((b, hh, ww, co), co, co)
+                and _fast_act_ok(x.dtype)):
+            a1, b1 = norm1(x, coefs_only=True)
+            h = conv1(x, pre=(a1, b1), act="silu")
+            a2, b2 = norm2(h, coefs_only=True)
+            return conv2(h, pre=(a2, b2), act="silu", residual=shortcut)
+        h = conv1(norm1(x))
+        h = conv2(norm2(h))
+        return shortcut + h
 
 
 class AttnBlock(nn.Module):

@@ -1,21 +1,37 @@
-"""Pallas halo-DMA 3x3 SAME conv for the VAE decoder's NHWC bf16 convs.
+"""Pallas halo-DMA 3x3 SAME conv for the VAE's NHWC bf16 convs, with the
+GroupNorm-affine+SiLU prologue and residual-add epilogue fused in.
 
 Why: XLA's conv emitter runs the decode-leg convs at 28-69% of roofline
 (CLAUDE.md decode close-out: [4,128,128,512]->512 measured 3.46 ms vs 1.57
-roofline; [4,512,512,128]->128 at 28%), while plain matmuls in the same
-programs hit ~93%. This kernel re-expresses the conv as 9 full-width MXU
-dots so it inherits matmul efficiency:
+roofline), while plain matmuls in the same programs hit ~93%. This kernel
+re-expresses the conv as 9 full-width MXU dots so it inherits matmul
+efficiency. The first version (git 81dbed1) beat XLA 1.15-1.64x on pure conv
+compute but was a wash in situ: XLA fuses the SAME-pad, the GN affine+silu
+apply and the residual add into its conv fusions, and those became
+standalone HBM passes around the Pallas call. This version absorbs them:
 
-  * the input is SAME-padded once in HBM ([B, H+2, W+2, Ci]);
-  * each grid step DMAs one [tile_h+2, W+2, Ci] row band into VMEM
-    (pltpu.make_async_copy — halo rows overlap between bands, which a
-    BlockSpec cannot express);
-  * the band is viewed as [(tile_h+2)*Wp, Ci] (Wp = W+2 rounded up to the
-    16-sublane bf16 tile so the reshape is a free view) and, for each of
-    the 9 taps, one [tile_h*Wp, Ci] @ [Ci, Co] dot runs over the FULL
-    padded width (~2% redundant columns), accumulating the dx-shifted
-    slice into an f32 scratch accumulator;
-  * bias is folded into the accumulator init; output casts to x.dtype.
+  * NO pre-pad pass: the input stays [B, H, W, Ci] in HBM. Each grid step
+    DMAs a clamped [tile_h+2, W, Ci] row band (pltpu.make_async_copy —
+    halo rows overlap between bands, which a BlockSpec cannot express;
+    at the top/bottom image edge the clamp shifts the band by one row and
+    the kernel re-aligns when writing the activated scratch);
+  * the GroupNorm per-channel affine (a_c, b_c from a separate one-pass
+    stats kernel, ops/group_norm.gn_affine_coefs) and the SiLU are applied
+    on the band in VMEM while staging it into the activated scratch
+    (bf16 apply — same numerics as group_norm_ref's fast path);
+  * the scratch holds tile_h+4 rows: row(k+1) = activated conv-input row
+    i*tile_h-1+k, with the out-of-image rows zeroed, plus one slack row on
+    each side so the 9 tap dots can slice the flattened [(tile_h+4)*W, Ci]
+    view at start (1+dy)*W + dx - 1 without going out of bounds;
+  * each tap is one [tile_h*W, Ci] @ [Ci, Co] dot accumulated in f32. The
+    dx=0/dx=2 taps wrap across row boundaries at the image's left/right
+    edge columns — but the value SAME-padding wants there is zero, so the
+    wrapped garbage is removed exactly by six tiny fix-up dots over the
+    scratch's first/last columns (E_left[r] = sum_dy col_{W-1}[r+dy] @
+    w[dy,0], mirrored on the right), which simultaneously implements the
+    zero left/right conv padding;
+  * bias (+ optional residual block) folds into the accumulator init;
+    output casts to x.dtype.
 
 Reference parity target: the VAE decoder convs the reference runs through
 diffusers' torch Conv2d (reference models use AutoencoderKL.decode via
@@ -38,29 +54,42 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(x_hbm, w_ref, b_ref, o_ref, xs, acc, sem, *,
-            tile_h: int, W: int, Wp: int, Ci: int, Co: int):
+def _kernel(x_hbm, w_ref, b_ref, *rest, tile_h: int, H: int, W: int,
+            Ci: int, Co: int, has_pre: bool, act: str | None,
+            has_res: bool):
+    idx = 0
+    if has_pre:
+        a_ref, s_ref = rest[idx], rest[idx + 1]
+        idx += 2
+    if has_res:
+        res_ref = rest[idx]
+        idx += 1
+    o_ref, xs, sact, acc, sem = rest[idx:idx + 5]
+
     b = pl.program_id(0)
     i = pl.program_id(1)
     n_h = pl.num_programs(1)
+    th = tile_h
 
-    # double-buffered halo DMA: band i computes out of slot i%2 while band
-    # i+1 streams into the other slot. Full-width row bands — the input is
-    # pre-padded to Wp columns in HBM so the copy needs no partial-width
-    # slice (Mosaic requires sliced tiled dims to stay tile-aligned); only
-    # the untiled H dim is sliced. The prefetch crosses image boundaries
-    # ((b, n_h-1) prefetches (b+1, 0)) so the pipe never drains mid-batch.
+    # clamped halo DMA: band i wants image rows [i*th-1, i*th+th+1); at the
+    # image top/bottom the start clamps into range and the band lands one
+    # row shifted (d = i*th-1-s in {-1, 0, +1})
     def band_dma(slot, bb, ii):
+        s = jnp.clip(ii * th - 1, 0, H - (th + 2))
         return pltpu.make_async_copy(
-            x_hbm.at[bb, pl.ds(ii * tile_h, tile_h + 2)], xs.at[slot],
-            sem.at[slot])
+            x_hbm.at[bb, pl.ds(s, th + 2)], xs.at[slot], sem.at[slot])
 
     g = b * n_h + i            # global step: slot parity survives b changes
     slot = g % 2
 
     @pl.when(g == 0)
-    def _warmup():
+    def _init():
         band_dma(0, 0, 0).start()
+        # slack rows 0 / th+3 are read only at single wrap positions whose
+        # contributions the fix-up dots subtract again — but they must hold
+        # FINITE values for that cancellation (NaN - NaN != 0), so clear the
+        # scratch once; afterwards every row only ever holds activations
+        sact[...] = jnp.zeros_like(sact)
 
     nxt = jnp.where(i + 1 < n_h, i + 1, 0)
     nxt_b = jnp.where(i + 1 < n_h, b, b + 1)
@@ -70,90 +99,162 @@ def _kernel(x_hbm, w_ref, b_ref, o_ref, xs, acc, sem, *,
         band_dma((g + 1) % 2, nxt_b, nxt).start()
 
     band_dma(slot, b, i).wait()
-    x2 = xs[slot].reshape((tile_h + 2) * Wp, Ci)
-    # one accumulator RMW per kernel row (not per tap): the three dx taps of
-    # a row are summed in registers first — at small Co the f32 accumulator
-    # traffic, not the MXU, is the limiter
+
+    band = xs[slot]                                   # [th+2, W, Ci]
+    if has_pre:
+        band = band * a_ref[0][None, None, :] + s_ref[0][None, None, :]
+    if act == "silu":
+        band = band * jax.nn.sigmoid(band)
+    # re-align for the clamp shift: activated conv-input row k goes to
+    # scratch row k+1 = band row k+d  =>  write band at row offset 1-d
+    s0 = jnp.clip(i * th - 1, 0, H - (th + 2))
+    d = i * th - 1 - s0
+    sact[pl.ds(1 - d, th + 2)] = band.astype(sact.dtype)
+
+    zero_row = jnp.zeros((W, Ci), sact.dtype)
+
+    @pl.when(i == 0)
+    def _top():                                       # image row -1
+        sact[1] = zero_row
+
+    @pl.when(i == n_h - 1)
+    def _bottom():                                    # image row H
+        sact[th + 2] = zero_row
+
+    f = sact[...].reshape((th + 4) * W, Ci)
     for dy in range(3):
-        xd = x2[dy * Wp:(dy + tile_h) * Wp, :]
         row = None
         for dx in range(3):
-            y = lax.dot_general(xd, w_ref[dy * 3 + dx],
+            start = (1 + dy) * W + dx - 1
+            y = lax.dot_general(f[start:start + th * W], w_ref[dy * 3 + dx],
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-            s = y.reshape(tile_h, Wp, Co)[:, dx:dx + W, :]
-            row = s if row is None else row + s
+            row = y if row is None else row + y
+        row = row.reshape(th, W, Co)
         if dy == 0:
-            acc[...] = row + b_ref[...].astype(jnp.float32)
+            base = row + b_ref[...].astype(jnp.float32)
+            if has_res:
+                base = base + res_ref[0].astype(jnp.float32)
+            acc[...] = base
         else:
             acc[...] += row
+
+    # wrap fix-up == zero SAME-padding of the left/right image columns
+    col_l = sact[:, W - 1, :]                         # [th+4, Ci]
+    col_r = sact[:, 0, :]
+    e_l = e_r = None
+    for dy in range(3):
+        yl = lax.dot_general(col_l[dy:dy + th], w_ref[dy * 3],
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        yr = lax.dot_general(col_r[dy + 2:dy + 2 + th], w_ref[dy * 3 + 2],
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        e_l = yl if e_l is None else e_l + yl
+        e_r = yr if e_r is None else e_r + yr
+    acc[:, 0, :] -= e_l
+    acc[:, W - 1, :] -= e_r
+
     o_ref[0] = acc[...].astype(o_ref.dtype)
 
 
 def _pick_tile_h(H: int, W: int, Co: int) -> int:
-    # up to three per-tap f32 dot results [tile_h*Wp, Co] are live at once
+    # up to three per-tap f32 dot results [tile_h*W, Co] are live at once
     # (the in-register row sum); keep each ~<=1.25 MB so Mosaic's scoped
-    # VMEM stays inside the v5e budget
+    # VMEM stays inside the v5e budget. The clamped halo DMA needs at least
+    # one full extra row in range (H >= tile_h+2).
     budget = 1.25e6
     for th in (16, 8, 4, 2, 1):
-        if H % th == 0 and th * _round_up(W + 2, 16) * Co * 4 <= budget:
+        if H % th == 0 and H >= th + 2 and th * W * Co * 4 <= budget:
             return th
     return 1
 
 
 def supports(x_shape, ci: int, co: int) -> bool:
-    """Shapes the kernel handles well: bf16-tileable channel counts and a
-    height the row-band grid divides. The VAE decoder's convs (Ci/Co in
-    {128, 256, 512}, H = W in {64..512}) all qualify."""
+    """Shapes the kernel handles well: bf16-tileable channel counts, a
+    16-multiple width (the flattened-band view must be a free reshape) and
+    a height the row-band grid divides with headroom for the halo clamp.
+    The VAE's convs (Ci/Co in {128, 256, 512}, H = W in {64..512}) all
+    qualify."""
     b, h, w, _ = x_shape
-    return (ci % 128 == 0 and co % 128 == 0 and h % _pick_tile_h(h, w, co) == 0
-            and ci <= 1024 and co <= 1024 and w >= 8)
+    th = _pick_tile_h(h, w, co)
+    return (ci % 128 == 0 and co % 128 == 0 and w % 16 == 0
+            and h % th == 0 and h >= th + 2 and ci <= 1024 and co <= 1024)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def conv3x3(x, w, b=None, *, interpret: bool = False):
-    """3x3 stride-1 SAME conv, NHWC x [B,H,W,Ci], HWIO w [3,3,Ci,Co].
+def _fallback(x, w, b, pre_scale, pre_shift, act, residual):
+    if pre_scale is not None:
+        x = x * pre_scale.astype(x.dtype)[:, None, None, :] \
+            + pre_shift.astype(x.dtype)[:, None, None, :]
+    if act == "silu":
+        x = x * jax.nn.sigmoid(x)
+    dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    out = lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    if residual is not None:
+        out = out + residual.astype(jnp.float32)
+    return out.astype(x.dtype)
 
-    f32 accumulation, output in x.dtype. Falls back to lax.conv for
-    unsupported shapes (callers should gate on supports())."""
+
+@functools.partial(jax.jit, static_argnames=("act", "interpret"))
+def conv3x3(x, w, b=None, pre_scale=None, pre_shift=None, act=None,
+            residual=None, *, interpret: bool = False):
+    """residual + conv3x3_SAME(act(x*pre_scale + pre_shift), w) + b.
+
+    x: NHWC [B,H,W,Ci]; w: HWIO [3,3,Ci,Co]; pre_scale/pre_shift: optional
+    f32 [B,Ci] per-batch-channel GroupNorm affine (applied at x.dtype, like
+    group_norm_ref's fast path); act: None|'silu'; residual: [B,H,W,Co].
+    f32 accumulation, output in x.dtype. Falls back to the equivalent
+    lax.conv composition for unsupported shapes (callers should gate on
+    supports())."""
     B, H, W, Ci = x.shape
     Co = w.shape[-1]
     if not supports(x.shape, Ci, Co):
-        dn = lax.conv_dimension_numbers(x.shape, w.shape,
-                                        ("NHWC", "HWIO", "NHWC"))
-        out = lax.conv_general_dilated(
-            x, w, (1, 1), "SAME", dimension_numbers=dn,
-            preferred_element_type=jnp.float32)
-        if b is not None:
-            out = out + b.astype(jnp.float32)
-        return out.astype(x.dtype)
+        return _fallback(x, w, b, pre_scale, pre_shift, act, residual)
 
     tile_h = _pick_tile_h(H, W, Co)
-    Wp = _round_up(W + 2, 16)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, Wp - W - 1), (0, 0)))
+    has_pre = pre_scale is not None
+    has_res = residual is not None
     w9 = w.reshape(9, Ci, Co)
     bias = (jnp.zeros((1, Co), jnp.float32) if b is None
             else b.reshape(1, Co).astype(jnp.float32))
 
+    args = [x, w9, bias]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec((9, Ci, Co), lambda bi, i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Co), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if has_pre:
+        args += [pre_scale.astype(x.dtype), pre_shift.astype(x.dtype)]
+        in_specs += [pl.BlockSpec((1, Ci), lambda bi, i: (bi, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+    if has_res:
+        args.append(residual)
+        in_specs.append(pl.BlockSpec((1, tile_h, W, Co),
+                                     lambda bi, i: (bi, i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+
     grid = (B, H // tile_h)
     return pl.pallas_call(
-        functools.partial(_kernel, tile_h=tile_h, W=W, Wp=Wp, Ci=Ci, Co=Co),
+        functools.partial(_kernel, tile_h=tile_h, H=H, W=W, Ci=Ci, Co=Co,
+                          has_pre=has_pre, act=act, has_res=has_res),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((9, Ci, Co), lambda bi, i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Co), lambda bi, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile_h, W, Co),
                                lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Co), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, tile_h + 2, Wp, Ci), x.dtype),
+            pltpu.VMEM((2, tile_h + 2, W, Ci), x.dtype),
+            pltpu.VMEM((tile_h + 4, W, Ci), x.dtype),
             pltpu.VMEM((tile_h, W, Co), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xp, w9, bias)
+    )(*args)

@@ -50,6 +50,42 @@ def _fast_act_ok(dtype) -> bool:
             and os.environ.get("SDT_FAST_SILU", "1") == "1")
 
 
+def gn_affine_coefs(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                    groups: int, epsilon: float = 1e-6):
+    """[B, S, C] -> f32 (a_c, b_c) [B, C] with GN(x)*scale+bias == x*a_c+b_c.
+
+    The one-pass stats path of group_norm_ref's fast branch, exposed so the
+    fused Pallas conv (ops/conv3x3.py) can apply the affine inside its halo
+    band instead of XLA emitting a standalone apply pass."""
+    b, s, c = x.shape
+    chunk = s
+    while chunk * c > (1 << 19) and chunk % 2 == 0:
+        chunk //= 2
+    # the stats kernel is a fusion barrier — only worth it when the
+    # activation is big enough that the saved second HBM pass dominates
+    # (the VAE decoder; the scan's smaller norms stay fused in XLA,
+    # threshold tunable via SDT_GN_STATS_MIN log2-elements)
+    min_elems = 1 << int(os.environ.get("SDT_GN_STATS_MIN", "21"))
+    if (jax.default_backend() == "tpu" and c >= 128
+            and s * c >= min_elems and chunk * c <= (1 << 19)):
+        s1, s2 = gn_stats_pallas(x)                   # one HBM pass
+    else:
+        xf = x.astype(jnp.float32)
+        s1 = jnp.sum(xf, axis=1)                      # [B, C]
+        s2 = jnp.sum(xf * xf, axis=1)                 # [B, C]
+    n = float(s * (c // groups))
+    s1g = s1.reshape(b, groups, -1).sum(-1)           # [B, G]
+    s2g = s2.reshape(b, groups, -1).sum(-1)
+    mean = s1g / n
+    var = s2g / n - mean * mean
+    inv = jax.lax.rsqrt(var + epsilon)                # [B, G]
+    a_g = jnp.repeat(inv, c // groups, axis=1)        # [B, C]
+    m_g = jnp.repeat(mean, c // groups, axis=1)
+    a_c = a_g * scale.astype(jnp.float32)
+    b_c = bias.astype(jnp.float32) - m_g * a_c
+    return a_c, b_c
+
+
 def group_norm_ref(x: jax.Array, scale: jax.Array, bias: jax.Array,
                    groups: int, epsilon: float = 1e-6,
                    act: str | None = None) -> jax.Array:
@@ -65,31 +101,7 @@ def group_norm_ref(x: jax.Array, scale: jax.Array, bias: jax.Array,
     b, s, c = x.shape
     fast = _fast_act_ok(x.dtype)
     if fast:
-        chunk = s
-        while chunk * c > (1 << 19) and chunk % 2 == 0:
-            chunk //= 2
-        # the stats kernel is a fusion barrier — only worth it when the
-        # activation is big enough that the saved second HBM pass dominates
-        # (the VAE decoder; the scan's smaller norms stay fused in XLA,
-        # threshold tunable via SDT_GN_STATS_MIN log2-elements)
-        min_elems = 1 << int(os.environ.get("SDT_GN_STATS_MIN", "21"))
-        if (jax.default_backend() == "tpu" and c >= 128
-                and s * c >= min_elems and chunk * c <= (1 << 19)):
-            s1, s2 = gn_stats_pallas(x)                   # one HBM pass
-        else:
-            xf = x.astype(jnp.float32)
-            s1 = jnp.sum(xf, axis=1)                      # [B, C]
-            s2 = jnp.sum(xf * xf, axis=1)                 # [B, C]
-        n = float(s * (c // groups))
-        s1g = s1.reshape(b, groups, -1).sum(-1)           # [B, G]
-        s2g = s2.reshape(b, groups, -1).sum(-1)
-        mean = s1g / n
-        var = s2g / n - mean * mean
-        inv = jax.lax.rsqrt(var + epsilon)                # [B, G]
-        a_g = jnp.repeat(inv, c // groups, axis=1)        # [B, C]
-        m_g = jnp.repeat(mean, c // groups, axis=1)
-        a_c = a_g * scale.astype(jnp.float32)
-        b_c = bias.astype(jnp.float32) - m_g * a_c
+        a_c, b_c = gn_affine_coefs(x, scale, bias, groups, epsilon)
         # affine applied at bf16: costs one extra ulp (a/b rounding) but
         # measured 170 vs 196 ms on the whole VAE decode — the bf16 form
         # fuses into the surrounding convs where the f32 one forced

@@ -1,7 +1,8 @@
-"""Pallas halo-DMA 3x3 conv (ops/conv3x3.py): interpreter-mode correctness
-vs lax.conv on CPU, the supports() routing contract, and the Conv3x3 flax
-module's param-tree compatibility with nn.Conv (checkpoint converters must
-see no difference)."""
+"""Fused Pallas halo-DMA 3x3 conv (ops/conv3x3.py): interpreter-mode
+correctness vs lax.conv on CPU (plain and with the GN-affine+SiLU prologue /
+residual epilogue fused in), the supports() routing contract, the Conv3x3
+flax module's param-tree compatibility with nn.Conv (checkpoint converters
+must see no difference), and the ResnetBlock fused path vs the unfused one."""
 
 import numpy as np
 import pytest
@@ -13,34 +14,38 @@ from jax import lax
 from safe_denoiser_tpu.ops.conv3x3 import conv3x3, supports
 
 
-def _ref(x, w, b):
+def _ref(x, w, b, pre=None, act=None, residual=None):
+    if pre is not None:
+        x = (x * pre[0].astype(x.dtype)[:, None, None, :]
+             + pre[1].astype(x.dtype)[:, None, None, :])
+    if act == "silu":
+        x = x * jax.nn.sigmoid(x)
     dn = lax.conv_dimension_numbers(x.shape, w.shape,
                                     ("NHWC", "HWIO", "NHWC"))
     out = lax.conv_general_dilated(x, w, (1, 1), "SAME",
                                    dimension_numbers=dn,
                                    preferred_element_type=jnp.float32)
-    return (out + b.astype(jnp.float32)).astype(x.dtype)
+    out = out + b.astype(jnp.float32)
+    if residual is not None:
+        out = out + residual.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
-@pytest.mark.parametrize("shape,co", [
-    ((2, 16, 16, 128), 128),    # tile_h 16
-    ((1, 32, 16, 256), 128),    # Ci != Co
-    ((2, 8, 24, 128), 256),     # W+2 not a sublane multiple (Wp padding)
-    ((1, 16, 8, 128), 128),     # narrow W
-])
-def test_interpret_matches_lax_conv(shape, co):
-    rng = np.random.RandomState(0)
+def _rand_case(shape, co, seed=0):
+    rng = np.random.RandomState(seed)
     ci = shape[-1]
     x = jnp.asarray(rng.randn(*shape), jnp.float32).astype(jnp.bfloat16)
     w = jnp.asarray(rng.randn(3, 3, ci, co) * 0.05,
                     jnp.float32).astype(jnp.bfloat16)
     b = jnp.asarray(rng.randn(co) * 0.1, jnp.float32).astype(jnp.bfloat16)
-    assert supports(x.shape, ci, co)
-    got = np.asarray(conv3x3(x, w, b, interpret=True), np.float32)
-    want = np.asarray(_ref(x, w, b), np.float32)
+    return x, w, b
+
+
+def _check(got, want):
+    got, want = np.asarray(got, np.float32), np.asarray(want, np.float32)
     np.testing.assert_allclose(got, want, atol=0.13, rtol=0.05)
-    # borders exercise the halo path: check the frame exactly (same bf16
-    # tolerance, but isolated so an off-by-one halo cannot hide in the bulk)
+    # borders exercise the halo-clamp + wrap-fix-up paths: check the frame
+    # isolated so an off-by-one cannot hide in the bulk
     np.testing.assert_allclose(got[:, 0], want[:, 0], atol=0.13, rtol=0.05)
     np.testing.assert_allclose(got[:, -1], want[:, -1], atol=0.13, rtol=0.05)
     np.testing.assert_allclose(got[:, :, 0], want[:, :, 0],
@@ -49,7 +54,39 @@ def test_interpret_matches_lax_conv(shape, co):
                                atol=0.13, rtol=0.05)
 
 
-def test_no_bias_and_f32_fallback():
+@pytest.mark.parametrize("shape,co", [
+    ((2, 16, 16, 128), 128),    # tile_h 8: only edge bands (d = -1 and +1)
+    ((1, 32, 16, 256), 128),    # Ci != Co
+    ((1, 48, 16, 128), 128),    # tile_h 16: interior bands (d = 0)
+    ((2, 8, 32, 128), 256),     # tile_h 4, wider W
+])
+def test_interpret_matches_lax_conv(shape, co):
+    x, w, b = _rand_case(shape, co)
+    assert supports(x.shape, shape[-1], co)
+    _check(conv3x3(x, w, b, interpret=True), _ref(x, w, b))
+
+
+@pytest.mark.parametrize("shape,co,with_res", [
+    ((2, 16, 16, 128), 128, True),
+    ((1, 48, 16, 128), 128, False),
+    ((1, 8, 32, 256), 256, True),
+])
+def test_fused_prologue_epilogue(shape, co, with_res):
+    """GN affine + SiLU + residual fused in-kernel vs the jnp composition
+    (identical ordering/dtypes to group_norm_ref's fast path)."""
+    rng = np.random.RandomState(3)
+    x, w, b = _rand_case(shape, co, seed=3)
+    bsz, ci = shape[0], shape[-1]
+    a_c = jnp.asarray(rng.rand(bsz, ci) * 0.5 + 0.75, jnp.float32)
+    b_c = jnp.asarray(rng.randn(bsz, ci) * 0.2, jnp.float32)
+    res = (jnp.asarray(rng.randn(bsz, shape[1], shape[2], co),
+                       jnp.float32).astype(jnp.bfloat16) if with_res else None)
+    got = conv3x3(x, w, b, a_c, b_c, act="silu", residual=res,
+                  interpret=True)
+    _check(got, _ref(x, w, b, pre=(a_c, b_c), act="silu", residual=res))
+
+
+def test_no_bias_and_f32_kernel():
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(1, 16, 16, 128), jnp.float32)
     w = jnp.asarray(rng.randn(3, 3, 128, 128) * 0.05, jnp.float32)
@@ -62,6 +99,11 @@ def test_supports_contract():
     # channel counts must be lane-aligned; odd channels fall back
     assert not supports((1, 16, 16, 320), 320, 320)   # UNet channels: no
     assert not supports((1, 16, 16, 64), 64, 128)
+    # width must be a 16-multiple (free flattened-band reshape)
+    assert not supports((2, 8, 24, 128), 128, 256)
+    assert not supports((1, 16, 8, 128), 128, 128)
+    # height must leave halo-clamp headroom (H >= tile_h + 2)
+    assert not supports((1, 2, 16, 128), 128, 128)
     assert supports((4, 128, 128, 512), 512, 512)     # VAE decoder shapes
     assert supports((4, 512, 512, 128), 128, 128)
     assert supports((1, 17, 16, 128), 128, 128)       # odd H: tile_h=1
@@ -100,3 +142,24 @@ def test_conv3x3_module_param_tree_matches_nn_conv():
     np.testing.assert_allclose(np.asarray(mod_new.apply(p_new, x)),
                                np.asarray(mod_old.apply(p_old, x)),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_resnet_block_fused_path_matches_unfused(monkeypatch):
+    """The ResnetBlock fused dispatch (SDT_PALLAS_CONV) must reproduce the
+    unfused GN->conv->GN->conv->residual path. 'interpret' mode drives the
+    real Pallas kernel through the interpreter on CPU."""
+    from safe_denoiser_tpu.models.vae import ResnetBlock
+
+    rng = jax.random.PRNGKey(7)
+    x = (jax.random.normal(rng, (2, 16, 16, 128)) * 0.5).astype(jnp.bfloat16)
+    for co in (128, 256):                     # 256 exercises conv_shortcut
+        block = ResnetBlock(co, groups=32, dtype=jnp.bfloat16)
+        monkeypatch.setenv("SDT_PALLAS_CONV", "0")
+        params = block.init(jax.random.PRNGKey(1), x)
+        want = np.asarray(block.apply(params, x), np.float32)
+        monkeypatch.setenv("SDT_PALLAS_CONV", "interpret")
+        params2 = block.init(jax.random.PRNGKey(1), x)
+        assert jax.tree_util.tree_structure(params2) == \
+            jax.tree_util.tree_structure(params)
+        got = np.asarray(block.apply(params, x), np.float32)
+        np.testing.assert_allclose(got, want, atol=0.13, rtol=0.05)
