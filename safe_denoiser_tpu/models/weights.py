@@ -198,13 +198,35 @@ def load_state_dict(path: str) -> dict[str, Array]:
 
 
 def load_sharded_state_dict(model_dir: str) -> dict[str, Array]:
-    """Load all .safetensors shards in a HF model directory."""
-    out: dict[str, Array] = {}
-    for fname in sorted(os.listdir(model_dir)):
-        if fname.endswith(".safetensors"):
+    """Load the .safetensors shard set of a HF model directory.
+
+    Real HF directories need two idioms beyond a bare glob: a
+    ``*.safetensors.index.json`` names the exact shard set (sharded T5 in
+    SD3 repos), and precision variants (``model.fp16.safetensors``,
+    ``*.non_ema.*``) sit NEXT TO the base weights — merging those into one
+    dict would interleave dtypes, so when base files exist the variants are
+    skipped (diffusers' from_pretrained picks one variant the same way)."""
+    import json
+
+    names = sorted(os.listdir(model_dir))
+    index = [n for n in names if n.endswith(".safetensors.index.json")]
+    if index:
+        with open(os.path.join(model_dir, index[0])) as f:
+            shards = sorted(set(json.load(f)["weight_map"].values()))
+        out: dict[str, Array] = {}
+        for fname in shards:
             out.update(load_state_dict(os.path.join(model_dir, fname)))
+        return out
+
+    st = [n for n in names if n.endswith(".safetensors")]
+    is_variant = lambda n: any(f".{v}." in n for v in ("fp16", "non_ema"))
+    if any(not is_variant(n) for n in st):
+        st = [n for n in st if not is_variant(n)]
+    out = {}
+    for fname in st:
+        out.update(load_state_dict(os.path.join(model_dir, fname)))
     if not out:
-        for fname in sorted(os.listdir(model_dir)):
+        for fname in names:
             if fname.endswith((".bin", ".pt")):
                 out.update(load_state_dict(os.path.join(model_dir, fname)))
     return out

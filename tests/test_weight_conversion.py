@@ -216,3 +216,43 @@ def test_bf16_safetensors_loading(tmp_path):
     save_file({"x": torch.randn(3, 3)}, str(tmp_path / "f32.safetensors"))
     sd2 = load_state_dict(str(tmp_path / "f32.safetensors"))
     assert sd2["x"].dtype == np.float32
+
+
+def test_sharded_dir_idioms(tmp_path):
+    """Real HF directories: an index.json names the shard set; fp16/non_ema
+    variant files sit next to the base weights and must not be merged in."""
+    from safetensors.torch import save_file
+
+    from safe_denoiser_tpu.models.weights import load_sharded_state_dict
+
+    # variant next to base: base wins, variant untouched
+    d1 = tmp_path / "clip"
+    d1.mkdir()
+    save_file({"w": torch.ones(2, 2)}, str(d1 / "model.safetensors"))
+    save_file({"w": torch.zeros(2, 2, dtype=torch.float16)},
+              str(d1 / "model.fp16.safetensors"))
+    sd = load_sharded_state_dict(str(d1))
+    assert sd["w"].dtype == np.float32 and sd["w"][0, 0] == 1.0
+
+    # only a variant present: it is loaded (some repos ship fp16-only)
+    d2 = tmp_path / "fp16only"
+    d2.mkdir()
+    save_file({"w": torch.ones(2, dtype=torch.float16)},
+              str(d2 / "model.fp16.safetensors"))
+    assert load_sharded_state_dict(str(d2))["w"].dtype == np.float16
+
+    # index.json selects the exact shard set (stale extra file ignored)
+    import json as _json
+    d3 = tmp_path / "t5"
+    d3.mkdir()
+    save_file({"a": torch.ones(2)},
+              str(d3 / "model-00001-of-00002.safetensors"))
+    save_file({"b": torch.ones(3)},
+              str(d3 / "model-00002-of-00002.safetensors"))
+    save_file({"stale": torch.ones(1)}, str(d3 / "extra.safetensors"))
+    (d3 / "model.safetensors.index.json").write_text(_json.dumps({
+        "metadata": {}, "weight_map": {
+            "a": "model-00001-of-00002.safetensors",
+            "b": "model-00002-of-00002.safetensors"}}))
+    sd3 = load_sharded_state_dict(str(d3))
+    assert set(sd3) == {"a", "b"}
