@@ -55,7 +55,8 @@ class Conv3x3(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pre=None, act=None, residual=None):
+    def __call__(self, x, pre=None, act=None, residual=None,
+                 upsample: bool = False):
         ci = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, ci, self.out_channels))
@@ -63,6 +64,13 @@ class Conv3x3(nn.Module):
                           (self.out_channels,))
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
+        if upsample:
+            # caller (Upsample) gates on supports_up; x is the HALF-res
+            # input and the fallback inside conv3x3_up reproduces the
+            # broadcast + conv composition
+            flag = os.environ.get("SDT_PALLAS_CONV", "0")
+            return _c3.conv3x3_up(x, kernel, bias,
+                                  interpret=(flag == "interpret"))
         mode = _pallas_conv_mode(x, ci, self.out_channels)
         ps, pb = pre if pre is not None else (None, None)
         if mode is not None:
@@ -174,12 +182,18 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
+        conv = Conv3x3(self.out_channels, dtype=self.dtype, name="conv")
+        if (_pallas_conv_mode(x, c, self.out_channels) is not None
+                and _c3.supports_up(x.shape, c, self.out_channels)):
+            # upsample-fused kernel: never materializes the 2x tensor and
+            # does 4/9 the MACs (ops/conv3x3.py::_up_kernel factorization)
+            return conv(x, upsample=True)
         # broadcast-reshape nearest-2x: r3 probe at [4,256,256,512] bf16
         # measured 0.20 ms vs jax.image.resize's gather lowering at 0.69 ms
         # (select fusions + copies); decode-level trace confirmed the win
         x = jnp.broadcast_to(x[:, :, None, :, None, :],
                              (b, h, 2, w, 2, c)).reshape(b, h * 2, w * 2, c)
-        return Conv3x3(self.out_channels, dtype=self.dtype, name="conv")(x)
+        return conv(x)
 
 
 class MidBlock(nn.Module):

@@ -158,6 +158,187 @@ def _kernel(x_hbm, w_ref, b_ref, *rest, tile_h: int, H: int, W: int,
     o_ref[0] = acc[...].astype(o_ref.dtype)
 
 
+def _up_kernel(h_hbm, w_ref, b_ref, o_ref, xs, sact, sem, *,
+               tile_h2: int, H2: int, W2: int, Ci: int, Co: int):
+    """conv3x3_SAME(nearest-2x-upsample(h)) without materializing the
+    upsampled tensor. Factorization: output row 2r+py taps half-rows
+    (r-1+j+py) with row-weight groups G_r(0)=({0},{1,2}), G_r(1)=({0,1},{2})
+    (because (2r+py+dy-1)//2 collapses two of the three dy taps onto the
+    same half-row); columns identically. So each output parity (py, px) is
+    a 2x2-tap conv of the HALF-res input with pre-summed weights
+    W_eff[py,px][j,k] = sum_{dy in G_r(py,j), dx in G_c(px,k)} w[dy,dx] —
+    16 quarter-size dots = 4/9 the MACs of convolving the duplicated
+    tensor. The parity planes interleave back in-register before the one
+    output write."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    n_h = pl.num_programs(1)
+    th2 = tile_h2
+
+    def band_dma(slot, bb, ii):
+        s = jnp.clip(ii * th2 - 1, 0, H2 - (th2 + 2))
+        return pltpu.make_async_copy(
+            h_hbm.at[bb, pl.ds(s, th2 + 2)], xs.at[slot], sem.at[slot])
+
+    g = b * n_h + i
+    slot = g % 2
+
+    @pl.when(g == 0)
+    def _init():
+        band_dma(0, 0, 0).start()
+        sact[...] = jnp.zeros_like(sact)   # slack rows must be finite
+
+    nxt = jnp.where(i + 1 < n_h, i + 1, 0)
+    nxt_b = jnp.where(i + 1 < n_h, b, b + 1)
+
+    @pl.when(nxt_b < pl.num_programs(0))
+    def _prefetch():
+        band_dma((g + 1) % 2, nxt_b, nxt).start()
+
+    band_dma(slot, b, i).wait()
+    s0 = jnp.clip(i * th2 - 1, 0, H2 - (th2 + 2))
+    d = i * th2 - 1 - s0
+    sact[pl.ds(1 - d, th2 + 2)] = xs[slot]
+
+    zero_row = jnp.zeros((W2, Ci), sact.dtype)
+
+    @pl.when(i == 0)
+    def _top():                                       # half row -1
+        sact[1] = zero_row
+
+    @pl.when(i == n_h - 1)
+    def _bottom():                                    # half row H2
+        sact[th2 + 2] = zero_row
+
+    f = sact[...].reshape((th2 + 4) * W2, Ci)
+    col_l = sact[:, W2 - 1, :]
+    col_r = sact[:, 0, :]
+    planes = []
+    for py in range(2):
+        prow = []
+        for px in range(2):
+            acc = None
+            for j in range(2):
+                for k in range(2):
+                    start = (j + 1 + py) * W2 + k - (1 - px)
+                    y = lax.dot_general(
+                        f[start:start + th2 * W2],
+                        w_ref[((py * 2 + px) * 2 + j) * 2 + k],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc = y if acc is None else acc + y
+            acc = acc + b_ref[...].astype(jnp.float32)
+            acc = acc.reshape(th2, W2, Co)
+            # wrap fix-up == zero SAME-padding at the left/right image edge
+            if px == 0:     # k=0 slice wraps at m=0
+                e = None
+                for j in range(2):
+                    y = lax.dot_general(
+                        col_l[j + py:j + py + th2],
+                        w_ref[((py * 2) * 2 + j) * 2],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    e = y if e is None else e + y
+                acc = acc.at[:, 0, :].add(-e)
+            else:           # k=1 slice wraps at m=W2-1
+                e = None
+                for j in range(2):
+                    y = lax.dot_general(
+                        col_r[j + py + 2:j + py + 2 + th2],
+                        w_ref[((py * 2 + 1) * 2 + j) * 2 + 1],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    e = y if e is None else e + y
+                acc = acc.at[:, W2 - 1, :].add(-e)
+            prow.append(acc.astype(o_ref.dtype))
+        # column interleave: [th2, W2, 2, Co] -> [th2, 2*W2, Co]
+        planes.append(jnp.stack(prow, axis=2).reshape(th2, 2 * W2, Co))
+    # row interleave over the untiled dim: [th2, 2, W, Co] -> [th, W, Co]
+    o_ref[0] = jnp.stack(planes, axis=1).reshape(2 * th2, 2 * W2, Co)
+
+
+def _w_eff_up(w: jax.Array) -> jax.Array:
+    """[3,3,Ci,Co] -> [16,Ci,Co] pre-summed parity weights (see _up_kernel)."""
+    groups = {0: ((0,), (1, 2)), 1: ((0, 1), (2,))}
+    out = []
+    for py in range(2):
+        for px in range(2):
+            for j in range(2):
+                for k in range(2):
+                    acc = 0
+                    for dy in groups[py][j]:
+                        for dx in groups[px][k]:
+                            acc = acc + w[dy, dx]
+                    out.append(acc)
+    return jnp.stack(out, axis=0)
+
+
+def _pick_tile_h2(H2: int, W2: int, Co: int) -> int:
+    # four parity accumulators [tile_h2*W2, Co] f32 live at once — same
+    # total bytes as the full-res accumulator of the non-upsample kernel
+    budget = 1.25e6
+    for th2 in (8, 4, 2, 1):
+        if H2 % th2 == 0 and H2 >= th2 + 2 and th2 * W2 * Co * 4 <= budget:
+            return th2
+    return 1
+
+
+def supports_up(h_shape, ci: int, co: int) -> bool:
+    """Half-res input shapes the upsample-fused kernel handles: the doubled
+    width must be a 16-multiple and the half-height must leave halo-clamp
+    headroom. The VAE decoder's three upsamples (512ch 64->128, 512ch
+    128->256, 256ch 256->512) all qualify."""
+    b, h2, w2, _ = h_shape
+    th2 = _pick_tile_h2(h2, w2, co)
+    return (ci % 128 == 0 and co % 128 == 0 and w2 % 16 == 0
+            and h2 % th2 == 0 and h2 >= th2 + 2
+            and ci <= 1024 and co <= 1024)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def conv3x3_up(h, w, b=None, *, interpret: bool = False):
+    """conv3x3_SAME(nearest_2x_upsample(h), w) + b for NHWC half-res h.
+
+    Matches Upsample's broadcast-reshape + conv composition (models/vae.py)
+    with f32 accumulation; 4/9 the MXU work of convolving the duplicated
+    tensor and no materialized upsample. Falls back to the composition for
+    unsupported shapes."""
+    B, H2, W2, Ci = h.shape
+    Co = w.shape[-1]
+    if not supports_up(h.shape, Ci, Co):
+        up = jnp.broadcast_to(h[:, :, None, :, None, :],
+                              (B, H2, 2, W2, 2, Ci)).reshape(
+                                  B, 2 * H2, 2 * W2, Ci)
+        return _fallback(up, w, b, None, None, None, None)
+
+    th2 = _pick_tile_h2(H2, W2, Co)
+    bias = (jnp.zeros((1, Co), jnp.float32) if b is None
+            else b.reshape(1, Co).astype(jnp.float32))
+    grid = (B, H2 // th2)
+    return pl.pallas_call(
+        functools.partial(_up_kernel, tile_h2=th2, H2=H2, W2=W2,
+                          Ci=Ci, Co=Co),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((16, Ci, Co), lambda bi, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Co), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * th2, 2 * W2, Co),
+                               lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 2 * H2, 2 * W2, Co), h.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, th2 + 2, W2, Ci), h.dtype),
+            pltpu.VMEM((th2 + 4, W2, Ci), h.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(h, _w_eff_up(w), bias)
+
+
 def _pick_tile_h(H: int, W: int, Co: int) -> int:
     # up to three per-tap f32 dot results [tile_h*W, Co] are live at once
     # (the in-register row sum); keep each ~<=1.25 MB so Mosaic's scoped

@@ -163,3 +163,43 @@ def test_resnet_block_fused_path_matches_unfused(monkeypatch):
             jax.tree_util.tree_structure(params)
         got = np.asarray(block.apply(params, x), np.float32)
         np.testing.assert_allclose(got, want, atol=0.13, rtol=0.05)
+
+
+def _up_ref(h, w, b):
+    bsz, h2, w2, ci = h.shape
+    up = jnp.broadcast_to(h[:, :, None, :, None, :],
+                          (bsz, h2, 2, w2, 2, ci)).reshape(
+                              bsz, 2 * h2, 2 * w2, ci)
+    return _ref(up, w, b)
+
+
+@pytest.mark.parametrize("shape,co", [
+    ((2, 16, 16, 128), 128),    # edge bands only
+    ((1, 48, 16, 128), 256),    # interior bands, Ci != Co
+    ((1, 8, 32, 128), 128),
+])
+def test_upsample_fused_matches_broadcast_conv(shape, co):
+    """conv3x3_up's 16-dot parity factorization vs broadcast-2x + conv."""
+    from safe_denoiser_tpu.ops.conv3x3 import conv3x3_up, supports_up
+
+    x, w, b = _rand_case(shape, co, seed=11)
+    assert supports_up(x.shape, shape[-1], co)
+    _check(conv3x3_up(x, w, b, interpret=True), _up_ref(x, w, b))
+
+
+def test_upsample_module_fused_matches_unfused(monkeypatch):
+    from safe_denoiser_tpu.models.vae import Upsample
+
+    x = (jax.random.normal(jax.random.PRNGKey(5), (1, 16, 16, 128))
+         * 0.5).astype(jnp.bfloat16)
+    mod = Upsample(128, dtype=jnp.bfloat16)
+    monkeypatch.setenv("SDT_PALLAS_CONV", "0")
+    params = mod.init(jax.random.PRNGKey(2), x)
+    want = np.asarray(mod.apply(params, x), np.float32)
+    assert want.shape == (1, 32, 32, 128)
+    monkeypatch.setenv("SDT_PALLAS_CONV", "interpret")
+    params2 = mod.init(jax.random.PRNGKey(2), x)
+    assert jax.tree_util.tree_structure(params2) == \
+        jax.tree_util.tree_structure(params)
+    got = np.asarray(mod.apply(params, x), np.float32)
+    np.testing.assert_allclose(got, want, atol=0.13, rtol=0.05)
