@@ -203,3 +203,23 @@ def test_upsample_module_fused_matches_unfused(monkeypatch):
         jax.tree_util.tree_structure(params)
     got = np.asarray(mod.apply(params, x), np.float32)
     np.testing.assert_allclose(got, want, atol=0.13, rtol=0.05)
+
+
+def test_tiny_decoder_fused_matches_unfused(monkeypatch):
+    """Whole-decoder integration: ResnetBlock fused convs + Upsample fused
+    conv + MidBlock together under SDT_PALLAS_CONV=interpret vs the plain
+    XLA path (same params, bf16)."""
+    from safe_denoiser_tpu.models.vae import Decoder, VAEConfig
+
+    cfg = VAEConfig(block_out_channels=(128, 128), layers_per_block=1,
+                    latent_channels=4, sample_size=32)
+    dec = Decoder(cfg, dtype=jnp.bfloat16)
+    z = (jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 4))
+         * 0.8).astype(jnp.bfloat16)
+    monkeypatch.setenv("SDT_PALLAS_CONV", "0")
+    params = dec.init(jax.random.PRNGKey(4), z)
+    want = np.asarray(dec.apply(params, z), np.float32)
+    assert want.shape == (1, 32, 32, 3)
+    monkeypatch.setenv("SDT_PALLAS_CONV", "interpret")
+    got = np.asarray(dec.apply(params, z), np.float32)
+    np.testing.assert_allclose(got, want, atol=0.2, rtol=0.1)

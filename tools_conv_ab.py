@@ -112,6 +112,37 @@ def stage_shapes():
               f"({tx / tp:.2f}x)", flush=True)
 
 
+def stage_up():
+    from safe_denoiser_tpu.ops.conv3x3 import conv3x3_up, supports_up
+
+    # the decoder's three upsample convs (half-res input shapes)
+    for shape, co in [((4, 64, 64, 512), 512), ((4, 128, 128, 512), 512),
+                      ((4, 256, 256, 256), 256)]:
+        x, w, b = _case(shape, co)
+        assert supports_up(shape, shape[-1], co)
+        got = np.asarray(conv3x3_up(x, w, b)[:, :64, :64, :32], np.float32)
+        bsz, h2, w2, ci = shape
+        up = jnp.broadcast_to(x[:, :, None, :, None, :],
+                              (bsz, h2, 2, w2, 2, ci)).reshape(
+                                  bsz, 2 * h2, 2 * w2, ci)
+        want = np.asarray(_lax_ref(up, w, b)[:, :64, :64, :32], np.float32)
+        d = np.abs(got - want)
+        print(f"up num {shape}->{co}: max|d|={d.max():.4f}", flush=True)
+        pall = jax.jit(lambda x, w, b: jnp.sum(
+            conv3x3_up(x, w, b).astype(jnp.float32)))
+
+        def xla_up(x, w, b):
+            u = jnp.broadcast_to(x[:, :, None, :, None, :],
+                                 (bsz, h2, 2, w2, 2, ci)).reshape(
+                                     bsz, 2 * h2, 2 * w2, ci)
+            return jnp.sum(_lax_ref(u, w, b).astype(jnp.float32))
+
+        tp = _time(pall, x, w, b)
+        tx = _time(jax.jit(xla_up), x, w, b)
+        print(f"up shape {shape}->{co}: pallas {tp:.3f} ms  xla(bcast+conv) "
+              f"{tx:.3f} ms  ({tx / tp:.2f}x)", flush=True)
+
+
 def stage_decode():
     from safe_denoiser_tpu.models import SD14_VAE, AutoencoderKL
 
@@ -143,10 +174,10 @@ def stage_decode():
 
 
 def main():
-    stages = sys.argv[1:] or ["num", "shapes", "decode"]
+    stages = sys.argv[1:] or ["num", "shapes", "up", "decode"]
     for s in stages:
         try:
-            {"num": stage_num, "shapes": stage_shapes,
+            {"num": stage_num, "shapes": stage_shapes, "up": stage_up,
              "decode": stage_decode}[s]()
         except Exception as e:  # Mosaic compile failures report, not abort
             print(f"STAGE {s} FAILED: {type(e).__name__}: {e}", flush=True)
