@@ -64,7 +64,7 @@ def _kernel(x_hbm, w_ref, b_ref, *rest, tile_h: int, H: int, W: int,
     if has_res:
         res_ref = rest[idx]
         idx += 1
-    o_ref, xs, sact, acc, sem = rest[idx:idx + 5]
+    o_ref, xs, sact, sem = rest[idx:idx + 4]
 
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -121,27 +121,23 @@ def _kernel(x_hbm, w_ref, b_ref, *rest, tile_h: int, H: int, W: int,
     def _bottom():                                    # image row H
         sact[th + 2] = zero_row
 
-    f = sact[...].reshape((th + 4) * W, Ci)
+    sv = sact[...]                                    # [th+4, W, Ci]
+    f = sv.reshape((th + 4) * W, Ci)
+    total = None
     for dy in range(3):
-        row = None
         for dx in range(3):
             start = (1 + dy) * W + dx - 1
             y = lax.dot_general(f[start:start + th * W], w_ref[dy * 3 + dx],
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-            row = y if row is None else row + y
-        row = row.reshape(th, W, Co)
-        if dy == 0:
-            base = row + b_ref[...].astype(jnp.float32)
-            if has_res:
-                base = base + res_ref[0].astype(jnp.float32)
-            acc[...] = base
-        else:
-            acc[...] += row
+            total = y if total is None else total + y
+    total = total.reshape(th, W, Co) + b_ref[...].astype(jnp.float32)
+    if has_res:
+        total = total + res_ref[0].astype(jnp.float32)
 
     # wrap fix-up == zero SAME-padding of the left/right image columns
-    col_l = sact[:, W - 1, :]                         # [th+4, Ci]
-    col_r = sact[:, 0, :]
+    col_l = sv[:, W - 1, :]                           # [th+4, Ci]
+    col_r = sv[:, 0, :]
     e_l = e_r = None
     for dy in range(3):
         yl = lax.dot_general(col_l[dy:dy + th], w_ref[dy * 3],
@@ -152,10 +148,9 @@ def _kernel(x_hbm, w_ref, b_ref, *rest, tile_h: int, H: int, W: int,
                              preferred_element_type=jnp.float32)
         e_l = yl if e_l is None else e_l + yl
         e_r = yr if e_r is None else e_r + yr
-    acc[:, 0, :] -= e_l
-    acc[:, W - 1, :] -= e_r
+    total = total.at[:, 0, :].add(-e_l).at[:, W - 1, :].add(-e_r)
 
-    o_ref[0] = acc[...].astype(o_ref.dtype)
+    o_ref[0] = total.astype(o_ref.dtype)
 
 
 def _up_kernel(h_hbm, w_ref, b_ref, o_ref, xs, sact, sem, *,
@@ -210,9 +205,10 @@ def _up_kernel(h_hbm, w_ref, b_ref, o_ref, xs, sact, sem, *,
     def _bottom():                                    # half row H2
         sact[th2 + 2] = zero_row
 
-    f = sact[...].reshape((th2 + 4) * W2, Ci)
-    col_l = sact[:, W2 - 1, :]
-    col_r = sact[:, 0, :]
+    sv = sact[...]                                    # [th2+4, W2, Ci]
+    f = sv.reshape((th2 + 4) * W2, Ci)
+    col_l = sv[:, W2 - 1, :]
+    col_r = sv[:, 0, :]
     planes = []
     for py in range(2):
         prow = []
@@ -434,7 +430,6 @@ def conv3x3(x, w, b=None, pre_scale=None, pre_shift=None, act=None,
         scratch_shapes=[
             pltpu.VMEM((2, tile_h + 2, W, Ci), x.dtype),
             pltpu.VMEM((tile_h + 4, W, Ci), x.dtype),
-            pltpu.VMEM((tile_h, W, Co), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
