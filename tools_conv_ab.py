@@ -163,6 +163,10 @@ def stage_decode():
         jax.block_until_ready(f(vae_params, lat))
         best = min(_time(f, vae_params, lat, iters=10) for _ in range(3))
         print(f"decode[{tag}]: {best:.2f} ms/batch4", flush=True)
+        tdir = os.environ.get("SDT_AB_TRACE")
+        if tdir:   # per-op attribution via tools_trace_cat <dir>/<tag>
+            with jax.profiler.trace(os.path.join(tdir, tag)):
+                jax.block_until_ready(f(vae_params, lat))
         return best
 
     os.environ["SDT_PALLAS_CONV"] = "0"
