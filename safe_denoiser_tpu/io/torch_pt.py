@@ -24,14 +24,18 @@ import zipfile
 from collections import OrderedDict
 from typing import Any
 
+import ml_dtypes
 import numpy as np
 
-# torch storage class name -> numpy dtype
+# torch storage class name -> numpy dtype. BF16 uses the ml_dtypes
+# extension dtype (jax's own) — the old raw-uint16 mapping made a real
+# bf16-saved checkpoint (e.g. a finetuned ESD/RECE UNet) load as silent
+# garbage instead of numbers.
 _STORAGE_DTYPES = {
     "FloatStorage": np.dtype("float32"),
     "DoubleStorage": np.dtype("float64"),
     "HalfStorage": np.dtype("float16"),
-    "BFloat16Storage": np.dtype("uint16"),  # no native numpy bf16; raw bits
+    "BFloat16Storage": np.dtype(ml_dtypes.bfloat16),
     "LongStorage": np.dtype("int64"),
     "IntStorage": np.dtype("int32"),
     "ShortStorage": np.dtype("int16"),
@@ -43,6 +47,7 @@ _DTYPE_STORAGE = {
     np.dtype("float32"): "FloatStorage",
     np.dtype("float64"): "DoubleStorage",
     np.dtype("float16"): "HalfStorage",
+    np.dtype(ml_dtypes.bfloat16): "BFloat16Storage",
     np.dtype("int64"): "LongStorage",
     np.dtype("int32"): "IntStorage",
     np.dtype("int16"): "ShortStorage",

@@ -80,3 +80,26 @@ def test_set_with_tensor_roundtrip(tmp_path):
     (tup,) = list(out["items"])
     assert tup[0] == "k"
     np.testing.assert_array_equal(np.asarray(tup[1]), np.ones((2, 2)))
+
+
+def test_bf16_tensor_both_directions(tmp_path):
+    """BF16 .pt files must load as NUMBERS (ml_dtypes.bfloat16), not raw
+    uint16 bits — a finetuned UNet saved in bf16 is a realistic first
+    contact. And save_pt(bf16) must torch.load back as torch.bfloat16."""
+    import ml_dtypes
+
+    from safe_denoiser_tpu.io import load_pt, save_pt
+
+    t = torch.randn(3, 4, dtype=torch.float32).to(torch.bfloat16)
+    p = tmp_path / "bf16.pt"
+    torch.save({"w": t}, str(p))
+    out = load_pt(str(p))
+    assert out["w"].dtype == np.dtype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(out["w"], np.float32), t.to(torch.float32).numpy())
+
+    p2 = tmp_path / "bf16_out.pt"
+    save_pt({"w": np.asarray(out["w"])}, str(p2))
+    back = torch.load(str(p2), weights_only=True)
+    assert back["w"].dtype == torch.bfloat16
+    assert torch.equal(back["w"], t)
