@@ -49,10 +49,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
 def _kernel(x_hbm, w_ref, b_ref, *rest, tile_h: int, H: int, W: int,
             Ci: int, Co: int, has_pre: bool, act: str | None,
             has_res: bool):
