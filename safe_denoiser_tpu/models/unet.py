@@ -150,7 +150,21 @@ class UpsampleT(nn.Module):
     def __call__(self, x):
         import os
 
+        from ..ops import conv3x3 as _c3
+        from .vae import Conv3x3
+
         b, h, w, c = x.shape
+        flag = os.environ.get("SDT_PALLAS_UPCONV", "0")
+        if (flag in ("1", "interpret") and x.dtype == jnp.bfloat16
+                and _c3.supports_up(x.shape, c, self.out_channels)
+                and (flag == "interpret"
+                     or jax.default_backend() == "tpu")):
+            # factored upsample conv (ops/conv3x3.py::_up_kernel_planar):
+            # 4/9 the MACs and no materialized 2x tensor. Planar form — the
+            # 640-channel weight block only fits VMEM per-parity. Conv3x3
+            # keeps the nn.Conv param tree (child 'conv' with kernel/bias).
+            return Conv3x3(self.out_channels, dtype=self.dtype,
+                           name="conv")(x, upsample=True, form="planar")
         # r2 note said resize's gather fusion beat reshape+broadcast in the
         # scan; the r3 fusion landscape (fast gelu/silu) changed the
         # neighbors, so the choice is env-switchable for same-session A/Bs

@@ -56,7 +56,7 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x, pre=None, act=None, residual=None,
-                 upsample: bool = False):
+                 upsample: bool = False, form: str = "interleave"):
         ci = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, ci, self.out_channels))
@@ -65,12 +65,13 @@ class Conv3x3(nn.Module):
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
         if upsample:
-            # caller (Upsample) gates on supports_up; x is the HALF-res
-            # input and the fallback inside conv3x3_up reproduces the
-            # broadcast + conv composition
-            flag = os.environ.get("SDT_PALLAS_CONV", "0")
-            return _c3.conv3x3_up(x, kernel, bias,
-                                  interpret=(flag == "interpret"))
+            # callers (vae.Upsample / unet.UpsampleT) gate on supports_up;
+            # x is the HALF-res input and the fallback inside conv3x3_up
+            # reproduces the broadcast + conv composition
+            interp = "interpret" in (os.environ.get("SDT_PALLAS_CONV", "0"),
+                                     os.environ.get("SDT_PALLAS_UPCONV", "0"))
+            return _c3.conv3x3_up(x, kernel, bias, form=form,
+                                  interpret=interp)
         mode = _pallas_conv_mode(x, ci, self.out_channels)
         ps, pb = pre if pre is not None else (None, None)
         if mode is not None:
@@ -186,8 +187,10 @@ class Upsample(nn.Module):
         if (_pallas_conv_mode(x, c, self.out_channels) is not None
                 and _c3.supports_up(x.shape, c, self.out_channels)):
             # upsample-fused kernel: never materializes the 2x tensor and
-            # does 4/9 the MACs (ops/conv3x3.py::_up_kernel factorization)
-            return conv(x, upsample=True)
+            # does 4/9 the MACs (ops/conv3x3.py::_up_kernel factorization);
+            # SDT_UP_FORM=planar switches the lowering for hardware A/Bs
+            return conv(x, upsample=True,
+                        form=os.environ.get("SDT_UP_FORM", "interleave"))
         # broadcast-reshape nearest-2x: r3 probe at [4,256,256,512] bf16
         # measured 0.20 ms vs jax.image.resize's gather lowering at 0.69 ms
         # (select fusions + copies); decode-level trace confirmed the win

@@ -248,6 +248,97 @@ def _up_kernel(h_hbm, w_ref, b_ref, o_ref, xs, sact, sem, *,
     o_ref[0] = jnp.stack(planes, axis=1).reshape(2 * th2, 2 * W2, Co)
 
 
+def _up_kernel_planar(h_hbm, w_ref, b_ref, o_ref, xs, sact, sem, *,
+                      tile_h2: int, H2: int, W2: int, Ci: int, Co: int):
+    """Parity-planar lowering of the same factorization as _up_kernel: the
+    grid's OUTERMOST dim is the output parity (py, px), so only that
+    parity's [4, Ci, Co] weight block is VMEM-resident (4x smaller than the
+    interleaved kernel's full [16, Ci, Co] — which is what unlocks the
+    UNet's 640-channel upsample, 13 MB as one block). Each step writes one
+    quarter plane of a [4, B, H2, W2, Co] output; the caller de-interleaves
+    with one XLA transpose+reshape. The band DMA re-runs per parity (4x
+    input reads — bands are KBs, weights are MBs: the right trade)."""
+    par = pl.program_id(0)
+    b = pl.program_id(1)
+    i = pl.program_id(2)
+    n_b = pl.num_programs(1)
+    n_h = pl.num_programs(2)
+    th2 = tile_h2
+    py, px = par // 2, par % 2
+
+    def band_dma(slot, bb, ii):
+        s = jnp.clip(ii * th2 - 1, 0, H2 - (th2 + 2))
+        return pltpu.make_async_copy(
+            h_hbm.at[bb, pl.ds(s, th2 + 2)], xs.at[slot], sem.at[slot])
+
+    g = (par * n_b + b) * n_h + i
+    slot = g % 2
+
+    @pl.when(g == 0)
+    def _init():
+        band_dma(0, 0, 0).start()
+        sact[...] = jnp.zeros_like(sact)   # slack rows must be finite
+
+    nxt_i = jnp.where(i + 1 < n_h, i + 1, 0)
+    nxt_b = jnp.where(i + 1 < n_h, b,
+                      jnp.where(b + 1 < n_b, b + 1, 0))
+
+    @pl.when(g + 1 < 4 * n_b * n_h)
+    def _prefetch():
+        band_dma((g + 1) % 2, nxt_b, nxt_i).start()
+
+    band_dma(slot, b, i).wait()
+    s0 = jnp.clip(i * th2 - 1, 0, H2 - (th2 + 2))
+    d = i * th2 - 1 - s0
+    sact[pl.ds(1 - d, th2 + 2)] = xs[slot]
+
+    zero_row = jnp.zeros((W2, Ci), sact.dtype)
+
+    @pl.when(i == 0)
+    def _top():                                       # half row -1
+        sact[1] = zero_row
+
+    @pl.when(i == n_h - 1)
+    def _bottom():                                    # half row H2
+        sact[th2 + 2] = zero_row
+
+    sv = sact[...]                                    # [th2+4, W2, Ci]
+    f = sv.reshape((th2 + 4) * W2, Ci)
+    acc = None
+    for j in range(2):
+        for k in range(2):
+            # same tap slice as _up_kernel, but py/px are traced here
+            start = (j + 1 + py) * W2 + k - (1 - px)
+            y = lax.dot_general(
+                lax.dynamic_slice_in_dim(f, start, th2 * W2, 0),
+                w_ref[0, j * 2 + k],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+    acc = acc.reshape(th2, W2, Co) + b_ref[...].astype(jnp.float32)
+
+    # wrap fix-ups, masked by which parity actually wraps: the k=0 slice
+    # wraps at m=0 only when px==0; the k=1 slice at m=W2-1 only when px==1
+    col_l = sv[:, W2 - 1, :]
+    col_r = sv[:, 0, :]
+    e_l = e_r = None
+    for j in range(2):
+        yl = lax.dot_general(
+            lax.dynamic_slice_in_dim(col_l, j + py, th2, 0),
+            w_ref[0, j * 2], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        yr = lax.dot_general(
+            lax.dynamic_slice_in_dim(col_r, j + py + 2, th2, 0),
+            w_ref[0, j * 2 + 1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        e_l = yl if e_l is None else e_l + yl
+        e_r = yr if e_r is None else e_r + yr
+    acc = acc.at[:, 0, :].add(-e_l * (px == 0))
+    acc = acc.at[:, W2 - 1, :].add(-e_r * (px == 1))
+
+    o_ref[0, 0] = acc.astype(o_ref.dtype)
+
+
 def _w_eff_up(w: jax.Array) -> jax.Array:
     """[3,3,Ci,Co] -> [16,Ci,Co] pre-summed parity weights (see _up_kernel)."""
     groups = {0: ((0,), (1, 2)), 1: ((0, 1), (2,))}
@@ -286,14 +377,19 @@ def supports_up(h_shape, ci: int, co: int) -> bool:
             and ci <= 1024 and co <= 1024)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def conv3x3_up(h, w, b=None, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("form", "interpret"))
+def conv3x3_up(h, w, b=None, *, form: str = "interleave",
+               interpret: bool = False):
     """conv3x3_SAME(nearest_2x_upsample(h), w) + b for NHWC half-res h.
 
     Matches Upsample's broadcast-reshape + conv composition (models/vae.py)
     with f32 accumulation; 4/9 the MXU work of convolving the duplicated
     tensor and no materialized upsample. Falls back to the composition for
-    unsupported shapes."""
+    unsupported shapes. form='interleave' writes standard layout from the
+    kernel (one [16,Ci,Co] weight block, <=1024ch); form='planar' grids over
+    parity with a per-parity [4,Ci,Co] weight block plus one XLA
+    de-interleave — the form for the UNet's 640-channel upsample and the
+    fallback if Mosaic rejects the in-kernel interleave reshape."""
     B, H2, W2, Ci = h.shape
     Co = w.shape[-1]
     if not supports_up(h.shape, Ci, Co):
@@ -305,11 +401,37 @@ def conv3x3_up(h, w, b=None, *, interpret: bool = False):
     th2 = _pick_tile_h2(H2, W2, Co)
     bias = (jnp.zeros((1, Co), jnp.float32) if b is None
             else b.reshape(1, Co).astype(jnp.float32))
-    grid = (B, H2 // th2)
+    scratch = [
+        pltpu.VMEM((2, th2 + 2, W2, Ci), h.dtype),
+        pltpu.VMEM((th2 + 4, W2, Ci), h.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if form == "planar":
+        planar = pl.pallas_call(
+            functools.partial(_up_kernel_planar, tile_h2=th2, H2=H2, W2=W2,
+                              Ci=Ci, Co=Co),
+            grid=(4, B, H2 // th2),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, 4, Ci, Co), lambda p, bi, i: (p, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Co), lambda p, bi, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, th2, W2, Co),
+                                   lambda p, bi, i: (p, bi, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((4, B, H2, W2, Co), h.dtype),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(h, _w_eff_up(w).reshape(4, 4, Ci, Co), bias)
+        # de-interleave: [py*2+px, B, r, m] -> [B, 2r+py, 2m+px]
+        return planar.reshape(2, 2, B, H2, W2, Co).transpose(
+            2, 3, 0, 4, 1, 5).reshape(B, 2 * H2, 2 * W2, Co)
     return pl.pallas_call(
         functools.partial(_up_kernel, tile_h2=th2, H2=H2, W2=W2,
                           Ci=Ci, Co=Co),
-        grid=grid,
+        grid=(B, H2 // th2),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((16, Ci, Co), lambda bi, i: (0, 0, 0),
@@ -321,11 +443,7 @@ def conv3x3_up(h, w, b=None, *, interpret: bool = False):
                                lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 2 * H2, 2 * W2, Co), h.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, th2 + 2, W2, Ci), h.dtype),
-            pltpu.VMEM((th2 + 4, W2, Ci), h.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(h, _w_eff_up(w), bias)
 

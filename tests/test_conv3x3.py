@@ -173,18 +173,39 @@ def _up_ref(h, w, b):
     return _ref(up, w, b)
 
 
+@pytest.mark.parametrize("form", ["interleave", "planar"])
 @pytest.mark.parametrize("shape,co", [
     ((2, 16, 16, 128), 128),    # edge bands only
     ((1, 48, 16, 128), 256),    # interior bands, Ci != Co
     ((1, 8, 32, 128), 128),
 ])
-def test_upsample_fused_matches_broadcast_conv(shape, co):
-    """conv3x3_up's 16-dot parity factorization vs broadcast-2x + conv."""
+def test_upsample_fused_matches_broadcast_conv(shape, co, form):
+    """conv3x3_up's 16-dot parity factorization vs broadcast-2x + conv, in
+    both lowerings (in-kernel interleave / parity-planar + XLA gather)."""
     from safe_denoiser_tpu.ops.conv3x3 import conv3x3_up, supports_up
 
     x, w, b = _rand_case(shape, co, seed=11)
     assert supports_up(x.shape, shape[-1], co)
-    _check(conv3x3_up(x, w, b, interpret=True), _up_ref(x, w, b))
+    _check(conv3x3_up(x, w, b, form=form, interpret=True), _up_ref(x, w, b))
+
+
+def test_unet_upsample_fused_matches_unfused(monkeypatch):
+    """UpsampleT's SDT_PALLAS_UPCONV planar path vs resize+conv, identical
+    param tree."""
+    from safe_denoiser_tpu.models.unet import UpsampleT
+
+    x = (jax.random.normal(jax.random.PRNGKey(9), (2, 16, 16, 128))
+         * 0.5).astype(jnp.bfloat16)
+    mod = UpsampleT(128, dtype=jnp.bfloat16)
+    monkeypatch.setenv("SDT_PALLAS_UPCONV", "0")
+    params = mod.init(jax.random.PRNGKey(2), x)
+    want = np.asarray(mod.apply(params, x), np.float32)
+    monkeypatch.setenv("SDT_PALLAS_UPCONV", "interpret")
+    params2 = mod.init(jax.random.PRNGKey(2), x)
+    assert jax.tree_util.tree_structure(params2) == \
+        jax.tree_util.tree_structure(params)
+    got = np.asarray(mod.apply(params, x), np.float32)
+    np.testing.assert_allclose(got, want, atol=0.13, rtol=0.05)
 
 
 def test_upsample_module_fused_matches_unfused(monkeypatch):

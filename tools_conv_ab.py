@@ -15,6 +15,7 @@ default all)
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -115,32 +116,42 @@ def stage_shapes():
 def stage_up():
     from safe_denoiser_tpu.ops.conv3x3 import conv3x3_up, supports_up
 
-    # the decoder's three upsample convs (half-res input shapes)
-    for shape, co in [((4, 64, 64, 512), 512), ((4, 128, 128, 512), 512),
-                      ((4, 256, 256, 256), 256)]:
+    # decoder upsample convs (half-res input shapes) + the UNet's 640ch one
+    for shape, co, forms in [
+            ((4, 64, 64, 512), 512, ("interleave", "planar")),
+            ((4, 128, 128, 512), 512, ("interleave", "planar")),
+            ((4, 256, 256, 256), 256, ("interleave", "planar")),
+            ((8, 32, 32, 640), 640, ("planar",))]:
         x, w, b = _case(shape, co)
         assert supports_up(shape, shape[-1], co)
-        got = np.asarray(conv3x3_up(x, w, b)[:, :64, :64, :32], np.float32)
         bsz, h2, w2, ci = shape
-        up = jnp.broadcast_to(x[:, :, None, :, None, :],
-                              (bsz, h2, 2, w2, 2, ci)).reshape(
-                                  bsz, 2 * h2, 2 * w2, ci)
-        want = np.asarray(_lax_ref(up, w, b)[:, :64, :64, :32], np.float32)
-        d = np.abs(got - want)
-        print(f"up num {shape}->{co}: max|d|={d.max():.4f}", flush=True)
-        pall = jax.jit(lambda x, w, b: jnp.sum(
-            conv3x3_up(x, w, b).astype(jnp.float32)))
 
         def xla_up(x, w, b):
             u = jnp.broadcast_to(x[:, :, None, :, None, :],
                                  (bsz, h2, 2, w2, 2, ci)).reshape(
                                      bsz, 2 * h2, 2 * w2, ci)
-            return jnp.sum(_lax_ref(u, w, b).astype(jnp.float32))
+            return _lax_ref(u, w, b)
 
-        tp = _time(pall, x, w, b)
-        tx = _time(jax.jit(xla_up), x, w, b)
-        print(f"up shape {shape}->{co}: pallas {tp:.3f} ms  xla(bcast+conv) "
-              f"{tx:.3f} ms  ({tx / tp:.2f}x)", flush=True)
+        want = np.asarray(jax.jit(xla_up)(x, w, b)[:, :64, :64, :32],
+                          np.float32)
+        tx = _time(jax.jit(lambda x, w, b: jnp.sum(
+            xla_up(x, w, b).astype(jnp.float32))), x, w, b)
+        for form in forms:
+            try:
+                got = np.asarray(
+                    conv3x3_up(x, w, b, form=form)[:, :64, :64, :32],
+                    np.float32)
+                d = np.abs(got - want)
+                tp = _time(jax.jit(functools.partial(
+                    lambda fm, x, w, b: jnp.sum(
+                        conv3x3_up(x, w, b, form=fm).astype(jnp.float32)),
+                    form)), x, w, b)
+                print(f"up {shape}->{co} [{form}]: max|d|={d.max():.4f}  "
+                      f"pallas {tp:.3f} ms  xla {tx:.3f} ms  "
+                      f"({tx / tp:.2f}x)", flush=True)
+            except Exception as e:
+                print(f"up {shape}->{co} [{form}] FAILED: "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
 
 def stage_decode():
