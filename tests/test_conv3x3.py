@@ -4,6 +4,8 @@ residual epilogue fused in), the supports() routing contract, the Conv3x3
 flax module's param-tree compatibility with nn.Conv (checkpoint converters
 must see no difference), and the ResnetBlock fused path vs the unfused one."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -244,3 +246,28 @@ def test_tiny_decoder_fused_matches_unfused(monkeypatch):
     monkeypatch.setenv("SDT_PALLAS_CONV", "interpret")
     got = np.asarray(dec.apply(params, z), np.float32)
     np.testing.assert_allclose(got, want, atol=0.2, rtol=0.1)
+
+
+@pytest.mark.skipif(os.environ.get("SDT_TPU_TESTS") != "1",
+                    reason="real-TPU Mosaic compile + numerics "
+                           "(SDT_TPU_TESTS=1)")
+def test_on_target_fused_kernels():
+    """Compile and numerics-check the fused conv (plain / GN-prologue /
+    residual) and both conv3x3_up lowerings on the real chip at one decode
+    shape each — the interpreter can't prove Mosaic legality of the
+    unaligned band slices and the parity interleave."""
+    from safe_denoiser_tpu.ops.conv3x3 import conv3x3_up
+
+    assert jax.default_backend() == "tpu"
+    rng = np.random.RandomState(0)
+    x, w, b = _rand_case((2, 64, 64, 512), 512)
+    a_c = jnp.asarray(rng.rand(2, 512) * 0.5 + 0.75, jnp.float32)
+    b_c = jnp.asarray(rng.randn(2, 512) * 0.2, jnp.float32)
+    res = jnp.asarray(rng.randn(2, 64, 64, 512),
+                      jnp.float32).astype(jnp.bfloat16)
+    _check(conv3x3(x, w, b), _ref(x, w, b))
+    _check(conv3x3(x, w, b, a_c, b_c, act="silu", residual=res),
+           _ref(x, w, b, pre=(a_c, b_c), act="silu", residual=res))
+    h, wu, bu = _rand_case((2, 32, 32, 512), 512, seed=5)
+    for form in ("interleave", "planar"):
+        _check(conv3x3_up(h, wu, bu, form=form), _up_ref(h, wu, bu))
