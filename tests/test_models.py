@@ -111,3 +111,37 @@ def test_fast_gelu_bound_and_gating():
     # f32 path is the exact erf form
     np.testing.assert_array_equal(np.asarray(_gelu_for(jnp.float32)(x)),
                                   np.asarray(exact))
+
+
+@pytest.mark.parametrize("cross", [False, True])
+@pytest.mark.parametrize("bias", [False, True])
+def test_fused_qkv_matches_unfused(monkeypatch, cross, bias):
+    """SDT_FUSED_QKV=1 packs the q/k/v (self) / k/v (cross) projections into
+    one dot to amortize MXU output-lane padding (layers.Attention). Same
+    param tree, same numerics — each output element is the identical dot
+    product, so f32 results match exactly."""
+    import numpy as np
+    from safe_denoiser_tpu.models.layers import Attention
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 40), jnp.float32)
+    ctx = jnp.asarray(rng.randn(2, 9, 24), jnp.float32) if cross else None
+    mod = Attention(num_heads=4, head_dim=8, context_dim=24 if cross else None,
+                    use_qkv_bias=bias)
+
+    monkeypatch.setenv("SDT_FUSED_QKV", "0")
+    params = mod.init(jax.random.PRNGKey(0), x, ctx)
+    ref = mod.apply(params, x, ctx)
+
+    monkeypatch.setenv("SDT_FUSED_QKV", "1")
+    params_f = mod.init(jax.random.PRNGKey(0), x, ctx)
+    # identical param tree: the fused path declares the same to_q/to_k/to_v
+    # kernels, so converted checkpoints load unchanged
+    assert jax.tree_util.tree_structure(params_f) == \
+        jax.tree_util.tree_structure(params)
+    for a, b in zip(jax.tree_util.tree_leaves(params_f),
+                    jax.tree_util.tree_leaves(params)):
+        assert a.shape == b.shape
+    got = mod.apply(params, x, ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
