@@ -394,3 +394,32 @@ def test_bank_sharded_scan_sd3_matches_replicated():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_array_equal(np.asarray(got_applied),
                                   np.asarray(want_applied))
+
+
+def test_unet_tp_fused_qkv_matches_unsharded(monkeypatch):
+    """SDT_FUSED_QKV=1 under tensor parallelism: the fused path concatenates
+    the TP-sharded to_q/to_k/to_v kernels along their sharded output axis
+    before the single dot — GSPMD must still produce the unsharded result."""
+    from safe_denoiser_tpu.models import UNetConfig, UNet2DCondition
+    from safe_denoiser_tpu.parallel import UNET_TP_RULES
+
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "model"))
+
+    cfg = UNetConfig(sample_size=8, block_out_channels=(32, 64),
+                     layers_per_block=1, cross_attention_dim=16,
+                     num_attention_heads=4, norm_num_groups=8)
+    model = UNet2DCondition(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+    t = jnp.array([500.0, 2.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 16))
+    params = model.init(jax.random.PRNGKey(2), x, t, ctx)
+    want = model.apply(params, x, t, ctx)
+
+    monkeypatch.setenv("SDT_FUSED_QKV", "1")
+    assert np.allclose(np.asarray(model.apply(params, x, t, ctx)),
+                       np.asarray(want), atol=1e-5)
+    sharded = shard_params_tp(params, mesh, rules=UNET_TP_RULES)
+    got = jax.jit(model.apply)(sharded, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-5)
