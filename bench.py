@@ -351,5 +351,72 @@ def main():
               BASELINE_IMG_PER_SEC)
 
 
+def _supervise():
+    """Watchdog wrapper: run the benchmarks in a timed child process.
+
+    The axon tunnel can wedge indefinitely on ANY RPC (sessions 4-6: a
+    256x256 matmul blocked >4 min repeatedly; a full run blocked >40 min
+    producing nothing). A blocked RPC cannot be interrupted in-process —
+    the thread is stuck inside the client — so the only robust watchdog is
+    a parent that kills and respawns. Protocol: stream the child's stdout
+    through verbatim (the driver parses our last JSON line); if the full
+    run times out, fall back to headline-only (BENCH_FAST=1) retries —
+    the tunnel sometimes recovers on a fresh process minutes later. The
+    last seen headline JSON line is re-printed LAST either way. No line is
+    ever fabricated: every JSON line printed was measured by some child."""
+    import subprocess
+    import sys
+    import threading
+
+    lines: list[str] = []
+
+    def _run_child(env_extra, timeout_s):
+        env = dict(os.environ, BENCH_CHILD="1", **env_extra)
+        p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                             stdout=subprocess.PIPE, text=True, env=env)
+
+        def _reader():
+            for line in p.stdout:
+                line = line.rstrip("\n")
+                print(line, flush=True)
+                if line.startswith("{"):
+                    lines.append(line)
+
+        t = threading.Thread(target=_reader, daemon=True)
+        t.start()
+        try:
+            p.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] child exceeded {timeout_s}s (tunnel wedge?), "
+                  "killing", file=sys.stderr, flush=True)
+            p.kill()
+            p.wait()
+        t.join(timeout=10)
+        return p.returncode
+
+    def _headline_lines():
+        return [l for l in lines if "sd14_50step_safe_denoiser" in l]
+
+    rc = _run_child({}, timeout_s=int(os.environ.get("BENCH_TIMEOUT",
+                                                     "3000")))
+    if os.environ.get("BENCH_ONLY") not in (None, "sd14"):
+        return rc   # headline not expected under this BENCH_ONLY
+    attempts = 0
+    while not _headline_lines() and attempts < 3:
+        attempts += 1
+        print(f"[bench] no headline yet; headline-only retry {attempts}/3",
+              file=sys.stderr, flush=True)
+        time.sleep(int(os.environ.get("BENCH_RETRY_SLEEP", "300")))
+        rc = _run_child({"BENCH_FAST": "1"}, timeout_s=1800)
+    hl = _headline_lines()
+    if hl and lines and lines[-1] != hl[-1]:
+        print(hl[-1], flush=True)   # driver parses the LAST JSON line
+    return 0 if hl else (rc or 1)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") == "1" or \
+            os.environ.get("BENCH_SUPERVISE", "1") == "0":
+        main()
+    else:
+        raise SystemExit(_supervise())
