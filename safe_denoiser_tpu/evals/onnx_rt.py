@@ -655,6 +655,94 @@ def run_graph(graph: Graph, feeds: dict[str, np.ndarray],
                     "ONNX GatherND batch_dims >= 1 not supported")
             data, idx = i[0], i[1].astype(np.int64)
             r = data[tuple(np.moveaxis(idx, -1, 0))]
+        elif op in ("Min", "Max", "Sum"):
+            fn = {"Min": np.minimum, "Max": np.maximum, "Sum": np.add}[op]
+            r = i[0]
+            for x_i in i[1:]:
+                r = fn(r, x_i)
+        elif op in ("ReduceSum", "ReduceMin", "ReduceProd"):
+            # same axes convention as ReduceMean above (attr, else input 1)
+            axes = a.get("axes")
+            if axes is None and len(i) > 1 and i[1] is not None:
+                axes = [int(v) for v in np.asarray(i[1]).reshape(-1)]
+            red = {"ReduceSum": i[0].sum, "ReduceMin": i[0].min,
+                   "ReduceProd": i[0].prod}[op]
+            r = red(axis=tuple(axes) if axes else None,
+                    keepdims=bool(a.get("keepdims", 1)))
+        elif op in ("ArgMax", "ArgMin"):
+            if a.get("select_last_index", 0):
+                raise NotImplementedError(
+                    "ONNX ArgMax/ArgMin select_last_index not supported")
+            fn = np.argmax if op == "ArgMax" else np.argmin
+            ax = a.get("axis", 0)
+            r = fn(i[0], axis=ax).astype(np.int64)
+            if a.get("keepdims", 1):
+                r = np.expand_dims(r, ax)
+        elif op == "LeakyRelu":
+            alpha = a.get("alpha", 0.01)
+            r = np.where(i[0] >= 0, i[0], (alpha * i[0]).astype(i[0].dtype))
+        elif op == "Elu":
+            alpha = a.get("alpha", 1.0)
+            r = np.where(i[0] >= 0, i[0],
+                         (alpha * (np.exp(i[0]) - 1)).astype(i[0].dtype))
+        elif op == "PRelu":
+            r = np.where(i[0] >= 0, i[0], (i[1] * i[0]).astype(i[0].dtype))
+        elif op == "HardSigmoid":
+            alpha, beta = a.get("alpha", 0.2), a.get("beta", 0.5)
+            r = np.clip(alpha * i[0] + beta, 0, 1).astype(i[0].dtype)
+        elif op == "Softplus":
+            r = np.logaddexp(i[0], 0).astype(i[0].dtype)
+        elif op == "Erf":
+            from scipy.special import erf
+            r = erf(i[0]).astype(i[0].dtype)
+        elif op in ("Floor", "Ceil", "Round", "Reciprocal"):
+            fn = {"Floor": np.floor, "Ceil": np.ceil, "Round": np.round,
+                  "Reciprocal": np.reciprocal}[op]   # Round: half-to-even
+            r = fn(i[0])
+        elif op == "Not":
+            r = np.logical_not(i[0])
+        elif op in ("And", "Or", "Xor"):
+            fn = {"And": np.logical_and, "Or": np.logical_or,
+                  "Xor": np.logical_xor}[op]
+            r = fn(i[0], i[1])
+        elif op == "Split":
+            ax = a.get("axis", 0)
+            split = a.get("split")
+            if split is None and len(i) > 1 and i[1] is not None:
+                split = [int(v) for v in np.asarray(i[1]).reshape(-1)]
+            if split is None:
+                n = a.get("num_outputs", len(node.outputs))
+                dim = i[0].shape[ax]
+                base = -(-dim // n)   # ceil-division chunks (ONNX spec)
+                split = [base] * (dim // base) + \
+                    ([dim % base] if dim % base else [])
+            r = tuple(np.split(i[0], np.cumsum(split)[:-1], axis=ax))
+        elif op == "Expand":
+            shape = [int(v) for v in np.asarray(i[1]).reshape(-1)]
+            r = np.broadcast_to(
+                i[0], np.broadcast_shapes(i[0].shape, tuple(shape)))
+        elif op == "Tile":
+            r = np.tile(i[0], [int(v) for v in np.asarray(i[1]).reshape(-1)])
+        elif op == "Range":
+            start, limit, delta = (np.asarray(v).reshape(()) for v in i[:3])
+            r = np.arange(start, limit, delta, dtype=np.asarray(i[0]).dtype)
+        elif op == "ConstantOfShape":
+            shape = tuple(int(v) for v in np.asarray(i[0]).reshape(-1))
+            val = a.get("value")
+            if val is None:
+                r = np.zeros(shape, dtype=np.float32)
+            else:
+                val = np.asarray(val).reshape(-1)
+                r = np.full(shape, val[0], dtype=val.dtype)
+        elif op == "InstanceNormalization":
+            eps = a.get("epsilon", 1e-5)
+            x = i[0].astype(np.float32)
+            sp = tuple(range(2, x.ndim))                  # NCHW spatial axes
+            mean = x.mean(axis=sp, keepdims=True)
+            var = x.var(axis=sp, keepdims=True)
+            cshape = (1, -1) + (1,) * (x.ndim - 2)
+            r = ((x - mean) / np.sqrt(var + eps) * i[1].reshape(cshape)
+                 + i[2].reshape(cshape)).astype(i[0].dtype)
         else:
             raise NotImplementedError(f"ONNX op {op} not supported")
         outs = r if isinstance(r, tuple) else (r,) * len(node.outputs)

@@ -371,3 +371,148 @@ def test_reduce_axes_as_input():
     got, = _run_single("ReduceMax", ["x", "ax"],
                        {"x": x, "ax": np.array([0, 2], dtype=np.int64)})
     np.testing.assert_allclose(got, x.max(axis=(0, 2), keepdims=True))
+
+
+def _attr_tensor(name: str, arr: np.ndarray) -> bytes:
+    # AttributeProto.t = field 5 (parse_attribute reads it via parse_tensor)
+    return _ld(5, _str(1, name) + _ld(5, _tensor("", arr)))
+
+
+def test_variadic_and_reduce_ops():
+    a = np.array([[1.0, -2.0], [3.0, 4.0]], dtype=np.float32)
+    b = np.array([[0.5, 5.0], [-1.0, 2.0]], dtype=np.float32)
+    c = np.array([[2.0, 0.0], [9.0, -3.0]], dtype=np.float32)
+    feeds = {"a": a, "b": b, "c": c}
+    np.testing.assert_array_equal(
+        _run_single("Min", ["a", "b", "c"], feeds)[0],
+        np.minimum(np.minimum(a, b), c))
+    np.testing.assert_array_equal(
+        _run_single("Max", ["a", "b", "c"], feeds)[0],
+        np.maximum(np.maximum(a, b), c))
+    np.testing.assert_allclose(
+        _run_single("Sum", ["a", "b", "c"], feeds)[0], a + b + c, rtol=1e-6)
+
+    np.testing.assert_allclose(
+        _run_single("ReduceSum", ["a"], {"a": a},
+                    attrs=_attr_ints("axes", [1]) + _attr_int("keepdims", 0)
+                    )[0], a.sum(axis=1), rtol=1e-6)
+    np.testing.assert_array_equal(
+        _run_single("ReduceMin", ["a"], {"a": a})[0],
+        a.min(keepdims=True))
+    # opset-18 form: axes as input 2
+    np.testing.assert_allclose(
+        _run_single("ReduceProd", ["a", "ax"],
+                    {"a": a, "ax": np.array([0], dtype=np.int64)})[0],
+        a.prod(axis=0, keepdims=True), rtol=1e-6)
+
+    got = _run_single("ArgMax", ["a"], {"a": a}, attrs=_attr_int("axis", 1))[0]
+    np.testing.assert_array_equal(got, a.argmax(axis=1)[:, None])
+    got = _run_single("ArgMin", ["a"], {"a": a},
+                      attrs=_attr_int("keepdims", 0))[0]
+    np.testing.assert_array_equal(got, a.argmin(axis=0))
+
+
+def test_activation_ops_match_torch():
+    x = np.linspace(-4.0, 4.0, 17, dtype=np.float32).reshape(1, 17)
+    t = torch.from_numpy(x)
+    cases = [
+        ("LeakyRelu", _attr_float("alpha", 0.1),
+         torch.nn.functional.leaky_relu(t, 0.1)),
+        ("LeakyRelu", b"", torch.nn.functional.leaky_relu(t, 0.01)),
+        ("Elu", b"", torch.nn.functional.elu(t)),
+        ("HardSigmoid", _attr_float("alpha", 1 / 6) +
+         _attr_float("beta", 0.5), torch.nn.functional.hardsigmoid(t)),
+        ("Softplus", b"", torch.nn.functional.softplus(t)),
+        ("Erf", b"", torch.erf(t)),
+    ]
+    for op, attrs, want in cases:
+        got = _run_single(op, ["x"], {"x": x}, attrs=attrs)[0]
+        np.testing.assert_allclose(got, want.numpy(), rtol=1e-5, atol=1e-6)
+    slope = np.array([0.25], dtype=np.float32)
+    got = _run_single("PRelu", ["x", "s"], {"x": x, "s": slope})[0]
+    np.testing.assert_allclose(
+        got, torch.nn.functional.prelu(t, torch.from_numpy(slope)).numpy(),
+        rtol=1e-6)
+
+
+def test_rounding_logic_shape_ops():
+    x = np.array([-1.5, -0.5, 0.5, 1.5, 2.5], dtype=np.float32)
+    np.testing.assert_array_equal(
+        _run_single("Floor", ["x"], {"x": x})[0], np.floor(x))
+    np.testing.assert_array_equal(
+        _run_single("Ceil", ["x"], {"x": x})[0], np.ceil(x))
+    # ONNX Round is half-to-even: 0.5 -> 0, 1.5 -> 2, 2.5 -> 2
+    np.testing.assert_array_equal(
+        _run_single("Round", ["x"], {"x": x})[0],
+        np.array([-2.0, -0.0, 0.0, 2.0, 2.0], dtype=np.float32))
+    np.testing.assert_allclose(
+        _run_single("Reciprocal", ["x"], {"x": x + 10})[0], 1 / (x + 10),
+        rtol=1e-6)
+
+    p = np.array([True, True, False, False])
+    q = np.array([True, False, True, False])
+    np.testing.assert_array_equal(
+        _run_single("Not", ["p"], {"p": p})[0], ~p)
+    np.testing.assert_array_equal(
+        _run_single("And", ["p", "q"], {"p": p, "q": q})[0], p & q)
+    np.testing.assert_array_equal(
+        _run_single("Or", ["p", "q"], {"p": p, "q": q})[0], p | q)
+    np.testing.assert_array_equal(
+        _run_single("Xor", ["p", "q"], {"p": p, "q": q})[0], p ^ q)
+
+    data = np.arange(12, dtype=np.float32).reshape(3, 4)
+    np.testing.assert_array_equal(
+        _run_single("Expand", ["x", "s"],
+                    {"x": data[:, :1], "s": np.array([2, 3, 4], np.int64)})[0],
+        np.broadcast_to(data[:, :1], (2, 3, 4)))
+    np.testing.assert_array_equal(
+        _run_single("Tile", ["x", "r"],
+                    {"x": data, "r": np.array([2, 1], np.int64)})[0],
+        np.tile(data, (2, 1)))
+    np.testing.assert_array_equal(
+        _run_single("Range", ["s", "l", "d"],
+                    {"s": np.float32(1.0), "l": np.float32(6.0),
+                     "d": np.float32(2.0)})[0],
+        np.arange(1.0, 6.0, 2.0, dtype=np.float32))
+    np.testing.assert_array_equal(
+        _run_single("ConstantOfShape", ["s"],
+                    {"s": np.array([2, 3], np.int64)})[0],
+        np.zeros((2, 3), np.float32))
+    got = _run_single(
+        "ConstantOfShape", ["s"], {"s": np.array([2], np.int64)},
+        attrs=_attr_tensor("value", np.array([7.5], np.float32)))[0]
+    np.testing.assert_array_equal(got, np.full((2,), 7.5, np.float32))
+
+
+def test_split_forms():
+    data = np.arange(14, dtype=np.float32).reshape(2, 7)
+    # explicit split attr
+    got = _run_single("Split", ["x"], {"x": data},
+                      attrs=_attr_int("axis", 1) + _attr_ints("split", [3, 4]),
+                      n_outputs=2)
+    np.testing.assert_array_equal(got[0], data[:, :3])
+    np.testing.assert_array_equal(got[1], data[:, 3:])
+    # split sizes as input 2 (opset 13)
+    got = _run_single("Split", ["x", "sp"],
+                      {"x": data, "sp": np.array([5, 2], np.int64)},
+                      attrs=_attr_int("axis", 1), n_outputs=2)
+    np.testing.assert_array_equal(got[1], data[:, 5:])
+    # equal parts from output arity: 7 over 3 -> ceil chunks [3, 3, 1]
+    got = _run_single("Split", ["x"], {"x": data},
+                      attrs=_attr_int("axis", 1), n_outputs=3)
+    assert [g.shape[1] for g in got] == [3, 3, 1]
+    np.testing.assert_array_equal(got[2], data[:, 6:])
+
+
+def test_instance_normalization_matches_torch():
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, 3, 4, 5).astype(np.float32)
+    scale = rs.rand(3).astype(np.float32) + 0.5
+    bias = rs.randn(3).astype(np.float32)
+    got = _run_single("InstanceNormalization", ["x", "s", "b"],
+                      {"x": x, "s": scale, "b": bias},
+                      attrs=_attr_float("epsilon", 1e-5))[0]
+    want = torch.nn.functional.instance_norm(
+        torch.from_numpy(x), weight=torch.from_numpy(scale),
+        bias=torch.from_numpy(bias), eps=1e-5)
+    np.testing.assert_allclose(got, want.numpy(), rtol=1e-4, atol=1e-5)
