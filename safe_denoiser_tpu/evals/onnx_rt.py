@@ -547,6 +547,22 @@ def run_graph(graph: Graph, feeds: dict[str, np.ndarray],
                         a.get("mode", "nearest"),
                         a.get("coordinate_transformation_mode", "half_pixel"),
                         a.get("nearest_mode", "round_prefer_floor"))
+        elif op == "Upsample":
+            # deprecated pre-Resize op (opset<=9): scales as attribute
+            # (opset 7) or input 1 (opset 9); asymmetric coordinates with
+            # floor rounding is what both opsets specified
+            x = i[0]
+            scales = a.get("scales")
+            if scales is None:
+                scales = np.asarray(i[1], dtype=np.float64).reshape(-1)
+            sc = np.asarray(scales, dtype=np.float64)
+            r = x
+            for ax in range(x.ndim):
+                out_len = int(np.floor(x.shape[ax] * sc[ax]))
+                if out_len != r.shape[ax]:
+                    r = _resize_axis(r, ax, out_len, float(sc[ax]),
+                                     a.get("mode", "nearest"),
+                                     "asymmetric", "floor")
         elif op == "Gather":
             r = np.take(i[0], i[1].astype(np.int64), axis=a.get("axis", 0))
         elif op in ("ReduceMean", "ReduceMax"):

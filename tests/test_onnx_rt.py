@@ -516,3 +516,22 @@ def test_instance_normalization_matches_torch():
         torch.from_numpy(x), weight=torch.from_numpy(scale),
         bias=torch.from_numpy(bias), eps=1e-5)
     np.testing.assert_allclose(got, want.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def _attr_floats(name: str, vals) -> bytes:
+    return _ld(5, _str(1, name) +
+               b"".join(_field(7, 5, struct.pack("<f", v)) for v in vals))
+
+
+def test_upsample_deprecated_op():
+    x = np.arange(16, dtype=np.float32).reshape(1, 1, 4, 4)
+    want = torch.nn.functional.interpolate(
+        torch.from_numpy(x), scale_factor=2, mode="nearest").numpy()
+    # opset-7 form: scales attribute
+    got = _run_single("Upsample", ["x"], {"x": x},
+                      attrs=_attr_floats("scales", [1, 1, 2, 2]))[0]
+    np.testing.assert_array_equal(got, want)
+    # opset-9 form: scales as input 1
+    got = _run_single("Upsample", ["x", "sc"],
+                      {"x": x, "sc": np.array([1, 1, 2, 2], np.float32)})[0]
+    np.testing.assert_array_equal(got, want)
