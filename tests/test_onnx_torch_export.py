@@ -193,12 +193,12 @@ def test_resize_modes(tmp_path):
 
 
 def test_unsupported_op_fails_loudly(tmp_path):
-    class ErfNet(nn.Module):
+    class AtanNet(nn.Module):
         def forward(self, x):
-            return torch.erf(x)
+            return torch.atan(x)
 
-    p = tmp_path / "erf.onnx"
-    _export(ErfNet().eval(), (torch.randn(2, 3),), p,
+    p = tmp_path / "atan.onnx"
+    _export(AtanNet().eval(), (torch.randn(2, 3),), p,
             input_names=["x"], output_names=["y"])
     with pytest.raises(NotImplementedError):
         _run(p, {"x": np.zeros((2, 3), np.float32)}, ["y"])
