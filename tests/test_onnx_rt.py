@@ -535,3 +535,27 @@ def test_upsample_deprecated_op():
     got = _run_single("Upsample", ["x", "sc"],
                       {"x": x, "sc": np.array([1, 1, 2, 2], np.float32)})[0]
     np.testing.assert_array_equal(got, want)
+
+
+def test_parser_rejects_garbage_cleanly():
+    """Malformed files must raise (any exception), never hang or segfault —
+    the loader's first contact with a real download can be a truncated or
+    corrupted file."""
+    rs = np.random.RandomState(0)
+    x = np.zeros((1, 2), np.float32)
+    # a valid model, then truncations of it at every prefix length band
+    good = _model([_node("Relu", ["x"], ["y"])], [], ["x"], ["y"])
+    for cut in range(1, len(good)):
+        try:
+            g = parse_model(good[:cut])
+            run_graph(g, {"x": x}, ["y"])
+        except Exception:
+            pass
+    # random garbage
+    for n in (1, 16, 256, 4096):
+        for _ in range(8):
+            try:
+                g = parse_model(rs.bytes(n))
+                run_graph(g, {"x": x}, g.outputs or ["y"])
+            except Exception:
+                pass
