@@ -186,6 +186,17 @@ def stage_decode():
     t1 = run("pallas-fused")
     print(f"decode in-situ: xla {t0:.2f} -> fused {t1:.2f} "
           f"({t0 / t1:.3f}x)", flush=True)
+    # third variant: planar upsample lowering (the fallback if Mosaic
+    # rejects the in-kernel interleave reshape) — each run() builds a fresh
+    # jit so the env flip retraces
+    try:
+        os.environ["SDT_UP_FORM"] = "planar"
+        t2 = run("pallas-fused-planar-up")
+        print(f"decode in-situ planar-up: {t2:.2f} ({t0 / t2:.3f}x)",
+              flush=True)
+    finally:
+        os.environ.pop("SDT_UP_FORM", None)
+        os.environ["SDT_PALLAS_CONV"] = "0"
 
 
 def main():
