@@ -54,7 +54,7 @@ def _kernel(x_hbm, w_ref, b_ref, *rest, tile_h: int, H: int, W: int,
             has_res: bool):
     idx = 0
     if has_pre:
-        a_ref, s_ref = rest[idx], rest[idx + 1]
+        a_ref, s_ref = rest[idx], rest[idx + 1]   # [1, 1, Ci] blocks
         idx += 2
     if has_res:
         res_ref = rest[idx]
@@ -97,7 +97,7 @@ def _kernel(x_hbm, w_ref, b_ref, *rest, tile_h: int, H: int, W: int,
 
     band = xs[slot]                                   # [th+2, W, Ci]
     if has_pre:
-        band = band * a_ref[0][None, None, :] + s_ref[0][None, None, :]
+        band = band * a_ref[0] + s_ref[0]             # [1, Ci] broadcasts
     if act == "silu":
         band = band * jax.nn.sigmoid(band)
     # re-align for the clamp shift: activated conv-input row k goes to
@@ -143,7 +143,10 @@ def _kernel(x_hbm, w_ref, b_ref, *rest, tile_h: int, H: int, W: int,
                              preferred_element_type=jnp.float32)
         e_l = yl if e_l is None else e_l + yl
         e_r = yr if e_r is None else e_r + yr
-    total = total.at[:, 0, :].add(-e_l).at[:, W - 1, :].add(-e_r)
+    # Mosaic rejects value-level .at[col].add (scatter-add); a column-mask
+    # multiply-subtract is the supported form and fuses into the VPU pass
+    cw = lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+    total = total - e_l[:, None, :] * (cw == 0) - e_r[:, None, :] * (cw == W - 1)
 
     o_ref[0] = total.astype(o_ref.dtype)
 
@@ -221,6 +224,8 @@ def _up_kernel(h_hbm, w_ref, b_ref, o_ref, xs, sact, sem, *,
             acc = acc + b_ref[...].astype(jnp.float32)
             acc = acc.reshape(th2, W2, Co)
             # wrap fix-up == zero SAME-padding at the left/right image edge
+            # (column-mask multiply: Mosaic rejects value scatter-add)
+            cw = lax.broadcasted_iota(jnp.int32, (1, W2, 1), 1)
             if px == 0:     # k=0 slice wraps at m=0
                 e = None
                 for j in range(2):
@@ -230,7 +235,7 @@ def _up_kernel(h_hbm, w_ref, b_ref, o_ref, xs, sact, sem, *,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     e = y if e is None else e + y
-                acc = acc.at[:, 0, :].add(-e)
+                acc = acc - e[:, None, :] * (cw == 0)
             else:           # k=1 slice wraps at m=W2-1
                 e = None
                 for j in range(2):
@@ -240,7 +245,7 @@ def _up_kernel(h_hbm, w_ref, b_ref, o_ref, xs, sact, sem, *,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     e = y if e is None else e + y
-                acc = acc.at[:, W2 - 1, :].add(-e)
+                acc = acc - e[:, None, :] * (cw == W2 - 1)
             prow.append(acc.astype(o_ref.dtype))
         # column interleave: [th2, W2, 2, Co] -> [th2, 2*W2, Co]
         planes.append(jnp.stack(prow, axis=2).reshape(th2, 2 * W2, Co))
@@ -249,29 +254,28 @@ def _up_kernel(h_hbm, w_ref, b_ref, o_ref, xs, sact, sem, *,
 
 
 def _up_kernel_planar(h_hbm, w_ref, b_ref, o_ref, xs, sact, sem, *,
-                      tile_h2: int, H2: int, W2: int, Ci: int, Co: int):
-    """Parity-planar lowering of the same factorization as _up_kernel: the
-    grid's OUTERMOST dim is the output parity (py, px), so only that
-    parity's [4, Ci, Co] weight block is VMEM-resident (4x smaller than the
-    interleaved kernel's full [16, Ci, Co] — which is what unlocks the
-    UNet's 640-channel upsample, 13 MB as one block). Each step writes one
-    quarter plane of a [4, B, H2, W2, Co] output; the caller de-interleaves
-    with one XLA transpose+reshape. The band DMA re-runs per parity (4x
-    input reads — bands are KBs, weights are MBs: the right trade)."""
-    par = pl.program_id(0)
-    b = pl.program_id(1)
-    i = pl.program_id(2)
-    n_b = pl.num_programs(1)
-    n_h = pl.num_programs(2)
+                      tile_h2: int, H2: int, W2: int, Ci: int, Co: int,
+                      py: int, px: int):
+    """Parity-planar lowering of the same factorization as _up_kernel: one
+    pallas_call PER output parity (py, px static — Mosaic rejects tap
+    slices at traced offsets), so only that parity's [4, Ci, Co] weight
+    block is VMEM-resident (4x smaller than the interleaved kernel's full
+    [16, Ci, Co] — which is what unlocks the UNet's 640-channel upsample,
+    13 MB as one block). Each call writes one quarter plane [B, H2, W2, Co];
+    the caller de-interleaves with one XLA transpose+reshape. The band DMA
+    re-runs per parity (4x input reads — bands are KBs, weights are MBs:
+    the right trade)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    n_h = pl.num_programs(1)
     th2 = tile_h2
-    py, px = par // 2, par % 2
 
     def band_dma(slot, bb, ii):
         s = jnp.clip(ii * th2 - 1, 0, H2 - (th2 + 2))
         return pltpu.make_async_copy(
             h_hbm.at[bb, pl.ds(s, th2 + 2)], xs.at[slot], sem.at[slot])
 
-    g = (par * n_b + b) * n_h + i
+    g = b * n_h + i
     slot = g % 2
 
     @pl.when(g == 0)
@@ -280,10 +284,9 @@ def _up_kernel_planar(h_hbm, w_ref, b_ref, o_ref, xs, sact, sem, *,
         sact[...] = jnp.zeros_like(sact)   # slack rows must be finite
 
     nxt_i = jnp.where(i + 1 < n_h, i + 1, 0)
-    nxt_b = jnp.where(i + 1 < n_h, b,
-                      jnp.where(b + 1 < n_b, b + 1, 0))
+    nxt_b = jnp.where(i + 1 < n_h, b, b + 1)
 
-    @pl.when(g + 1 < 4 * n_b * n_h)
+    @pl.when(nxt_b < pl.num_programs(0))
     def _prefetch():
         band_dma((g + 1) % 2, nxt_b, nxt_i).start()
 
@@ -307,36 +310,39 @@ def _up_kernel_planar(h_hbm, w_ref, b_ref, o_ref, xs, sact, sem, *,
     acc = None
     for j in range(2):
         for k in range(2):
-            # same tap slice as _up_kernel, but py/px are traced here
-            start = (j + 1 + py) * W2 + k - (1 - px)
+            start = (j + 1 + py) * W2 + k - (1 - px)  # static: py/px baked
             y = lax.dot_general(
-                lax.dynamic_slice_in_dim(f, start, th2 * W2, 0),
-                w_ref[0, j * 2 + k],
+                f[start:start + th2 * W2], w_ref[j * 2 + k],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             acc = y if acc is None else acc + y
     acc = acc.reshape(th2, W2, Co) + b_ref[...].astype(jnp.float32)
 
-    # wrap fix-ups, masked by which parity actually wraps: the k=0 slice
-    # wraps at m=0 only when px==0; the k=1 slice at m=W2-1 only when px==1
-    col_l = sv[:, W2 - 1, :]
-    col_r = sv[:, 0, :]
-    e_l = e_r = None
-    for j in range(2):
-        yl = lax.dot_general(
-            lax.dynamic_slice_in_dim(col_l, j + py, th2, 0),
-            w_ref[0, j * 2], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        yr = lax.dot_general(
-            lax.dynamic_slice_in_dim(col_r, j + py + 2, th2, 0),
-            w_ref[0, j * 2 + 1], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        e_l = yl if e_l is None else e_l + yl
-        e_r = yr if e_r is None else e_r + yr
-    acc = acc.at[:, 0, :].add(-e_l * (px == 0))
-    acc = acc.at[:, W2 - 1, :].add(-e_r * (px == 1))
+    # wrap fix-up == zero SAME-padding: the k=0 slice wraps at m=0 (only
+    # this parity's px==0 calls), the k=1 slice at m=W2-1 (px==1 calls);
+    # column-mask multiply because Mosaic rejects value scatter-add
+    cw = lax.broadcasted_iota(jnp.int32, (1, W2, 1), 1)
+    if px == 0:
+        col_l = sv[:, W2 - 1, :]
+        e = None
+        for j in range(2):
+            y = lax.dot_general(col_l[j + py:j + py + th2], w_ref[j * 2],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            e = y if e is None else e + y
+        acc = acc - e[:, None, :] * (cw == 0)
+    else:
+        col_r = sv[:, 0, :]
+        e = None
+        for j in range(2):
+            y = lax.dot_general(col_r[j + py + 2:j + py + 2 + th2],
+                                w_ref[j * 2 + 1],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            e = y if e is None else e + y
+        acc = acc - e[:, None, :] * (cw == W2 - 1)
 
-    o_ref[0, 0] = acc.astype(o_ref.dtype)
+    o_ref[0] = acc.astype(o_ref.dtype)
 
 
 def _w_eff_up(w: jax.Array) -> jax.Array:
@@ -407,27 +413,32 @@ def conv3x3_up(h, w, b=None, *, form: str = "interleave",
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if form == "planar":
-        planar = pl.pallas_call(
-            functools.partial(_up_kernel_planar, tile_h2=th2, H2=H2, W2=W2,
-                              Ci=Ci, Co=Co),
-            grid=(4, B, H2 // th2),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec((1, 4, Ci, Co), lambda p, bi, i: (p, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Co), lambda p, bi, i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, 1, th2, W2, Co),
-                                   lambda p, bi, i: (p, bi, i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((4, B, H2, W2, Co), h.dtype),
-            scratch_shapes=scratch,
-            interpret=interpret,
-        )(h, _w_eff_up(w).reshape(4, 4, Ci, Co), bias)
-        # de-interleave: [py*2+px, B, r, m] -> [B, 2r+py, 2m+px]
-        return planar.reshape(2, 2, B, H2, W2, Co).transpose(
-            2, 3, 0, 4, 1, 5).reshape(B, 2 * H2, 2 * W2, Co)
+        w16 = _w_eff_up(w)                       # [16, Ci, Co]
+        planes = []
+        for py in range(2):
+            for px in range(2):
+                planes.append(pl.pallas_call(
+                    functools.partial(_up_kernel_planar, tile_h2=th2, H2=H2,
+                                      W2=W2, Ci=Ci, Co=Co, py=py, px=px),
+                    grid=(B, H2 // th2),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.ANY),
+                        pl.BlockSpec((4, Ci, Co), lambda bi, i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, Co), lambda bi, i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec((1, th2, W2, Co),
+                                           lambda bi, i: (bi, i, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((B, H2, W2, Co), h.dtype),
+                    scratch_shapes=scratch,
+                    interpret=interpret,
+                )(h, w16[(py * 2 + px) * 4:(py * 2 + px) * 4 + 4], bias))
+        # de-interleave: planes[py*2+px][b, r, m] -> out[b, 2r+py, 2m+px]
+        return jnp.stack(planes, axis=0).reshape(
+            2, 2, B, H2, W2, Co).transpose(2, 3, 0, 4, 1, 5).reshape(
+                B, 2 * H2, 2 * W2, Co)
     return pl.pallas_call(
         functools.partial(_up_kernel, tile_h2=th2, H2=H2, W2=W2,
                           Ci=Ci, Co=Co),
@@ -521,8 +532,12 @@ def conv3x3(x, w, b=None, pre_scale=None, pre_shift=None, act=None,
         pl.BlockSpec((1, Co), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
     ]
     if has_pre:
-        args += [pre_scale.astype(x.dtype), pre_shift.astype(x.dtype)]
-        in_specs += [pl.BlockSpec((1, Ci), lambda bi, i: (bi, 0),
+        # [B, 1, Ci] so the block's last two dims (1, Ci) equal the array's
+        # (Mosaic rejects a (1, Ci) block of a [B, Ci] array: sublane dim 1
+        # is neither 8-divisible nor the full B)
+        args += [pre_scale.astype(x.dtype).reshape(B, 1, Ci),
+                 pre_shift.astype(x.dtype).reshape(B, 1, Ci)]
+        in_specs += [pl.BlockSpec((1, 1, Ci), lambda bi, i: (bi, 0, 0),
                                   memory_space=pltpu.VMEM)] * 2
     if has_res:
         args.append(residual)
