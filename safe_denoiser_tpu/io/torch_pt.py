@@ -229,6 +229,12 @@ class _Pickler(pickle._Pickler):
 
 
 def _wrap_tensors(obj: Any, storages: list) -> Any:
+    if isinstance(obj, np.generic):
+        # a raw numpy scalar would pickle as a numpy._core.multiarray.scalar
+        # GLOBAL, which torch.load's weights_only=True default (torch>=2.6)
+        # refuses; the reference caches hold such values (e.g. beta) as
+        # plain Python scalars, so store the native equivalent
+        return obj.item()
     if isinstance(obj, np.ndarray):
         key = str(len(storages))
         arr = np.ascontiguousarray(obj)

@@ -230,6 +230,13 @@ class Attention(nn.Module):
             # concat of loop-invariant weights is hoisted out of the scan by
             # XLA's LICM. Numerics: each output element is the same dot
             # product, so this is bit-identical to the unfused path.
+            # MEASURED A LOSS on v5e (2026-08-18 same-session ABA, 50-step
+            # headline: fused 1.5268 vs controls 1.5451/1.5448 = -1.18%,
+            # drift -0.02%) — the padding saved on the projection dots is
+            # outweighed downstream (the 3-way output split breaks XLA's
+            # dot+epilogue fusions). Default stays OFF; kept as a
+            # documented negative result. Do not re-flip without a new
+            # mechanism.
             wq, bq = _DenseParams(inner, self.use_qkv_bias,
                                   name="to_q")(x.shape[-1])
             wk, bk = _DenseParams(inner, self.use_qkv_bias,

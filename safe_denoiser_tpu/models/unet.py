@@ -154,7 +154,10 @@ class UpsampleT(nn.Module):
         from .vae import Conv3x3
 
         b, h, w, c = x.shape
-        flag = os.environ.get("SDT_PALLAS_UPCONV", "0")
+        # default ON since the 2026-08-18 same-session ABA: headline
+        # 1.5452 vs 1.5357/1.5363 controls = +0.58% (kernel itself measured
+        # 1.31x vs XLA at [8,32,32,640]); CPU/f32 paths are ungated below
+        flag = os.environ.get("SDT_PALLAS_UPCONV", "1")
         if (flag in ("1", "interpret") and x.dtype == jnp.bfloat16
                 and _c3.supports_up(x.shape, c, self.out_channels)
                 and (flag == "interpret"

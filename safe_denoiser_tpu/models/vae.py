@@ -26,10 +26,12 @@ from .layers import Attention, GroupNorm32
 
 def _pallas_conv_mode(x, ci: int, co: int) -> str | None:
     """SDT_PALLAS_CONV gate for the fused halo-DMA conv (ops/conv3x3.py):
-    '1' routes bf16 TPU inputs at the VAE's shapes through the kernel,
-    'interpret' forces the kernel in Pallas interpreter mode on any backend
-    (CPU numerics tests). Returns 'tpu' | 'interpret' | None."""
-    flag = os.environ.get("SDT_PALLAS_CONV", "0")
+    '1' (the default since the 2026-08-18 in-situ A/B: decode 103.87 ->
+    89.84 ms/batch4, 1.156x) routes bf16 TPU inputs at the VAE's shapes
+    through the kernel, '0' opts out, 'interpret' forces the kernel in
+    Pallas interpreter mode on any backend (CPU numerics tests). f32 and
+    CPU paths are unaffected either way. Returns 'tpu'|'interpret'|None."""
+    flag = os.environ.get("SDT_PALLAS_CONV", "1")
     if (flag not in ("1", "interpret") or x.dtype != jnp.bfloat16
             or not _c3.supports(x.shape, ci, co)):
         return None
@@ -56,7 +58,7 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x, pre=None, act=None, residual=None,
-                 upsample: bool = False, form: str = "interleave"):
+                 upsample: bool = False, form: str = "planar"):
         ci = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, ci, self.out_channels))
@@ -187,10 +189,12 @@ class Upsample(nn.Module):
         if (_pallas_conv_mode(x, c, self.out_channels) is not None
                 and _c3.supports_up(x.shape, c, self.out_channels)):
             # upsample-fused kernel: never materializes the 2x tensor and
-            # does 4/9 the MACs (ops/conv3x3.py::_up_kernel factorization);
-            # SDT_UP_FORM=planar switches the lowering for hardware A/Bs
+            # does 4/9 the MACs (ops/conv3x3.py::_up_kernel factorization).
+            # planar is the default: the interleave form's in-kernel column
+            # interleave fails the Mosaic compile on v5e (2026-08-18 A/B),
+            # while planar measured 1.73-3.01x vs XLA at the VAE upsamples
             return conv(x, upsample=True,
-                        form=os.environ.get("SDT_UP_FORM", "interleave"))
+                        form=os.environ.get("SDT_UP_FORM", "planar"))
         # broadcast-reshape nearest-2x: r3 probe at [4,256,256,512] bf16
         # measured 0.20 ms vs jax.image.resize's gather lowering at 0.69 ms
         # (select fusions + copies); decode-level trace confirmed the win
