@@ -334,8 +334,12 @@ def _resize_coords(out_len: int, in_len: int, scale: float, ct: str):
             else np.zeros(out_len)
     if ct == "pytorch_half_pixel":
         return (idx + 0.5) / scale - 0.5 if out_len > 1 else np.zeros(out_len)
-    if ct in ("half_pixel", "tf_half_pixel_for_nn"):
+    if ct == "half_pixel":
         return (idx + 0.5) / scale - 0.5
+    if ct == "tf_half_pixel_for_nn":
+        # Spec: (x+0.5)/scale with NO trailing -0.5 (tf2onnx emits this for
+        # TF nearest resizes with half_pixel_centers).
+        return (idx + 0.5) / scale
     raise NotImplementedError(f"ONNX Resize coordinate mode {ct!r}")
 
 
@@ -732,6 +736,10 @@ def run_graph(graph: Graph, feeds: dict[str, np.ndarray],
                 base = -(-dim // n)   # ceil-division chunks (ONNX spec)
                 split = [base] * (dim // base) + \
                     ([dim % base] if dim % base else [])
+                # The node declares exactly n outputs; when the ceil chunks
+                # already cover dim (e.g. dim=6, n=4 -> [2,2,2]) the spec
+                # still produces n tensors — trailing ones empty.
+                split += [0] * (n - len(split))
             r = tuple(np.split(i[0], np.cumsum(split)[:-1], axis=ax))
         elif op == "Expand":
             shape = [int(v) for v in np.asarray(i[1]).reshape(-1)]

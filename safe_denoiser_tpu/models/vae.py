@@ -186,8 +186,15 @@ class Upsample(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         conv = Conv3x3(self.out_channels, dtype=self.dtype, name="conv")
-        if (_pallas_conv_mode(x, c, self.out_channels) is not None
-                and _c3.supports_up(x.shape, c, self.out_channels)):
+        # Gate on SDT_PALLAS_UPCONV + supports_up only — the upsample kernel
+        # has its own tiling predicate; the full-res kernel's supports() and
+        # SDT_PALLAS_CONV are irrelevant here (same control surface as
+        # unet.UpsampleT, so one switch governs all upsample-conv A/Bs).
+        up_flag = os.environ.get("SDT_PALLAS_UPCONV", "1")
+        if (up_flag in ("1", "interpret") and x.dtype == jnp.bfloat16
+                and _c3.supports_up(x.shape, c, self.out_channels)
+                and (up_flag == "interpret"
+                     or jax.default_backend() == "tpu")):
             # upsample-fused kernel: never materializes the 2x tensor and
             # does 4/9 the MACs (ops/conv3x3.py::_up_kernel factorization).
             # planar is the default: the interleave form's in-kernel column

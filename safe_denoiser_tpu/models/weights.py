@@ -209,7 +209,13 @@ def load_sharded_state_dict(model_dir: str) -> dict[str, Array]:
     import json
 
     names = sorted(os.listdir(model_dir))
+    is_variant = lambda n: any(f".{v}." in n for v in ("fp16", "non_ema"))
     index = [n for n in names if n.endswith(".safetensors.index.json")]
+    # Base-wins applies to index files too: sorted() puts
+    # model.fp16.safetensors.index.json BEFORE model.safetensors.index.json,
+    # so without this filter a variant index silently shadows the base one.
+    if any(not is_variant(n) for n in index):
+        index = [n for n in index if not is_variant(n)]
     if index:
         with open(os.path.join(model_dir, index[0])) as f:
             shards = sorted(set(json.load(f)["weight_map"].values()))
@@ -219,7 +225,6 @@ def load_sharded_state_dict(model_dir: str) -> dict[str, Array]:
         return out
 
     st = [n for n in names if n.endswith(".safetensors")]
-    is_variant = lambda n: any(f".{v}." in n for v in ("fp16", "non_ema"))
     if any(not is_variant(n) for n in st):
         st = [n for n in st if not is_variant(n)]
     out = {}

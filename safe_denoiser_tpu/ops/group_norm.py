@@ -45,9 +45,22 @@ def _fast_act_ok(dtype) -> bool:
     while XLA's f32 sigmoid costs ~2x the whole GroupNorm (measured r3:
     0.067 vs 0.048 ms per level-0 norm, ~0.5 ms/step over the UNet's 109
     norm+silu sites). Stats stay fp32 always. Opt out: SDT_FAST_SILU=0."""
-    import os
     return (dtype == jnp.bfloat16
             and os.environ.get("SDT_FAST_SILU", "1") == "1")
+
+
+_STATS_MAX_ELEMS = 1 << 19                    # ~1 MB bf16 per VMEM block
+
+
+def _stats_chunk(s: int, c: int) -> int:
+    """Row-chunk for the one-pass stats kernel: halve S until a [chunk, C]
+    bf16 block fits the VMEM budget. Shared by gn_stats_pallas (the actual
+    blocking) and gn_affine_coefs (the will-it-fit dispatch gate) so the
+    two can never diverge."""
+    chunk = s
+    while chunk * c > _STATS_MAX_ELEMS and chunk % 2 == 0:
+        chunk //= 2
+    return chunk
 
 
 def gn_affine_coefs(x: jax.Array, scale: jax.Array, bias: jax.Array,
@@ -58,16 +71,14 @@ def gn_affine_coefs(x: jax.Array, scale: jax.Array, bias: jax.Array,
     fused Pallas conv (ops/conv3x3.py) can apply the affine inside its halo
     band instead of XLA emitting a standalone apply pass."""
     b, s, c = x.shape
-    chunk = s
-    while chunk * c > (1 << 19) and chunk % 2 == 0:
-        chunk //= 2
+    chunk = _stats_chunk(s, c)
     # the stats kernel is a fusion barrier — only worth it when the
     # activation is big enough that the saved second HBM pass dominates
     # (the VAE decoder; the scan's smaller norms stay fused in XLA,
     # threshold tunable via SDT_GN_STATS_MIN log2-elements)
     min_elems = 1 << int(os.environ.get("SDT_GN_STATS_MIN", "21"))
     if (jax.default_backend() == "tpu" and c >= 128
-            and s * c >= min_elems and chunk * c <= (1 << 19)):
+            and s * c >= min_elems and chunk * c <= _STATS_MAX_ELEMS):
         s1, s2 = gn_stats_pallas(x)                   # one HBM pass
     else:
         xf = x.astype(jnp.float32)
@@ -149,10 +160,7 @@ def gn_stats_pallas(x: jax.Array, interpret: bool = False):
     each re-read the activation (measured 19.5 ms on the VAE decode vs a
     ~4.4 ms read-once floor)."""
     b, s, c = x.shape
-    chunk = s
-    max_elems = 1 << 19                       # ~1 MB bf16 per block
-    while chunk * c > max_elems and chunk % 2 == 0:
-        chunk //= 2
+    chunk = _stats_chunk(s, c)
     out = jax.ShapeDtypeStruct((b, 8, c), jnp.float32)
     spec = pl.BlockSpec((1, 8, c), lambda i, j: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -267,8 +275,6 @@ def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, groups: int,
     matches XLA's per-norm time (~130 us) but acts as a fusion barrier,
     regressing the surrounding elementwise fusions by ~20% of step time.
     Kept behind SDT_FUSED_GN=1 for future tuning."""
-    import os
-
     b, s, c = x.shape
     if (os.environ.get("SDT_FUSED_GN") == "1"
             and jax.default_backend() == "tpu" and s * c <= _MAX_TILE_ELEMS

@@ -62,6 +62,10 @@ def _attr_float(name: str, v: float) -> bytes:
     return _ld(5, _str(1, name) + _field(2, 5, struct.pack("<f", v)))
 
 
+def _attr_str(name: str, s: str) -> bytes:
+    return _ld(5, _str(1, name) + _ld(4, s.encode()))
+
+
 def _node(op: str, inputs, outputs, attrs: bytes = b"") -> bytes:
     msg = b"".join(_str(1, i) for i in inputs)
     msg += b"".join(_str(2, o) for o in outputs)
@@ -502,6 +506,43 @@ def test_split_forms():
                       attrs=_attr_int("axis", 1), n_outputs=3)
     assert [g.shape[1] for g in got] == [3, 3, 1]
     np.testing.assert_array_equal(got[2], data[:, 6:])
+    # ceil chunks that already cover the dim still yield n outputs
+    # (6 over 4 -> [2, 2, 2, 0]); the node declares 4 output names and a
+    # missing one would KeyError (or alias a stale value) downstream
+    data6 = np.arange(12, dtype=np.float32).reshape(2, 6)
+    got = _run_single("Split", ["x"], {"x": data6},
+                      attrs=_attr_int("axis", 1), n_outputs=4)
+    assert [g.shape[1] for g in got] == [2, 2, 2, 0]
+    np.testing.assert_array_equal(got[1], data6[:, 2:4])
+
+
+def test_resize_tf_half_pixel_for_nn():
+    """tf2onnx emits tf_half_pixel_for_nn for TF nearest resizes with
+    half_pixel_centers (the keras-retinanet/NudeNet detector family): the
+    coordinate is (i+0.5)/scale with NO trailing -0.5 — lumping it with
+    half_pixel shifts every row/column by one source pixel."""
+    x = np.arange(4, dtype=np.float32).reshape(1, 1, 1, 4)
+    attrs = (_attr_str("mode", "nearest")
+             + _attr_str("coordinate_transformation_mode",
+                         "tf_half_pixel_for_nn")
+             + _attr_str("nearest_mode", "round_prefer_floor"))
+    got = _run_single(
+        "Resize", ["x", "roi", "scales"],
+        {"x": x, "roi": np.array([], np.float32),
+         "scales": np.array([1, 1, 1, 2], np.float32)}, attrs=attrs)[0]
+    # spec indices ceil((i+0.5)/2 - 0.5) = [0,1,1,2,2,3,3,3]
+    np.testing.assert_array_equal(
+        got.reshape(-1), np.array([0, 1, 1, 2, 2, 3, 3, 3], np.float32))
+    # and plain half_pixel keeps the -0.5 form: [0,0,1,1,2,2,3,3]
+    attrs_hp = (_attr_str("mode", "nearest")
+                + _attr_str("coordinate_transformation_mode", "half_pixel")
+                + _attr_str("nearest_mode", "round_prefer_floor"))
+    got_hp = _run_single(
+        "Resize", ["x", "roi", "scales"],
+        {"x": x, "roi": np.array([], np.float32),
+         "scales": np.array([1, 1, 1, 2], np.float32)}, attrs=attrs_hp)[0]
+    np.testing.assert_array_equal(
+        got_hp.reshape(-1), np.array([0, 0, 1, 1, 2, 2, 3, 3], np.float32))
 
 
 def test_instance_normalization_matches_torch():

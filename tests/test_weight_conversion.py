@@ -256,3 +256,30 @@ def test_sharded_dir_idioms(tmp_path):
             "b": "model-00002-of-00002.safetensors"}}))
     sd3 = load_sharded_state_dict(str(d3))
     assert set(sd3) == {"a", "b"}
+
+    # BOTH index files present (real SD3-medium text_encoder_3 ships
+    # model.safetensors.index.json AND model.fp16.safetensors.index.json):
+    # sorted() puts the fp16 one first ('f' < 's'), but base must win —
+    # regression for a silent half-precision downgrade of the T5 tower
+    d4 = tmp_path / "t5_both"
+    d4.mkdir()
+    save_file({"a": torch.ones(2)}, str(d4 / "model-00001-of-00001.safetensors"))
+    save_file({"a": torch.ones(2, dtype=torch.float16)},
+              str(d4 / "model.fp16-00001-of-00001.safetensors"))
+    (d4 / "model.safetensors.index.json").write_text(_json.dumps({
+        "metadata": {}, "weight_map": {
+            "a": "model-00001-of-00001.safetensors"}}))
+    (d4 / "model.fp16.safetensors.index.json").write_text(_json.dumps({
+        "metadata": {}, "weight_map": {
+            "a": "model.fp16-00001-of-00001.safetensors"}}))
+    assert load_sharded_state_dict(str(d4))["a"].dtype == np.float32
+
+    # fp16-only repo with an index: the variant index is still honored
+    d5 = tmp_path / "fp16_index_only"
+    d5.mkdir()
+    save_file({"a": torch.ones(2, dtype=torch.float16)},
+              str(d5 / "model.fp16-00001-of-00001.safetensors"))
+    (d5 / "model.fp16.safetensors.index.json").write_text(_json.dumps({
+        "metadata": {}, "weight_map": {
+            "a": "model.fp16-00001-of-00001.safetensors"}}))
+    assert load_sharded_state_dict(str(d5))["a"].dtype == np.float16
