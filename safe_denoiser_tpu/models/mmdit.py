@@ -87,6 +87,10 @@ class JointBlock(nn.Module):
     config: MMDiTConfig
     context_pre_only: bool = False
     dtype: jnp.dtype = jnp.float32
+    # sequence parallelism (parallel/sp.py): mesh with (data, seq) axes; the
+    # image-token S dim is sharded over 'seq', context stays replicated
+    sp_mesh: Optional[object] = None
+    sp_axes: tuple = ("data", "seq")
 
     @nn.compact
     def __call__(self, x, context, emb):
@@ -116,13 +120,23 @@ class JointBlock(nn.Module):
 
         xq, xk, xv = qkv(xh, "attn_")
         cq, ck, cv = qkv(ch, "attn_add_")
-        s_img = x.shape[1]
-        q = jnp.concatenate([xq, cq], axis=1)
-        k = jnp.concatenate([xk, ck], axis=1)
-        v = jnp.concatenate([xv, cv], axis=1)
-        out = dot_product_attention(q, k, v)
-        out = out.reshape(out.shape[0], out.shape[1], dim)
-        x_out, c_out = out[:, :s_img], out[:, s_img:]
+        if self.sp_mesh is not None:
+            # sequence-parallel joint attention: Q stays local, image K/V
+            # all-gather over the 'seq' ICI axis (parallel/sp.py)
+            from ..parallel.sp import sp_joint_attention
+            x_out, c_out = sp_joint_attention(
+                xq, xk, xv, cq, ck, cv, self.sp_mesh,
+                seq_axis=self.sp_axes[1], data_axis=self.sp_axes[0])
+            x_out = x_out.reshape(x_out.shape[0], x_out.shape[1], dim)
+            c_out = c_out.reshape(c_out.shape[0], c_out.shape[1], dim)
+        else:
+            s_img = x.shape[1]
+            q = jnp.concatenate([xq, cq], axis=1)
+            k = jnp.concatenate([xk, ck], axis=1)
+            v = jnp.concatenate([xv, cv], axis=1)
+            out = dot_product_attention(q, k, v)
+            out = out.reshape(out.shape[0], out.shape[1], dim)
+            x_out, c_out = out[:, :s_img], out[:, s_img:]
 
         x_out = nn.Dense(dim, dtype=self.dtype, name="attn_to_out")(x_out)
         x = x + x_gate[:, None] * x_out
@@ -169,6 +183,11 @@ def _pos_embed_2d(embed_dim: int, grid_size: int,
 class MMDiT(nn.Module):
     config: MMDiTConfig = field(default_factory=MMDiTConfig)
     dtype: jnp.dtype = jnp.float32
+    # sequence parallelism over a (data, seq) mesh (parallel/sp.py): image
+    # tokens are S-sharded through every block (AdaLN/projections/MLP run on
+    # local slices under GSPMD); joint attention all-gathers K/V per block
+    sp_mesh: Optional[object] = None
+    sp_axes: tuple = ("data", "seq")
 
     @nn.compact
     def __call__(self, sample: jax.Array, timesteps: jax.Array,
@@ -192,6 +211,10 @@ class MMDiT(nn.Module):
         left = (cfg.pos_embed_max_size - gw) // 2
         pos = table[top:top + gh, left:left + gw].reshape(gh * gw, dim)
         x = x + pos[None].astype(self.dtype)
+        if self.sp_mesh is not None:
+            from ..parallel.sp import constrain_seq
+            x = constrain_seq(x, self.sp_mesh, seq_axis=self.sp_axes[1],
+                              data_axis=self.sp_axes[0])
 
         # Combined timestep + pooled-text embedding
         if timesteps.ndim == 0:
@@ -212,6 +235,7 @@ class MMDiT(nn.Module):
             x, context = JointBlock(cfg,
                                     context_pre_only=(i == cfg.num_layers - 1),
                                     dtype=self.dtype,
+                                    sp_mesh=self.sp_mesh, sp_axes=self.sp_axes,
                                     name=f"blocks_{i}")(x, context, emb)
 
         x = AdaLayerNormContinuous(dim, dtype=self.dtype, name="norm_out")(x, emb)
