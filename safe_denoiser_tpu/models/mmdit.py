@@ -188,11 +188,19 @@ class MMDiT(nn.Module):
     # local slices under GSPMD); joint attention all-gathers K/V per block
     sp_mesh: Optional[object] = None
     sp_axes: tuple = ("data", "seq")
+    # pipeline parallelism over a mesh with a 'pipe' axis (parallel/pp.py):
+    # blocks 0..L-2 run as a GPipe microbatch pipeline from externally
+    # stacked params (pass pp_params= to __call__); the context_pre_only
+    # last block + head stay outside the pipeline
+    pp_mesh: Optional[object] = None
+    pp_axes: tuple = ("data", "pipe")
+    pp_microbatches: int = 2
 
     @nn.compact
     def __call__(self, sample: jax.Array, timesteps: jax.Array,
                  encoder_hidden_states: jax.Array,
-                 pooled_projections: jax.Array) -> jax.Array:
+                 pooled_projections: jax.Array,
+                 pp_params=None) -> jax.Array:
         """sample: [B, H, W, C]; context: [B, S, joint_dim]; pooled: [B, P]."""
         cfg = self.config
         dim = cfg.num_heads * cfg.head_dim
@@ -231,12 +239,25 @@ class MMDiT(nn.Module):
                            name="context_embedder")(
             encoder_hidden_states.astype(self.dtype))
 
-        for i in range(cfg.num_layers):
-            x, context = JointBlock(cfg,
-                                    context_pre_only=(i == cfg.num_layers - 1),
+        if self.pp_mesh is not None and pp_params is not None:
+            from ..parallel.pp import pp_blocks
+            data_ax = (self.pp_axes[0]
+                       if self.pp_axes[0] in self.pp_mesh.axis_names else None)
+            x, context = pp_blocks(
+                cfg, pp_params, x, context, emb, self.pp_mesh,
+                n_micro=self.pp_microbatches, dtype=self.dtype,
+                pipe_axis=self.pp_axes[1], data_axis=data_ax)
+            x, context = JointBlock(cfg, context_pre_only=True,
                                     dtype=self.dtype,
-                                    sp_mesh=self.sp_mesh, sp_axes=self.sp_axes,
-                                    name=f"blocks_{i}")(x, context, emb)
+                                    name=f"blocks_{cfg.num_layers - 1}")(
+                x, context, emb)
+        else:
+            for i in range(cfg.num_layers):
+                x, context = JointBlock(
+                    cfg, context_pre_only=(i == cfg.num_layers - 1),
+                    dtype=self.dtype,
+                    sp_mesh=self.sp_mesh, sp_axes=self.sp_axes,
+                    name=f"blocks_{i}")(x, context, emb)
 
         x = AdaLayerNormContinuous(dim, dtype=self.dtype, name="norm_out")(x, emb)
         x = nn.Dense(p * p * cfg.out_channels, dtype=self.dtype,
