@@ -1,0 +1,178 @@
+"""Training steps (training/esd.py): ESD erasure + denoising fine-tune.
+
+The reference only CONSUMES erased checkpoints (run_nudity.py:124-130 swaps
+in esd/rece state_dicts); this is the TPU-native trainer for producing them.
+Verified three ways: closed-form loss values on a linear mock model, actual
+optimization progress on the tiny UNet, and DP+TP-sharded step == unsharded
+step on the 8-device virtual mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from safe_denoiser_tpu.models import UNet2DCondition, UNetConfig
+from safe_denoiser_tpu.parallel import UNET_TP_RULES, shard_params_tp
+from safe_denoiser_tpu.schedulers import DDPMScheduler
+from safe_denoiser_tpu.training import (ESDConfig, ddpm_loss, esd_loss,
+                                        make_esd_train_step, make_train_step,
+                                        sample_xt_for_esd)
+
+TINY = UNetConfig(sample_size=8, block_out_channels=(16, 32),
+                  layers_per_block=1, cross_attention_dim=16,
+                  num_attention_heads=4, norm_num_groups=8)
+
+
+def _tiny_setup(b=4, rng=0):
+    model = UNet2DCondition(TINY)
+    key = jax.random.PRNGKey(rng)
+    x = jax.random.normal(key, (b, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.fold_in(key, 1), (b, 7, 16))
+    params = model.init(key, x[:1], jnp.asarray(1), ctx[:1])
+    return model, params, x, ctx
+
+
+def test_esd_loss_closed_form():
+    """With a linear mock 'unet' e(x,t,ctx) = w*x + mean(ctx), the ESD target
+    and loss have a hand-computable closed form."""
+    def apply_fn(w, x, t, ctx):
+        return w * x + jnp.mean(ctx, axis=1, keepdims=True)
+
+    x_t = jnp.asarray([[1.0, -2.0]])
+    t = jnp.asarray([3])
+    ctx_c = jnp.full((1, 2), 4.0)   # mean 4
+    ctx_u = jnp.full((1, 2), 1.0)   # mean 1
+    w, w_star, eta = 2.0, 3.0, 0.5
+    # e_c = 3x+4, e_u = 3x+1, target = e_u - 0.5(e_c - e_u) = 3x - 0.5
+    # pred = 2x+4 ; diff = -x + 4.5 -> per-elem [3.5, 6.5]^2 mean = 27.25
+    loss = esd_loss(apply_fn, jnp.asarray(w), jnp.asarray(w_star),
+                    x_t, t, ctx_c, ctx_u, negative_guidance=eta)
+    np.testing.assert_allclose(float(loss), 27.25, rtol=1e-6)
+
+
+def test_ddpm_loss_zero_when_model_predicts_noise():
+    """If the model returns exactly the injected noise, the MSE is 0 — checks
+    the add_noise wiring uses the same noise the loss compares against."""
+    sched = DDPMScheduler()
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+    ctx = jnp.zeros((2, 7, 16))
+    t = jnp.asarray([100, 700])
+    rng = jax.random.PRNGKey(1)
+
+    noise = jax.random.normal(rng, x0.shape, dtype=x0.dtype)
+    x_t_expected = sched.add_noise(x0, noise, t[:, None, None, None])
+
+    def apply_fn(params, x_t, t_, ctx_):
+        np.testing.assert_allclose(np.asarray(x_t), np.asarray(x_t_expected),
+                                   rtol=1e-6, atol=1e-6)
+        return noise
+
+    loss = ddpm_loss(apply_fn, None, sched, x0, ctx, t, rng)
+    assert float(loss) == 0.0
+
+
+def test_finetune_reduces_loss_on_tiny_unet():
+    """20 denoising fine-tune steps on a fixed batch must reduce the loss
+    (real UNet, real optax update, donated buffers)."""
+    model, params, x0, ctx = _tiny_setup()
+    sched = DDPMScheduler()
+    step = make_train_step(lambda p, *a: model.apply(p, *a), sched,
+                           ESDConfig(learning_rate=1e-3))
+    tx_state = optax.adamw(1e-3).init(params)
+    t = jnp.asarray([10, 300, 600, 900])
+    rng = jax.random.PRNGKey(7)
+    first = None
+    for i in range(20):
+        params, tx_state, loss = step(params, tx_state, x0, ctx, t, rng)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < 0.7 * first, (first, float(loss))
+
+
+def test_esd_step_moves_concept_prediction_toward_target():
+    """ESD steps must reduce the ESD loss itself on a fixed (x_t, t) batch."""
+    model, params, x_t, ctx_c = _tiny_setup()
+    ctx_u = jnp.zeros_like(ctx_c)
+    # real copies: params are DONATED by the step; frozen must not
+    # alias them or XLA rejects the execute (f(donate(a), a))
+    frozen = jax.tree.map(jnp.copy, params)
+    cfg = ESDConfig(learning_rate=1e-3, negative_guidance=1.0)
+    step = make_esd_train_step(lambda p, *a: model.apply(p, *a), cfg)
+    tx_state = optax.adamw(1e-3).init(params)
+    t = jnp.asarray([200, 400, 600, 800])
+    losses = []
+    for i in range(15):
+        params, tx_state, loss = step(params, frozen, tx_state,
+                                      x_t, t, ctx_c, ctx_u)
+        losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0], losses
+    # frozen params untouched by the donated update
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree.leaves(frozen))
+
+
+def test_sample_xt_for_esd_shapes_and_determinism():
+    model, params, _, ctx_c = _tiny_setup()
+    ctx_u = jnp.zeros_like(ctx_c)
+    sched = DDPMScheduler()
+    rng = jax.random.PRNGKey(3)
+    f = jax.jit(lambda p, r: sample_xt_for_esd(
+        lambda pp, *a: model.apply(pp, *a), p, sched, ctx_c, ctx_u, r,
+        (4, 8, 8, 4), num_steps=2))
+    x_t, t = f(params, rng)
+    x_t2, t2 = f(params, rng)
+    assert x_t.shape == (4, 8, 8, 4) and t.shape == (4,)
+    np.testing.assert_array_equal(np.asarray(x_t), np.asarray(x_t2))
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(t2))
+    assert np.all(np.isfinite(np.asarray(x_t)))
+    assert np.all((np.asarray(t) >= 0) & (np.asarray(t) < 1000))
+
+
+@pytest.mark.parametrize("shard", ["dp", "dp_tp"])
+def test_sharded_esd_step_matches_unsharded(shard):
+    """One ESD update under the (data, model) mesh == the unsharded update:
+    GSPMD's inserted gradient collectives must not change the math."""
+    model, params, x_t, ctx_c = _tiny_setup(b=8)
+    ctx_u = jnp.zeros_like(ctx_c)
+    # real copies: params are DONATED by the step; frozen must not
+    # alias them or XLA rejects the execute (f(donate(a), a))
+    frozen = jax.tree.map(jnp.copy, params)
+    cfg = ESDConfig(learning_rate=1e-3)
+    t = jnp.arange(8) * 100
+
+    step = make_esd_train_step(lambda p, *a: model.apply(p, *a), cfg,
+                               donate=False)
+    tx_state = optax.adamw(1e-3, weight_decay=0.0).init(params)
+    want_p, _, want_loss = step(params, frozen, tx_state, x_t, t,
+                                ctx_c, ctx_u)
+
+    if shard == "dp":
+        mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1),
+                    ("data", "model"))
+    else:
+        mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                    ("data", "model"))
+    params_s = shard_params_tp(params, mesh, UNET_TP_RULES) \
+        if shard == "dp_tp" else jax.device_put(
+            params, NamedSharding(mesh, P()))
+    frozen_s = jax.tree.map(jnp.copy, params_s)
+    tx_state_s = optax.adamw(1e-3, weight_decay=0.0).init(params_s)
+    batch_sh = NamedSharding(mesh, P("data"))
+    x_s = jax.device_put(x_t, batch_sh)
+    t_s = jax.device_put(t, batch_sh)
+    cc_s = jax.device_put(ctx_c, batch_sh)
+    cu_s = jax.device_put(ctx_u, batch_sh)
+    got_p, _, got_loss = step(params_s, frozen_s, tx_state_s,
+                              x_s, t_s, cc_s, cu_s)
+
+    np.testing.assert_allclose(float(got_loss), float(want_loss),
+                               rtol=1e-5, atol=1e-6)
+    # tolerances: the sharded grad psum reassociates f32 sums, and adam's
+    # rsqrt(v) normalization amplifies that on near-zero grads; atol is set
+    # well below the lr=1e-3 update scale but above the observed worst-case
+    # single-element drift (~2.5e-5)
+    for wp, gp in zip(jax.tree.leaves(want_p), jax.tree.leaves(got_p)):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(wp),
+                                   rtol=2e-4, atol=6e-5)
