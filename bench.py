@@ -180,16 +180,11 @@ def bench_sd14_e2e():
     rep = RepellencyConfig(method="kernel_fast", sigma=3.15, scale=0.33,
                            beta_threshold=7.0, use_beta_gate=True)
 
-    # three separate jits — this is how the real runner stages the pipeline,
-    # and one mega-program (encode+scan+decode) took >45 min to compile
-    # through the remote helper
-    @jax.jit
-    def encode(clip_params, ids):
+    def _encode(clip_params, ids):
         ctx, _, _, _ = clip.apply(clip_params, ids)
         return jnp.stack([ctx[:BATCH], ctx[BATCH:]])
 
-    @jax.jit
-    def scan(unet_params, text, latents, refs, rng):
+    def _scan(unet_params, text, latents, refs, rng):
         import functools
         lat, _ = sample_sd(functools.partial(unet_apply, unet_params), sched,
                            text, latents, rng, STEPS,
@@ -198,8 +193,7 @@ def bench_sd14_e2e():
                            window=RepellencyWindow(1000.0, 780.0))
         return lat
 
-    @jax.jit
-    def decode(vae_params, lat):
+    def _decode(vae_params, lat):
         img = vae.apply(vae_params, lat / SD14_VAE.scaling_factor,
                         method=vae.decode)
         img = jnp.clip(img / 2 + 0.5, 0.0, 1.0)
@@ -207,13 +201,36 @@ def bench_sd14_e2e():
 
     rs = np.random.RandomState(0)
 
-    def dispatch(rng_key):
-        # host-side tokenize stand-in: the BPE cost is microseconds/prompt
-        ids = jnp.asarray(rs.randint(0, 49408, (2 * BATCH, 77)),
-                          dtype=jnp.int32)
-        text = encode(clip_params, ids)
-        lat = scan(unet_params, text, latents, refs, rng_key)
-        return decode(vae_params, lat)
+    # SDT_E2E_FUSED=1 (default): encode+scan+decode as ONE jitted program —
+    # 1 dispatch RPC/round instead of 3 (tools_ab_e2e.py ABA: fused
+    # 1.4921/1.4904 vs staged 1.4855/1.4779, +0.44%). The round-1 "mega-jit
+    # never finished compiling" failure was the close-over-params
+    # constant-inlining trap; with params as jit ARGUMENTS it compiles in
+    # ~30 s cold and hits the persistent cache after. =0 restores the
+    # 3-stage dispatch (how the real runner stages the pipeline).
+    if os.environ.get("SDT_E2E_FUSED", "1") == "1":
+        @jax.jit
+        def fused(clip_params, unet_params, vae_params, ids, latents, refs,
+                  rng):
+            text = _encode(clip_params, ids)
+            return _decode(vae_params,
+                           _scan(unet_params, text, latents, refs, rng))
+
+        def dispatch(rng_key):
+            # host-side tokenize stand-in: BPE cost is microseconds/prompt
+            ids = jnp.asarray(rs.randint(0, 49408, (2 * BATCH, 77)),
+                              dtype=jnp.int32)
+            return fused(clip_params, unet_params, vae_params, ids, latents,
+                         refs, rng_key)
+    else:
+        encode, scan, decode = map(jax.jit, (_encode, _scan, _decode))
+
+        def dispatch(rng_key):
+            ids = jnp.asarray(rs.randint(0, 49408, (2 * BATCH, 77)),
+                              dtype=jnp.int32)
+            text = encode(clip_params, ids)
+            lat = scan(unet_params, text, latents, refs, rng_key)
+            return decode(vae_params, lat)
 
     # double-buffered: batch i's host transfer (np.asarray, the PIL-save
     # stand-in) overlaps batch i+1's on-device scan — jax dispatch is async,
