@@ -2,8 +2,10 @@
 for the fine-tuned erase checkpoints the reference only consumes
 (/root/reference/run_nudity.py:124-130)."""
 
-from .esd import (ESDConfig, ddpm_loss, esd_loss, make_esd_train_step,
-                  make_optimizer, make_train_step, sample_xt_for_esd)
+from .esd import (ESDConfig, ddpm_loss, esd_loss, esd_param_mask,
+                  make_esd_train_step, make_optimizer, make_train_step,
+                  sample_xt_for_esd)
 
-__all__ = ["ESDConfig", "esd_loss", "ddpm_loss", "make_esd_train_step",
-           "make_train_step", "make_optimizer", "sample_xt_for_esd"]
+__all__ = ["ESDConfig", "esd_loss", "ddpm_loss", "esd_param_mask",
+           "make_esd_train_step", "make_train_step", "make_optimizer",
+           "sample_xt_for_esd"]

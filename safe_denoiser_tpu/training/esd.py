@@ -83,15 +83,56 @@ def esd_loss(apply_fn: Callable, params: Any, frozen_params: Any,
     return jnp.mean(jnp.square(pred - target))
 
 
-def make_optimizer(cfg: ESDConfig) -> optax.GradientTransformation:
+def esd_param_mask(params: Any, train_method: str) -> Any:
+    """Bool pytree selecting the UNet subset ESD fine-tunes.
+
+    ``train_method`` mirrors the ESD recipe's choices (the method behind the
+    reference's erased checkpoints): ``xattn`` trains only cross-attention
+    (the text-conditioned pathway — the usual choice for erasing named
+    concepts/styles), ``selfattn`` only self-attention, ``noxattn``
+    everything EXCEPT cross-attention and the time embedding (the choice for
+    global/unconditional concepts like nudity), ``full`` everything. Paths
+    are matched on the Flax module names (``attn1``/``attn2``/``time_emb``).
+    """
+    def keep(path) -> bool:
+        s = "/".join(str(getattr(k, "key", k)) for k in path)
+        if train_method == "full":
+            return True
+        if train_method == "xattn":
+            return "attn2" in s
+        if train_method == "selfattn":
+            return "attn1" in s
+        if train_method == "noxattn":
+            return "attn2" not in s and "time_emb" not in s
+        raise ValueError(f"unknown train_method: {train_method!r}")
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: keep(p), params)
+
+
+def make_optimizer(cfg: ESDConfig,
+                   param_mask: Any = None) -> optax.GradientTransformation:
+    """adamw (+ optional global-norm clip), optionally restricted to the
+    trainable subset selected by ``param_mask`` (see :func:`esd_param_mask`).
+    The train steps build the same transformation internally, so
+    ``make_optimizer(cfg, mask).init`` is the matching opt-state initializer.
+
+    Masking uses ``optax.multi_transform`` with ``set_to_zero`` on the
+    frozen complement — NOT ``optax.masked``, which passes unmasked
+    gradients through *unchanged* (they would be applied raw)."""
     tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
     if cfg.grad_clip_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+    if param_mask is not None:
+        labels = jax.tree_util.tree_map(
+            lambda m: "train" if m else "freeze", param_mask)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels)
     return tx
 
 
 def make_esd_train_step(apply_fn: Callable, cfg: ESDConfig = ESDConfig(),
-                        donate: bool = True) -> Callable:
+                        donate: bool = True,
+                        param_mask: Any = None) -> Callable:
     """One fused ESD update: loss + grad + adamw in a single jitted program.
 
     Returned signature:
@@ -103,8 +144,12 @@ def make_esd_train_step(apply_fn: Callable, cfg: ESDConfig = ESDConfig(),
     Works unchanged under a
     (data, model) mesh: shard x_t/ctx over 'data' and params per
     UNET_TP_RULES — the grad psums are inserted by GSPMD.
+
+    ``param_mask`` (see :func:`esd_param_mask`) restricts the update to a
+    parameter subset; init the opt state with
+    ``make_optimizer(cfg, param_mask).init(params)`` then.
     """
-    tx = make_optimizer(cfg)
+    tx = make_optimizer(cfg, param_mask)
 
     def step(params, frozen_params, opt_state, x_t, t, ctx_c, ctx_u):
         loss, grads = jax.value_and_grad(

@@ -17,7 +17,8 @@ from safe_denoiser_tpu.models import UNet2DCondition, UNetConfig
 from safe_denoiser_tpu.parallel import UNET_TP_RULES, shard_params_tp
 from safe_denoiser_tpu.schedulers import DDPMScheduler
 from safe_denoiser_tpu.training import (ESDConfig, ddpm_loss, esd_loss,
-                                        make_esd_train_step, make_train_step,
+                                        esd_param_mask, make_esd_train_step,
+                                        make_optimizer, make_train_step,
                                         sample_xt_for_esd)
 
 TINY = UNetConfig(sample_size=8, block_out_channels=(16, 32),
@@ -176,3 +177,97 @@ def test_sharded_esd_step_matches_unsharded(shard):
     for wp, gp in zip(jax.tree.leaves(want_p), jax.tree.leaves(got_p)):
         np.testing.assert_allclose(np.asarray(gp), np.asarray(wp),
                                    rtol=2e-4, atol=6e-5)
+
+
+def _leaf_paths(tree):
+    return {"/".join(str(getattr(k, "key", k)) for k in path)
+            for path, _ in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
+@pytest.mark.parametrize("method,touched,frozen_frag", [
+    ("xattn", "attn2", "attn1"),
+    ("selfattn", "attn1", "attn2"),
+    ("noxattn", "attn1", "attn2"),
+])
+def test_esd_param_mask_updates_only_selected_subset(method, touched,
+                                                     frozen_frag):
+    """A masked ESD step must change ONLY the selected parameter subset,
+    bit-exactly leaving the rest (optax.masked skips their state too)."""
+    model, params, x_t, ctx_c = _tiny_setup()
+    ctx_u = jnp.zeros_like(ctx_c)
+    frozen = jax.tree.map(jnp.copy, params)
+    before = jax.tree.map(jnp.copy, params)
+    mask = esd_param_mask(params, method)
+    assert any(jax.tree.leaves(mask)) and not all(jax.tree.leaves(mask))
+    cfg = ESDConfig(learning_rate=1e-3)
+    step = make_esd_train_step(lambda p, *a: model.apply(p, *a), cfg,
+                               param_mask=mask, donate=False)
+    opt_state = make_optimizer(cfg, mask).init(params)
+    new_p, _, loss = step(params, frozen, opt_state, x_t,
+                          jnp.asarray([200, 400, 600, 800]), ctx_c, ctx_u)
+    assert np.isfinite(float(loss))
+
+    flat_new = jax.tree_util.tree_flatten_with_path(new_p)[0]
+    flat_old = dict(jax.tree_util.tree_flatten_with_path(before)[0])
+    flat_mask = dict(jax.tree_util.tree_flatten_with_path(mask)[0])
+    n_changed = n_same = 0
+    for path, leaf in flat_new:
+        s = "/".join(str(getattr(k, "key", k)) for k in path)
+        if flat_mask[path]:
+            if not np.array_equal(np.asarray(leaf),
+                                  np.asarray(flat_old[path])):
+                n_changed += 1
+        else:
+            np.testing.assert_array_equal(np.asarray(leaf),
+                                          np.asarray(flat_old[path]),
+                                          err_msg=f"frozen leaf moved: {s}")
+            n_same += 1
+        if touched in s:
+            assert flat_mask[path], s
+        if method != "noxattn" and frozen_frag in s:
+            assert not flat_mask[path], s
+        if method == "noxattn" and ("attn2" in s or "time_emb" in s):
+            assert not flat_mask[path], s
+    assert n_changed > 0 and n_same > 0
+
+
+def test_train_esd_cli_produces_loadable_checkpoint(tmp_path):
+    """train_esd.py end-to-end on a tiny checkpoint: train 3 iters, export
+    the torch-layout state dict, reload it through load_unet_state_dict —
+    the pipeline must pick up EXACTLY the trained params (round-trip through
+    invert_unet -> convert_unet), and only the xattn subset may differ from
+    the originals."""
+    from tests.test_e2e_pipeline import _tiny_tokenizer
+    from tests.test_runner_cli import _write_checkpoint
+
+    tok = _tiny_tokenizer()
+    ckpt = _write_checkpoint(tmp_path, tok)
+    save_path = tmp_path / "esd_unet.safetensors"
+
+    from safe_denoiser_tpu.runners.train_esd import main
+    main(["--model_dir", str(ckpt), "--prompt", "a cat",
+          "--train_method", "xattn", "--iterations", "3",
+          "--lr", "1e-3", "--image_length", "32", "--denoise_steps", "2",
+          "--save_path", str(save_path), "--log_every", "1"])
+    assert save_path.exists()
+    logs = (tmp_path / "train_logs.txt").read_text()
+    assert "trainable parameters" in logs and "iter 2" in logs
+
+    from safe_denoiser_tpu.pipeline.diffusion import SafeDiffusionPipeline
+    pipe = SafeDiffusionPipeline.from_pretrained(str(ckpt))
+    orig = jax.tree.map(jnp.copy, pipe.unet_params)
+    pipe.load_unet_state_dict(str(save_path))
+    mask = esd_param_mask(orig, "xattn")
+    flat_orig = dict(jax.tree_util.tree_flatten_with_path(orig)[0])
+    flat_mask = dict(jax.tree_util.tree_flatten_with_path(mask)[0])
+    changed = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            pipe.unet_params)[0]:
+        if flat_mask[path]:
+            changed += not np.array_equal(np.asarray(leaf),
+                                          np.asarray(flat_orig[path]))
+        else:
+            np.testing.assert_allclose(np.asarray(leaf),
+                                       np.asarray(flat_orig[path]),
+                                       rtol=0, atol=1e-7)
+    assert changed > 0
