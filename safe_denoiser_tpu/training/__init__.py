@@ -5,10 +5,14 @@ for the fine-tuned erase checkpoints the reference only consumes
 from .esd import (ESDConfig, ddpm_loss, esd_loss, esd_param_mask,
                   make_esd_train_step, make_optimizer, make_train_step,
                   sample_xt_for_esd)
+from .flow import (flow_matching_loss, make_flow_train_step,
+                   sample_sigmas_logit_normal)
 from .uce import (cross_attn_kv_paths, edit_unet_concepts, rece_edit,
                   uce_edit, uce_edit_kernel)
 
 __all__ = ["ESDConfig", "esd_loss", "ddpm_loss", "esd_param_mask",
            "make_esd_train_step", "make_train_step", "make_optimizer",
            "sample_xt_for_esd", "uce_edit", "uce_edit_kernel", "rece_edit",
-           "edit_unet_concepts", "cross_attn_kv_paths"]
+           "edit_unet_concepts", "cross_attn_kv_paths",
+           "flow_matching_loss", "make_flow_train_step",
+           "sample_sigmas_logit_normal"]

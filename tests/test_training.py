@@ -400,3 +400,116 @@ def test_edit_concepts_cli_produces_loadable_checkpoint(tmp_path):
                                        np.asarray(flat_orig[path]),
                                        rtol=0, atol=1e-7)
     assert changed == len(kv)
+
+
+# ---- flow-matching training (SD3 family, training/flow.py) ----------------
+
+from safe_denoiser_tpu.models import MMDiT, MMDiTConfig   # noqa: E402
+from safe_denoiser_tpu.training import (flow_matching_loss,   # noqa: E402
+                                        make_flow_train_step,
+                                        sample_sigmas_logit_normal)
+
+TINY_MMDIT = MMDiTConfig(sample_size=8, num_layers=2, num_heads=4,
+                         head_dim=8, joint_attention_dim=48,
+                         caption_projection_dim=32,
+                         pooled_projection_dim=40, pos_embed_max_size=16)
+
+
+def _tiny_mmdit_setup(b=2, rng=0):
+    model = MMDiT(TINY_MMDIT)
+    key = jax.random.PRNGKey(rng)
+    x0 = jax.random.normal(key, (b, 8, 8, 16))
+    ctx = jax.random.normal(jax.random.fold_in(key, 1), (b, 12, 48))
+    pooled = jax.random.normal(jax.random.fold_in(key, 2), (b, 40))
+    params = model.init(key, x0, jnp.full((b,), 500.0), ctx, pooled)
+    return model, params, x0, ctx, pooled
+
+
+def test_flow_loss_zero_when_model_predicts_velocity():
+    """A mock that returns the true velocity eps−x0 gives loss 0, and the
+    noising/timestep wiring must match the sampler's conventions
+    (x_sig = (1−σ)x0 + σε, t = σ·1000)."""
+    b = 2
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (b, 8, 8, 16))
+    sigma = jnp.asarray([0.25, 0.8])
+    rng = jax.random.PRNGKey(1)
+    noise = jax.random.normal(rng, x0.shape, dtype=x0.dtype)
+
+    seen = {}
+
+    def apply_fn(params, x_sig, t, ctx, pooled):
+        seen["x_sig"] = x_sig
+        seen["t"] = t
+        return noise - x0
+
+    loss = flow_matching_loss(apply_fn, None, x0, jnp.zeros((b, 12, 48)),
+                              jnp.zeros((b, 40)), sigma, rng)
+    assert float(loss) == 0.0
+    sig = sigma[:, None, None, None]
+    np.testing.assert_allclose(np.asarray(seen["x_sig"]),
+                               np.asarray((1 - sig) * x0 + sig * noise),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(seen["t"]), [250.0, 800.0],
+                               rtol=1e-6)
+    # sampler consistency: x̂0 = x_sig − σ·v recovers x0 exactly
+    v = noise - x0
+    np.testing.assert_allclose(
+        np.asarray(seen["x_sig"] - sig * v), np.asarray(x0),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_logit_normal_sigmas():
+    s = sample_sigmas_logit_normal(jax.random.PRNGKey(3), 512)
+    s2 = sample_sigmas_logit_normal(jax.random.PRNGKey(3), 512)
+    assert s.shape == (512,)
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(s2))
+    a = np.asarray(s)
+    assert np.all((a > 0.0) & (a < 1.0))
+    assert 0.35 < a.mean() < 0.65  # centered mid-trajectory
+
+
+def test_flow_finetune_reduces_loss_on_tiny_mmdit():
+    model, params, x0, ctx, pooled = _tiny_mmdit_setup()
+    step = make_flow_train_step(lambda p, *a: model.apply(p, *a),
+                                ESDConfig(learning_rate=1e-3))
+    opt_state = optax.adamw(1e-3).init(params)
+    sigma = jnp.asarray([0.3, 0.7])
+    rng = jax.random.PRNGKey(5)
+    first = None
+    for i in range(20):
+        params, opt_state, loss = step(params, opt_state, x0, ctx, pooled,
+                                       sigma, rng)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < 0.7 * first, (first, float(loss))
+
+
+def test_sharded_flow_step_matches_unsharded():
+    """Flow update under the (data, model) mesh with TP MMDiT params ==
+    the unsharded update."""
+    model, params, x0, ctx, pooled = _tiny_mmdit_setup(b=8)
+    cfg = ESDConfig(learning_rate=1e-3)
+    sigma = jnp.linspace(0.1, 0.9, 8)
+    rng = jax.random.PRNGKey(6)
+
+    step = make_flow_train_step(lambda p, *a: model.apply(p, *a), cfg,
+                                donate=False)
+    opt_state = optax.adamw(1e-3, weight_decay=0.0).init(params)
+    want_p, _, want_loss = step(params, opt_state, x0, ctx, pooled,
+                                sigma, rng)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("data", "model"))
+    params_s = shard_params_tp(params, mesh)   # default MMDiT TP rules
+    opt_state_s = optax.adamw(1e-3, weight_decay=0.0).init(params_s)
+    batch_sh = NamedSharding(mesh, P("data"))
+    args_s = [jax.device_put(a, batch_sh)
+              for a in (x0, ctx, pooled, sigma)]
+    got_p, _, got_loss = step(params_s, opt_state_s, *args_s, rng)
+
+    np.testing.assert_allclose(float(got_loss), float(want_loss),
+                               rtol=1e-5, atol=1e-6)
+    for wp, gp in zip(jax.tree.leaves(want_p), jax.tree.leaves(got_p)):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(wp),
+                                   rtol=2e-4, atol=6e-5)
