@@ -86,8 +86,11 @@ def uce_edit(params: Any, erase_c: Sequence[jax.Array],
     def edit(path, leaf):
         if tuple(path) not in paths:
             return leaf
-        return uce_edit_kernel(jnp.asarray(leaf, jnp.float32), ec, et, pc,
-                               lamb, erase_scale, preserve_scale)
+        # solve in f32 (the [D, D] system is ill-conditioned in bf16) but
+        # keep the tree's storage dtype
+        w1 = uce_edit_kernel(jnp.asarray(leaf, jnp.float32), ec, et, pc,
+                             lamb, erase_scale, preserve_scale)
+        return w1.astype(leaf.dtype)
 
     return jax.tree_util.tree_map_with_path(edit, params)
 
