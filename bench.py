@@ -1,6 +1,6 @@
 """Benchmarks: safe-denoiser sampling throughput per chip, one JSON line each.
 
-Covers ALL the driver's benchmark configurations (BASELINE.md 1-5), six
+Covers ALL the driver's benchmark configurations (BASELINE.md 1-5), seven
 JSON lines in the default run:
   * sd14_10step_ddim   — config #1: 10-step DDIM nudity scan
   * sd14_e2e           — whole pipeline: tokenize → CLIP encode → 50-step
@@ -10,6 +10,8 @@ JSON lines in the default run:
   * sd14_bank3k        — config #4: CoPro's 3,000-image kernel_fast bank
   * sd3_50step         — config #5: SD3-medium MMDiT flow-matching scan with
                          the fast_sdv3 repellency renoising
+  * sd3_int8_50step    — informational beyond-parity config: #5 with W8A8
+                         int8 MMDiT block dots (ops/quant.py, +16.3% ABA)
   * sd14_50step (LAST) — the headline metric the driver parses: SD-v1.4
                          50-step safe-denoiser scan, CFG folded into batch,
                          bf16 weights. The reference runs batch=1 fp32 on one
@@ -18,8 +20,9 @@ JSON lines in the default run:
                          vs_baseline denominator.
 
 The driver records the tail and parses the LAST JSON line, so the headline
-prints last. BENCH_ONLY=sd14|sd14_10|sd14_e2e|sd14_sparse|sd14_bank3k|sd3
-runs a single config; BENCH_FAST=1 skips everything but the headline.
+prints last. BENCH_ONLY=sd14|sd14_10|sd14_e2e|sd14_sparse|sd14_bank3k|sd3|
+sd3_int8 runs a single config; BENCH_FAST=1 skips everything but the
+headline.
 """
 
 from __future__ import annotations
@@ -278,6 +281,15 @@ def bench_sd3(steps=STEPS):
                                             and len(s.shape) > 1) else s.dtype),
         shapes)
 
+    if os.environ.get("SDT_INT8") == "1":
+        # Opt-in W8A8 int8 for the MMDiT block dots (ops/quant.py): weights
+        # quantized ONCE here, outside the scan; activations dynamically
+        # per-token in-graph. Informational config — the parity-tested bf16
+        # path above is what the recorded sd3 line measures.
+        from safe_denoiser_tpu.ops.quant import quantize_mmdit_params
+        pq, qt = jax.jit(quantize_mmdit_params)(params["params"])
+        params = {"params": pq, "quant": qt}
+
     def tf_apply(params, lat, t, ctx, pool):
         return model.apply(params, lat, t, ctx, pool)
 
@@ -358,6 +370,18 @@ def main():
                  BASELINE_IMG_PER_SEC)
         if only in (None, "sd3"):
             _try("sd3_50step_safe_denoiser_throughput", bench_sd3,
+                 BASELINE_SD3)
+        if only in (None, "sd3_int8"):
+            # informational beyond-parity config: W8A8 int8 MMDiT block
+            # dots (ops/quant.py; --int8 on the SD3 runners). Same-session
+            # ABA 2026-08-19: 0.1519 vs 0.1307/0.1307 controls = +16.3%.
+            def _sd3_int8():
+                os.environ["SDT_INT8"] = "1"
+                try:
+                    return bench_sd3()
+                finally:
+                    os.environ.pop("SDT_INT8", None)
+            _try("sd3_int8_50step_safe_denoiser_throughput", _sd3_int8,
                  BASELINE_SD3)
     if only in (None, "sd14"):
         # headline LAST: the driver parses the final JSON line (the value

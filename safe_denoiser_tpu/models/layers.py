@@ -275,6 +275,46 @@ class Attention(nn.Module):
         return dense(self.out_dim or x.shape[-1], self.use_out_bias, "to_out")(out)
 
 
+class QDense(nn.Module):
+    """Drop-in ``nn.Dense`` that runs the dot in int8 when its kernel arrives
+    pre-quantized (W8A8, ``ops/quant.py``).
+
+    Param tree and default initializers are identical to ``nn.Dense``
+    (kernel[/bias]) so converters and checkpoints are unaffected. With an f32
+    /bf16 kernel the math is bit-identical to ``nn.Dense`` (same
+    promote_dtype + dot_general + bias broadcast). With an int8 kernel (from
+    ``quantize_mmdit_params``) it reads the per-column scale from the
+    ``quant`` collection and runs the dynamic-activation int8 dot — measured
+    1.3-1.76x the bf16 dot at SD3 MMDiT shapes on v5e (tools_int8_probe.py).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        if kernel.dtype == jnp.int8:
+            if not self.has_variable("quant", "kernel_scale"):
+                raise ValueError(
+                    f"{self.name}: int8 kernel but no 'quant' collection — "
+                    "pass the quant tree from quantize_mmdit_params as "
+                    "apply({'params': ..., 'quant': ...})")
+            sw = self.get_variable("quant", "kernel_scale")
+            from ..ops.quant import int8_dense
+            return int8_dense(x, kernel, sw, bias, self.dtype)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        y = jax.lax.dot_general(x, kernel, (((x.ndim - 1,), (0,)), ((), ())))
+        if bias is not None:
+            y = y + jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
+        return y
+
+
 def _gelu_for(dtype) -> Callable:
     """Exact-erf gelu for f32; tanh-form for bf16 compute.
 

@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import LayerNormFp32, RMSNormFp32, dot_product_attention, timestep_embedding
+from .layers import (LayerNormFp32, QDense, RMSNormFp32,
+                     dot_product_attention, timestep_embedding)
 
 
 @dataclass(frozen=True)
@@ -78,9 +79,9 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.dim * 4, dtype=self.dtype, name="fc1")(x)
+        h = QDense(self.dim * 4, dtype=self.dtype, name="fc1")(x)
         h = nn.gelu(h, approximate=True)
-        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+        return QDense(self.dim, dtype=self.dtype, name="fc2")(h)
 
 
 class JointBlock(nn.Module):
@@ -107,9 +108,9 @@ class JointBlock(nn.Module):
                 dim, dtype=self.dtype, name="norm1_context")(context, emb)
 
         def qkv(h, prefix):
-            q = nn.Dense(dim, dtype=self.dtype, name=f"{prefix}q")(h)
-            k = nn.Dense(dim, dtype=self.dtype, name=f"{prefix}k")(h)
-            v = nn.Dense(dim, dtype=self.dtype, name=f"{prefix}v")(h)
+            q = QDense(dim, dtype=self.dtype, name=f"{prefix}q")(h)
+            k = QDense(dim, dtype=self.dtype, name=f"{prefix}k")(h)
+            v = QDense(dim, dtype=self.dtype, name=f"{prefix}v")(h)
             b, s, _ = h.shape
             shp = (b, s, cfg.num_heads, cfg.head_dim)
             q, k, v = q.reshape(shp), k.reshape(shp), v.reshape(shp)
@@ -138,7 +139,7 @@ class JointBlock(nn.Module):
             out = out.reshape(out.shape[0], out.shape[1], dim)
             x_out, c_out = out[:, :s_img], out[:, s_img:]
 
-        x_out = nn.Dense(dim, dtype=self.dtype, name="attn_to_out")(x_out)
+        x_out = QDense(dim, dtype=self.dtype, name="attn_to_out")(x_out)
         x = x + x_gate[:, None] * x_out
         xh = LayerNormFp32(epsilon=1e-6, use_bias=False, use_scale=False,
                            name="norm2")(x)
@@ -147,7 +148,7 @@ class JointBlock(nn.Module):
 
         if self.context_pre_only:
             return x, None
-        c_out = nn.Dense(dim, dtype=self.dtype, name="attn_to_add_out")(c_out)
+        c_out = QDense(dim, dtype=self.dtype, name="attn_to_add_out")(c_out)
         context = context + c_gate[:, None] * c_out
         ch = LayerNormFp32(epsilon=1e-6, use_bias=False, use_scale=False,
                            name="norm2_context")(context)

@@ -73,6 +73,10 @@ def _sd3_parser(desc):
     # opt out with --no_safree for the vanilla sdv3 pipeline's behavior
     parser.set_defaults(safree=cfg.get("safree", True))
     parser.add_argument("--no_safree", dest="safree", action="store_false")
+    # beyond-reference: W8A8 int8 MMDiT block dots (ops/quant.py), opt-in
+    parser.add_argument("--int8", action="store_true",
+                        default=cfg.get("int8", False),
+                        help="quantize MMDiT block matmuls to int8 (W8A8)")
     return parser
 
 
@@ -90,6 +94,9 @@ def main_nudity(argv=None):
         raise SystemExit("--model_dir with a local SD3 checkpoint is required")
     pipe = SafeDiffusion3Pipeline.from_pretrained(args.model_dir, logger=logger)
     maybe_enable_bank_sharding(args, pipe, logger)
+    if getattr(args, "int8", False):
+        pipe.enable_int8()
+        logger.log("int8: MMDiT block matmuls quantized (W8A8)")
     repellency_processor, task_config = build_sd3_repellency(args, pipe, logger)
     eval_func = build_eval(args)
 
@@ -155,6 +162,9 @@ def main_coco30k(argv=None):
         raise SystemExit("--model_dir with a local SD3 checkpoint is required")
     pipe = SafeDiffusion3Pipeline.from_pretrained(args.model_dir, logger=logger)
     maybe_enable_bank_sharding(args, pipe, logger)
+    if getattr(args, "int8", False):
+        pipe.enable_int8()
+        logger.log("int8: MMDiT block matmuls quantized (W8A8)")
     repellency_processor, _ = build_sd3_repellency(args, pipe, logger)
 
     for case in iter_prompt_cases(dataset, default_guidance=args.guidance_scale,

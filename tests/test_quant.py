@@ -1,0 +1,155 @@
+"""int8 W8A8 quantization (ops/quant.py + models/layers.QDense).
+
+Opt-in perf path for the SD3 MMDiT (SDT_INT8=1 in bench.py /
+SafeDiffusion3Pipeline.enable_int8). The reference has no quantized path
+(torch fp16/fp32 only) — these tests pin the two safety properties the
+opt-in depends on: the default (non-quantized) path is bit-identical to
+nn.Dense, and the quantized forward stays within the measured error
+envelope of the probe (tools_int8_probe.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from safe_denoiser_tpu.models.layers import QDense
+from safe_denoiser_tpu.models.mmdit import MMDiT, MMDiTConfig
+from safe_denoiser_tpu.ops.quant import (int8_dense, quantize_dense_kernel,
+                                         quantize_mmdit_params)
+
+RNG = jax.random.PRNGKey(0)
+
+
+TINY = MMDiTConfig(sample_size=16, num_layers=2, num_heads=4, head_dim=16,
+                   joint_attention_dim=64, caption_projection_dim=64,
+                   pooled_projection_dim=48, pos_embed_max_size=16)
+
+
+def _tiny_inputs():
+    x = jax.random.normal(jax.random.fold_in(RNG, 1), (2, 16, 16, 16))
+    ctx = jax.random.normal(jax.random.fold_in(RNG, 2), (2, 10, 64))
+    pooled = jax.random.normal(jax.random.fold_in(RNG, 3), (2, 48))
+    t = jnp.array([500.0, 500.0])
+    return x, t, ctx, pooled
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_qdense_default_path_bit_identical_to_dense(dtype, ndim):
+    shape = (3, 16) if ndim == 2 else (2, 5, 16)
+    x = jax.random.normal(jax.random.fold_in(RNG, 7), shape, jnp.float32)
+    ref = nn.Dense(24, dtype=dtype)
+    p = ref.init(RNG, x)
+    y_ref = ref.apply(p, x)
+    y_q = QDense(24, dtype=dtype).apply(p, x)
+    assert y_q.dtype == y_ref.dtype
+    np.testing.assert_array_equal(np.asarray(y_q), np.asarray(y_ref))
+
+
+def test_qdense_param_tree_matches_dense():
+    x = jnp.ones((2, 8))
+    p_ref = nn.Dense(12).init(RNG, x)
+    p_q = QDense(12).init(RNG, x)
+    assert (jax.tree_util.tree_structure(p_ref)
+            == jax.tree_util.tree_structure(p_q))
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_q)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_quantize_dense_kernel_roundtrip_bound():
+    w = jax.random.normal(jax.random.fold_in(RNG, 11), (64, 48)) * 0.3
+    wq, sw = quantize_dense_kernel(w)
+    assert wq.dtype == jnp.int8 and sw.shape == (48,)
+    deq = wq.astype(jnp.float32) * sw[None, :]
+    # symmetric rounding: per-element error bounded by half a quant step
+    assert float(jnp.max(jnp.abs(deq - w) / sw[None, :])) <= 0.5 + 1e-5
+
+
+def test_int8_dense_error_envelope():
+    x = jax.random.normal(jax.random.fold_in(RNG, 13), (128, 96))
+    w = jax.random.normal(jax.random.fold_in(RNG, 14), (96, 64)) / np.sqrt(96)
+    b = jax.random.normal(jax.random.fold_in(RNG, 15), (64,)) * 0.1
+    wq, sw = quantize_dense_kernel(w)
+    y = int8_dense(x, wq, sw, b, dtype=jnp.float32)
+    y_ref = x @ w + b
+    rel = float(jnp.linalg.norm(y - y_ref) / jnp.linalg.norm(y_ref))
+    assert rel < 2.5e-2, rel  # probe measured ~1.5e-2 on Gaussian data
+
+
+def test_int8_dense_preserves_leading_dims_and_dtype():
+    x = jax.random.normal(RNG, (2, 7, 32))
+    w = jax.random.normal(jax.random.fold_in(RNG, 1), (32, 16))
+    wq, sw = quantize_dense_kernel(w)
+    y = int8_dense(x, wq, sw, None, dtype=jnp.bfloat16)
+    assert y.shape == (2, 7, 16) and y.dtype == jnp.bfloat16
+
+
+def test_quantize_mmdit_params_targets_and_forward_error():
+    m = MMDiT(TINY)
+    x, t, ctx, pooled = _tiny_inputs()
+    p = m.init(RNG, x, t, ctx, pooled)["params"]
+    y0 = m.apply({"params": p}, x, t, ctx, pooled)
+    pq, qt = quantize_mmdit_params(p)
+
+    # tree structure unchanged; exactly the block dense kernels are int8
+    assert (jax.tree_util.tree_structure(pq)
+            == jax.tree_util.tree_structure(p))
+    n_int8 = sum(int(l.dtype == jnp.int8)
+                 for l in jax.tree_util.tree_leaves(pq))
+    # per full block: 6 qkv + 2 out + 4 mlp = 12; context_pre_only last
+    # block: 6 qkv + 1 out + 2 mlp = 9
+    assert n_int8 == 12 * (TINY.num_layers - 1) + 9
+    # embedders / adaLN / head untouched
+    assert pq["context_embedder"]["kernel"].dtype == jnp.float32
+    assert pq["blocks_0"]["norm1"]["linear"]["kernel"].dtype == jnp.float32
+    assert pq["proj_out"]["kernel"].dtype == jnp.float32
+    # biases untouched everywhere
+    assert pq["blocks_0"]["attn_q"]["bias"].dtype == jnp.float32
+
+    yq = m.apply({"params": pq, "quant": qt}, x, t, ctx, pooled)
+    rel = float(jnp.linalg.norm(yq - y0) / jnp.linalg.norm(y0))
+    assert rel < 2e-2, rel
+
+    # original tree untouched (the transform copies)
+    assert p["blocks_0"]["attn_q"]["kernel"].dtype == jnp.float32
+
+
+def test_int8_kernel_without_quant_collection_raises():
+    m = MMDiT(TINY)
+    x, t, ctx, pooled = _tiny_inputs()
+    p = m.init(RNG, x, t, ctx, pooled)["params"]
+    pq, _ = quantize_mmdit_params(p)
+    with pytest.raises(ValueError, match="quant"):
+        m.apply({"params": pq}, x, t, ctx, pooled)
+
+
+def test_quantized_sample_sd3_scan():
+    """The int8 path jits inside the full flow-matching scan and tracks the
+    bf16/f32 trajectory (quantize happens once, outside the scan)."""
+    from safe_denoiser_tpu.pipeline.sampler import sample_sd3
+    from safe_denoiser_tpu.schedulers import FlowMatchEulerScheduler
+
+    m = MMDiT(TINY)
+    x, t, ctx, pooled = _tiny_inputs()
+    p = m.init(RNG, x, t, ctx, pooled)["params"]
+    pq, qt = quantize_mmdit_params(p)
+    sched = FlowMatchEulerScheduler()
+    lat = jax.random.normal(jax.random.fold_in(RNG, 21), (1, 16, 16, 16))
+    text = jnp.stack([ctx[:1], ctx[1:]])
+    pool = jnp.stack([pooled[:1], pooled[1:]])
+
+    def run(variables):
+        out, _ = sample_sd3(
+            lambda l, tt, c, pl: m.apply(variables, l, tt, c, pl),
+            sched, text, pool, lat, jax.random.fold_in(RNG, 22), 4,
+            guidance_scale=2.5)
+        return out
+
+    y0 = jax.jit(run)({"params": p})
+    yq = jax.jit(run)({"params": pq, "quant": qt})
+    assert bool(jnp.all(jnp.isfinite(yq)))
+    rel = float(jnp.linalg.norm(yq - y0) / jnp.linalg.norm(y0))
+    assert rel < 5e-2, rel
