@@ -126,6 +126,42 @@ def test_int8_kernel_without_quant_collection_raises():
         m.apply({"params": pq}, x, t, ctx, pooled)
 
 
+def test_quantized_tp_matches_unsharded():
+    """int8 + tensor parallelism: column/row-parallel int8 kernels under
+    GSPMD (scales replicated — a column-sharded dot output times a
+    replicated per-column scale partitions elementwise).
+
+    Tolerance note: sharded-vs-unsharded cannot be bit-equal for a
+    quantized model — GSPMD reassociation noise (~1e-7, same as the
+    unquantized TP test's tolerance) upstream of a discontinuous
+    ``round()`` occasionally flips a quantization bucket, and each flip is
+    worth one full quant step (~2e-3 here). A single int8_dense under
+    either sharding matches to 5e-7; the whole-model bound is a few quant
+    steps max / tiny mean."""
+    from jax.sharding import Mesh
+    from safe_denoiser_tpu.parallel import shard_params_tp
+
+    m = MMDiT(TINY)
+    x, t, ctx, pooled = _tiny_inputs()
+    p = m.init(RNG, x, t, ctx, pooled)["params"]
+    pq, qt = quantize_mmdit_params(p)
+    want = m.apply({"params": pq, "quant": qt}, x, t, ctx, pooled)
+
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "model"))
+    sharded = shard_params_tp({"params": pq, "quant": qt}, mesh)
+    kq = sharded["params"]["blocks_0"]["attn_q"]["kernel"]
+    assert kq.dtype == jnp.int8 and not kq.sharding.is_fully_replicated
+    got = np.asarray(jax.jit(m.apply)(sharded, x, t, ctx, pooled))
+    d = np.abs(got - np.asarray(want))
+    assert d.max() < 1e-2 and d.mean() < 1e-4, (d.max(), d.mean())
+    # and the sharded quantized forward stays inside the quantization
+    # error envelope of the f32 reference
+    y0 = np.asarray(m.apply({"params": p}, x, t, ctx, pooled))
+    rel = np.linalg.norm(got - y0) / np.linalg.norm(y0)
+    assert rel < 2e-2, rel
+
+
 def test_quantized_sample_sd3_scan():
     """The int8 path jits inside the full flow-matching scan and tracks the
     bf16/f32 trajectory (quantize happens once, outside the scan)."""
