@@ -150,11 +150,14 @@ def bench_sd14(steps=STEPS, scheduler_kind="ddpm", rep=None):
     return (n * BATCH) / dt
 
 
-def bench_sd14_e2e():
-    """Whole pipeline wall-clock: tokenize + CLIP-L encode + 50-step scan +
-    VAE decode (fabricated real-size weights)."""
-    import numpy as np
+def _e2e_setup():
+    """Models + fabricated real-size params + the three stage fns for the
+    e2e pipeline. SINGLE-SOURCED on purpose: tools_ab_e2e.py A/Bs this very
+    leg, so both must measure the same pipeline — import from here, never
+    copy (a desynchronized copy invalidates the A/B).
 
+    Returns (clip_params, unet_params, vae_params, latents, refs,
+    encode, scan, decode) — the stage fns are un-jitted."""
     from safe_denoiser_tpu.models import (
         CLIP_VIT_L_14, SD14_VAE, AutoencoderKL, CLIPTextModel)
     from safe_denoiser_tpu.pipeline import (
@@ -201,6 +204,18 @@ def bench_sd14_e2e():
                         method=vae.decode)
         img = jnp.clip(img / 2 + 0.5, 0.0, 1.0)
         return jnp.round(img * 255).astype(jnp.uint8)
+
+    return (clip_params, unet_params, vae_params, latents, refs,
+            _encode, _scan, _decode)
+
+
+def bench_sd14_e2e():
+    """Whole pipeline wall-clock: tokenize + CLIP-L encode + 50-step scan +
+    VAE decode (fabricated real-size weights)."""
+    import numpy as np
+
+    (clip_params, unet_params, vae_params, latents, refs,
+     _encode, _scan, _decode) = _e2e_setup()
 
     rs = np.random.RandomState(0)
 
@@ -438,8 +453,10 @@ def _supervise():
     def _headline_lines():
         return [l for l in lines if "sd14_50step_safe_denoiser" in l]
 
+    # 7 legs ran in ~1,830 s warm-cache (2026-08-19); 3,600 leaves headroom
+    # for a cold compile cache without letting a wedged tunnel eat the round
     rc = _run_child({}, timeout_s=int(os.environ.get("BENCH_TIMEOUT",
-                                                     "3000")))
+                                                     "3600")))
     if os.environ.get("BENCH_ONLY") not in (None, "sd14"):
         return rc   # headline not expected under this BENCH_ONLY
     attempts = 0

@@ -104,6 +104,14 @@ def quantize_mmdit_params(params):
         path = tuple(k.key for k in keypath)
         if not _quantized_kernel_path(path):
             continue
+        if leaf.dtype == jnp.int8:
+            # re-quantizing int8 kernels would silently replace the real
+            # per-column scales with max|wq|/127 ≈ 1.0 (outputs off by
+            # 100-1000x) — refuse instead
+            raise ValueError(
+                f"{'/'.join(path)} is already int8 — params were quantized "
+                "before; quantize_mmdit_params must run on the original "
+                "f32/bf16 tree")
         wq, sw = quantize_dense_kernel(leaf)
         node = params_q
         for k in path[:-1]:

@@ -233,7 +233,10 @@ class SafeDiffusion3Pipeline:
         transform — checkpoints unaffected), activations per-token in-graph.
         Measured 1.30-1.76x per dot on v5e (tools_int8_probe.py) at ~1.5e-2
         relative error per dot; the reference has no quantized path, so this
-        is beyond-parity and default OFF."""
+        is beyond-parity and default OFF. Idempotent: a second call is a
+        no-op (re-quantizing int8 kernels would destroy the scales)."""
+        if "quant" in self.transformer_params:
+            return
         from ..ops.quant import quantize_mmdit_params
         pq, qt = jax.jit(quantize_mmdit_params)(
             self.transformer_params["params"])

@@ -90,10 +90,17 @@ def esd_param_mask(params: Any, train_method: str) -> Any:
     reference's erased checkpoints): ``xattn`` trains only cross-attention
     (the text-conditioned pathway — the usual choice for erasing named
     concepts/styles), ``selfattn`` only self-attention, ``noxattn``
-    everything EXCEPT cross-attention and the time embedding (the choice for
-    global/unconditional concepts like nudity), ``full`` everything. Paths
-    are matched on the Flax module names (``attn1``/``attn2``/``time_emb``).
+    everything EXCEPT cross-attention, the top-level time embedding, and
+    the output head (the choice for global/unconditional concepts like
+    nudity — the CompVis ESD train script freezes ``'attn2'``,
+    ``'time_embed'`` and ``name.startswith('out.')``, i.e. the final
+    norm+conv; the per-resnet time projections stay TRAINABLE there, so
+    ``time_emb_proj`` must not be swept up by a substring match), ``full``
+    everything.
     """
+    _NOXATTN_FROZEN_TOP = ("time_emb_1", "time_emb_2",  # CompVis time_embed
+                           "conv_norm_out", "conv_out")  # CompVis 'out.'
+
     def keep(path) -> bool:
         s = "/".join(str(getattr(k, "key", k)) for k in path)
         if train_method == "full":
@@ -103,7 +110,8 @@ def esd_param_mask(params: Any, train_method: str) -> Any:
         if train_method == "selfattn":
             return "attn1" in s
         if train_method == "noxattn":
-            return "attn2" not in s and "time_emb" not in s
+            top = str(getattr(path[0], "key", path[0]))
+            return "attn2" not in s and top not in _NOXATTN_FROZEN_TOP
         raise ValueError(f"unknown train_method: {train_method!r}")
 
     return jax.tree_util.tree_map_with_path(lambda p, _: keep(p), params)

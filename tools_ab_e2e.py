@@ -23,61 +23,20 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-BATCH = 4
-STEPS = 50
+from bench import BATCH  # stage fns come from bench._e2e_setup; keep batch in sync
+
 N_ROUNDS = 5
 
 
 def main():
     import numpy as np
 
-    from bench import _sd14_setup
-    from safe_denoiser_tpu.models import (
-        CLIP_VIT_L_14, SD14_VAE, AutoencoderKL, CLIPTextModel)
-    from safe_denoiser_tpu.pipeline import (
-        GuidanceConfig, RepellencyWindow, sample_sd)
-    from safe_denoiser_tpu.repellency import RepellencyConfig
-    from safe_denoiser_tpu.schedulers import DDPMScheduler
+    from bench import _e2e_setup
 
-    unet_apply, unet_params, latents, _, refs = _sd14_setup()
-    rng = jax.random.PRNGKey(3)
-
-    clip = CLIPTextModel(CLIP_VIT_L_14)
-    clip_shapes = jax.eval_shape(
-        lambda: clip.init(rng, jnp.zeros((1, 77), jnp.int32)))
-    clip_params = jax.tree_util.tree_map(
-        lambda s: jnp.full(s.shape, 0.02, s.dtype), clip_shapes)
-    vae = AutoencoderKL(SD14_VAE, dtype=jnp.bfloat16)
-    vae_shapes = jax.eval_shape(
-        lambda: vae.init({"params": rng}, jnp.zeros((1, 512, 512, 3)), rng))
-    vae_params = jax.tree_util.tree_map(
-        lambda s: jnp.full(s.shape, 0.02,
-                           jnp.bfloat16 if (s.dtype == jnp.float32
-                                            and len(s.shape) > 1) else s.dtype),
-        vae_shapes)
-
-    sched = DDPMScheduler()
-    rep = RepellencyConfig(method="kernel_fast", sigma=3.15, scale=0.33,
-                           beta_threshold=7.0, use_beta_gate=True)
-
-    def _encode(clip_params, ids):
-        ctx, _, _, _ = clip.apply(clip_params, ids)
-        return jnp.stack([ctx[:BATCH], ctx[BATCH:]])
-
-    def _scan(unet_params, text, latents, refs, rng):
-        import functools
-        lat, _ = sample_sd(functools.partial(unet_apply, unet_params), sched,
-                           text, latents, rng, STEPS,
-                           guidance=GuidanceConfig(guidance_scale=7.5),
-                           repellency=rep, refs_nchw=refs,
-                           window=RepellencyWindow(1000.0, 780.0))
-        return lat
-
-    def _decode(vae_params, lat):
-        img = vae.apply(vae_params, lat / SD14_VAE.scaling_factor,
-                        method=vae.decode)
-        img = jnp.clip(img / 2 + 0.5, 0.0, 1.0)
-        return jnp.round(img * 255).astype(jnp.uint8)
+    # single-sourced with bench.bench_sd14_e2e — this tool A/Bs that exact
+    # leg, so the stage fns and fabricated params are imported, never copied
+    (clip_params, unet_params, vae_params, latents, refs,
+     _encode, _scan, _decode) = _e2e_setup()
 
     encode = jax.jit(_encode)
     scan = jax.jit(_scan)

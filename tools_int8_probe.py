@@ -1,31 +1,40 @@
-"""int8 (W8A8) vs bf16 matmul probe at the UNet scan's hot dot shapes.
+"""int8 (W8A8) vs bf16 matmul probe at the hot dot shapes of BOTH model
+families (SD-v1 UNet transformer blocks, SD3 MMDiT blocks).
 
 The v5e MXU rates int8 at 2x bf16 (394.7 vs 196.9 TOPS). This probe answers
 whether XLA actually delivers that through `lax.dot_general(s8, s8 -> s32)`
 at our shapes, NET of the dynamic-quantization overhead the real pipeline
-would pay:
-  * weights pre-quantized per-output-channel outside the loop (in the real
-    sampler this happens once before the scan);
-  * activations quantized per-tensor dynamically inside the loop
-    (abs-max -> scale -> round -> int8), dequant fused into the dot epilogue.
+pays — the int8 body below IS the shipped recipe (ops/quant.py::int8_dense):
+weights pre-quantized per-output-channel outside the loop, activations
+quantized per-ROW dynamically inside it, dequant fused into the epilogue.
+
+Usage: python tools_int8_probe.py [sd14|sd3|all]   (default all)
+
+Measured 2026-08-19:
+  * SD-v1 level-0 (K=320, lane-padded): 0.66-0.89x — a LOSS; the quantize
+    pass costs more than the small padded dot saves. Level-1 ~1.0x,
+    level-2 1.37-1.72x (per-tensor activation scales). int8 is NOT wired
+    for the UNet.
+  * SD3 MMDiT, shipped per-row recipe: qkv/out 1.53x, fc1 1.79x, fc2 1.40x
+    at rel_err 1.2e-2 — wired as the opt-in SDT_INT8 path; end-to-end ABA
+    on the 50-step SD3 scan +16.27%.
 
 Methodology (CLAUDE.md): chained multi-second scan loops, identical feedback
 structure in both variants so the A-B difference isolates dot+quant cost;
 per-op wall timings through the tunnel are garbage.
-
-Shapes = the transformer-block dots of the 50-step headline config (batch 8
-CFG-folded): level-0 S=4096 C=320, level-1 S=1024 C=640, level-2 S=256
-C=1280; qkv/out projections + GEGLU fc1 (C -> 8C) + ff fc2 (4C -> C).
 """
 
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-SHAPES = [
-    # (rows, K, N, tag)
+# SD-v1 UNet transformer dots, 50-step headline config (batch 8 CFG-folded):
+# level-0 S=4096 C=320, level-1 S=1024 C=640, level-2 S=256 C=1280;
+# qkv/out projections + GEGLU fc1 (C -> 8C) + ff fc2 (4C -> C).
+SHAPES_SD14 = [
     (32768, 320, 320, "l0 qkv/out"),
     (32768, 320, 2560, "l0 fc1"),
     (32768, 1280, 320, "l0 fc2"),
@@ -34,6 +43,14 @@ SHAPES = [
     (8192, 2560, 640, "l1 fc2"),
     (2048, 1280, 10240, "l2 fc1"),
     (2048, 5120, 1280, "l2 fc2"),
+]
+
+# SD3-medium MMDiT at 1024px (CFG pair): 4096 image + 333 context tokens
+# ~= 8960 rows over the batch; dim 1536, mlp 6144.
+SHAPES_SD3 = [
+    (8960, 1536, 1536, "sd3 qkv/out"),
+    (8960, 1536, 6144, "sd3 fc1"),
+    (8960, 6144, 1536, "sd3 fc2"),
 ]
 
 
@@ -49,11 +66,15 @@ def bf16_body(x, w):
 
 
 def int8_body(x, wq, sw):
-    sx = jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
-    xq = jnp.round(x.astype(jnp.float32) / sx).astype(jnp.int8)
-    y = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+    """The shipped recipe (ops/quant.py::int8_dense): per-row dynamic
+    activation scales, rank-preserving dot, fused dequant."""
+    x32 = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True),
+                     1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
-    return (y.astype(jnp.float32) * (sx * sw)[None, :]).astype(jnp.bfloat16)
+    return (y.astype(jnp.float32) * sx * sw).astype(jnp.bfloat16)
 
 
 def time_loop(fn, x, length):
@@ -74,10 +95,10 @@ def time_loop(fn, x, length):
     return (time.perf_counter() - t0) / length * 1000.0
 
 
-def main():
+def main(shapes):
     rng = jax.random.PRNGKey(0)
     print(f"backend={jax.default_backend()}")
-    for i, (rows, k, n, tag) in enumerate(SHAPES):
+    for i, (rows, k, n, tag) in enumerate(shapes):
         kx, kw = jax.random.split(jax.random.fold_in(rng, i))
         x = (jax.random.normal(kx, (rows, k), jnp.float32)).astype(jnp.bfloat16)
         w = jax.random.normal(kw, (k, n), jnp.float32) / np.sqrt(k)
@@ -108,4 +129,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    main({"sd14": SHAPES_SD14, "sd3": SHAPES_SD3,
+          "all": SHAPES_SD14 + SHAPES_SD3}[mode])
