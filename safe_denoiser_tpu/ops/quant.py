@@ -91,6 +91,13 @@ def quantize_mmdit_params(params):
     ``mmdit.apply({'params': pq, 'quant': qt}, ...)``. Biases and every
     non-target module are untouched, so converters and checkpoints are
     unaffected (quantization is a load-time transform, never stored).
+
+    Composes with DP and TP (tests/test_quant.py::test_quantized_tp_*).
+    Pipeline parallelism is out of scope: parallel/pp.py drives the
+    pipelined blocks from externally STACKED per-layer params that this
+    transform doesn't match — under PP those blocks simply run bf16
+    (QDense falls through on non-int8 kernels); only the residual
+    last-block/head tree would quantize.
     """
     def _copy(t):  # mutable deep copy of the mapping structure (leaves shared)
         return ({k: _copy(v) for k, v in t.items()}

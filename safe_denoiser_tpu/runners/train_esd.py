@@ -63,6 +63,14 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help=".safetensors or .pt — the torch-layout erased UNet")
     p.add_argument("--save-dir", type=str, default=g("save_dir", None),
                    help="log dir (defaults to the save_path directory)")
+    p.add_argument("--save_every", type=int, default=g("save_every", 0),
+                   help="snapshot (params, opt_state, step, rng) every N "
+                        "iterations (0 = off); atomic msgpack at "
+                        "<save_path>.train_state")
+    p.add_argument("--resume", action="store_true",
+                   default=g("resume", False),
+                   help="continue from <save_path>.train_state if present "
+                        "(bit-identical to an uninterrupted run)")
     return p.parse_args(argv)
 
 
@@ -132,8 +140,16 @@ def main(argv=None):
         num_steps=args.denoise_steps, guidance_scale=args.start_guidance))
 
     rng = jax.random.PRNGKey(args.seed)
+    ckpt_path = args.save_path + ".train_state"
+    start_it = 0
+    if args.resume and os.path.exists(ckpt_path):
+        from ..training import restore_train_state
+        params, opt_state, start_it, rng, _ = restore_train_state(
+            ckpt_path, params, opt_state)
+        logger.log(f"resumed from {ckpt_path} at iter {start_it}")
+
     t0 = time.time()
-    for it in range(args.iterations):
+    for it in range(start_it, args.iterations):
         rng, k = jax.random.split(rng)
         x_t, t = draw(frozen, k)
         params, opt_state, loss = step(params, frozen, opt_state,
@@ -141,6 +157,13 @@ def main(argv=None):
         if it % args.log_every == 0 or it == args.iterations - 1:
             logger.log(f"iter {it}: loss {float(loss):.6f} "
                        f"({time.time() - t0:.1f}s)")
+        if args.save_every and (it + 1) % args.save_every == 0:
+            # the carried rng is saved POST-split, so the resumed stream
+            # continues exactly where this one left off
+            from ..training import save_train_state
+            save_train_state(ckpt_path, params, opt_state, it + 1, rng,
+                             metadata={"prompt": args.prompt,
+                                       "train_method": args.train_method})
 
     export_unet(params, pipe.unet.config, args.save_path)
     logger.log(f"Erased UNet saved: {args.save_path}")

@@ -2,6 +2,7 @@
 for the fine-tuned erase checkpoints the reference only consumes
 (/root/reference/run_nudity.py:124-130)."""
 
+from .checkpoint import restore_train_state, save_train_state
 from .esd import (ESDConfig, ddpm_loss, esd_loss, esd_param_mask,
                   make_esd_train_step, make_optimizer, make_train_step,
                   sample_xt_for_esd)
@@ -15,4 +16,5 @@ __all__ = ["ESDConfig", "esd_loss", "ddpm_loss", "esd_param_mask",
            "sample_xt_for_esd", "uce_edit", "uce_edit_kernel", "rece_edit",
            "edit_unet_concepts", "cross_attn_kv_paths",
            "flow_matching_loss", "make_flow_train_step",
-           "sample_sigmas_logit_normal"]
+           "sample_sigmas_logit_normal",
+           "save_train_state", "restore_train_state"]

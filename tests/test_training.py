@@ -523,3 +523,79 @@ def test_sharded_flow_step_matches_unsharded():
     for wp, gp in zip(jax.tree.leaves(want_p), jax.tree.leaves(got_p)):
         np.testing.assert_allclose(np.asarray(gp), np.asarray(wp),
                                    rtol=2e-4, atol=6e-5)
+
+
+def test_checkpoint_resume_bit_identical(tmp_path):
+    """A run interrupted at iter 2 and resumed from the snapshot must land
+    bit-exactly where the uninterrupted 4-iter run lands: adamw is
+    deterministic and the carried PRNG key is part of the saved state."""
+    from safe_denoiser_tpu.training import (restore_train_state,
+                                            save_train_state)
+
+    model, params0, x_t, ctx_c = _tiny_setup()
+    ctx_u = jnp.zeros_like(ctx_c)
+    cfg = ESDConfig(learning_rate=1e-3)
+    mask = esd_param_mask(params0, "xattn")
+    step = make_esd_train_step(lambda p, *a: model.apply(p, *a), cfg,
+                               param_mask=mask, donate=False)
+    frozen = jax.tree.map(jnp.copy, params0)
+    t = jnp.asarray([100, 300, 500, 700])
+    path = str(tmp_path / "esd.train_state")
+
+    def run(n_iters, params, opt_state, rng, start=0, save_at=None):
+        for it in range(start, n_iters):
+            rng, k = jax.random.split(rng)
+            noise = jax.random.normal(k, x_t.shape)
+            params, opt_state, _ = step(params, frozen, opt_state,
+                                        x_t + 0.01 * noise, t, ctx_c, ctx_u)
+            if save_at is not None and it + 1 == save_at:
+                save_train_state(path, params, opt_state, it + 1, rng,
+                                 metadata={"prompt": "x"})
+        return params, opt_state, rng
+
+    opt0 = make_optimizer(cfg, mask).init(params0)
+    rng0 = jax.random.PRNGKey(9)
+
+    want, _, _ = run(4, params0, opt0, rng0)
+
+    # interrupted run: 2 iters + snapshot, then restore into FRESH trees
+    run(4, params0, opt0, rng0, save_at=2)
+    fresh_opt = make_optimizer(cfg, mask).init(params0)
+    params_r, opt_r, start_it, rng_r, meta = restore_train_state(
+        path, params0, fresh_opt)
+    assert start_it == 2 and meta == {"prompt": "x"}
+    got, _, _ = run(4, params_r, opt_r, rng_r, start=start_it)
+
+    for wp, gp in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(wp), np.asarray(gp))
+
+
+def test_checkpoint_atomic_and_rng_forms(tmp_path):
+    """Snapshot survives both legacy uint32 and typed PRNG keys; a crashed
+    half-written tmp file never shadows the committed snapshot."""
+    from safe_denoiser_tpu.training import (restore_train_state,
+                                            save_train_state)
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    opt = {"mu": jnp.zeros((2, 3))}
+    path = str(tmp_path / "s.train_state")
+
+    legacy = jax.random.PRNGKey(3)
+    save_train_state(path, params, opt, 7, legacy)
+    _, _, step, rng, _ = restore_train_state(path, params, opt)
+    assert step == 7
+    np.testing.assert_array_equal(np.asarray(rng), np.asarray(legacy))
+
+    typed = jax.random.key(5)
+    save_train_state(path, params, opt, 8, typed)
+    p2, o2, step, rng, _ = restore_train_state(path, params, opt)
+    assert step == 8
+    np.testing.assert_array_equal(np.asarray(jax.random.key_data(rng)),
+                                  np.asarray(jax.random.key_data(typed)))
+    np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(params["w"]))
+
+    # a leftover .tmp from a crash mid-write must not affect a re-save
+    open(path + ".tmp", "wb").write(b"garbage")
+    save_train_state(path, params, opt, 9, None)
+    _, _, step, rng, _ = restore_train_state(path, params, opt)
+    assert step == 9 and rng is None
