@@ -1,0 +1,117 @@
+"""HTTP serving runner: SafeDiffusionPipeline behind a dynamic batcher.
+
+Beyond-reference deployment surface (the upstream repo is a batch-1
+research loop). Requests hit the stdlib HTTP front-end
+(serving/server.py), group in the DynamicBatcher to a FIXED compiled batch
+size, and run through ``SafeDiffusionPipeline.generate_batch`` — per-sample
+seed/guidance are traced inputs, so padded partial groups reuse the same
+XLA program. Optional repellency/SAFREE via the same --task_config /
+--erase_id surface as run_nudity.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..utils.config import read_json
+from ..utils.logging import Logger
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", type=str, default=None)
+    pre_args, _ = pre.parse_known_args(argv)
+    cfg = read_json(pre_args.config) if pre_args.config else {}
+    g = cfg.get
+
+    p = argparse.ArgumentParser(
+        description="Safe-Denoiser TPU generation server", parents=[pre])
+    p.add_argument("--model_dir", type=str, default=g("model_dir", None))
+    p.add_argument("--host", type=str, default=g("host", "127.0.0.1"))
+    p.add_argument("--port", type=int, default=g("port", 8000))
+    p.add_argument("--batch_size", type=int, default=g("batch_size", 4),
+                   help="compiled batch size; requests group up to this")
+    p.add_argument("--max_delay_ms", type=float,
+                   default=g("max_delay_ms", 50.0),
+                   help="max wait for a group to fill before a padded "
+                        "partial batch launches")
+    p.add_argument("--num_inference_steps", type=int,
+                   default=g("num_inference_steps", 50))
+    p.add_argument("--image_length", type=int, default=g("image_length", 512))
+    p.add_argument("--erase_id", type=str, default=g("erase_id", "std"))
+    p.add_argument("--erase_concept_checkpoint", type=str,
+                   default=g("erase_concept_checkpoint", None))
+    p.add_argument("--task_config", type=str, default=g("task_config", None),
+                   help="repellency task YAML (optional)")
+    p.add_argument("--negative_prompt", type=str,
+                   default=g("negative_prompt", None))
+    p.add_argument("--shard_bank", action="store_true",
+                   default=g("shard_bank", False))
+    p.add_argument("--save-dir", type=str, default=g("save_dir", "./serve"))
+    return p.parse_args(argv)
+
+
+def build_generate_fn(args, pipe, repellency_processor, erase_spec, logger):
+    """-> run_batch(list[GenRequest]) -> list[uint8 HxWx3] for the batcher."""
+
+    sf = {"safree": erase_spec.text_method == "safree", "logger": logger}
+
+    def run_batch(reqs):
+        imgs = pipe.generate_batch(
+            prompts=[r.prompt for r in reqs],
+            seeds=[r.seed for r in reqs],
+            guidance_scales=[r.guidance_scale for r in reqs],
+            num_inference_steps=args.num_inference_steps,
+            negative_prompt=args.negative_prompt,
+            height=args.image_length, width=args.image_length,
+            repellency_processor=repellency_processor,
+            safree_dict=sf,
+            erase_spec=erase_spec)
+        return imgs
+
+    return run_batch
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from ..pipeline.diffusion import ERASE_SPECS
+    from ..serving import DynamicBatcher, make_server
+    from .common import build_pipeline, build_repellency
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    logger = Logger(os.path.join(args.save_dir, "serve_logs.txt"))
+    for arg in vars(args):
+        logger.log(f"{arg}: {getattr(args, arg)}")
+
+    erase_spec = ERASE_SPECS[args.erase_id]
+    pipe = build_pipeline(args, logger)
+    repellency_processor, _ = build_repellency(args, pipe, logger)
+
+    run_batch = build_generate_fn(args, pipe, repellency_processor,
+                                  erase_spec, logger)
+    batcher = DynamicBatcher(run_batch, args.batch_size,
+                             max_delay_s=args.max_delay_ms / 1000.0)
+
+    # warm the compile cache before accepting traffic: one padded batch
+    from ..serving import GenRequest
+    logger.log("warmup: compiling the sampling program...")
+    run_batch([GenRequest(prompt="warmup")] * args.batch_size)
+    logger.log("warmup done")
+
+    server = make_server(batcher, host=args.host, port=args.port,
+                         logger=logger)
+    logger.log(f"serving on http://{args.host}:{args.port} "
+               f"(batch_size={args.batch_size})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Dynamic request batcher for serving the sampling pipelines.
+
+The reference is a one-prompt-at-a-time research loop (batch_size=1
+hard-coded — SURVEY §2.4); a production deployment wants concurrent
+requests grouped onto the chip. XLA compiles one program per static batch
+size, so the batcher runs a FIXED batch B and pads short groups by
+replicating the final request (per-sample seed/guidance are traced inputs
+— `SafeDiffusionPipeline.generate_batch` — so padding never recompiles;
+pad-slot outputs are dropped). A partial group launches after
+``max_delay_s`` so a lone request is never stuck waiting for neighbors.
+
+Pure stdlib threading: one worker thread owns the device (JAX dispatch is
+not thread-safe-by-contract across concurrent traces), callers get
+``concurrent.futures.Future``s. Errors in a batch propagate to exactly the
+futures of that batch; the worker keeps serving.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Callable, List, Optional, Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class GenRequest:
+    """One generation request (the per-sample traced inputs)."""
+
+    prompt: str
+    seed: int = 42
+    guidance_scale: float = 7.5
+
+
+class DynamicBatcher:
+    """Groups submitted requests into fixed-size batches.
+
+    Args:
+      run_batch: ``(requests: list[GenRequest]) -> list[result]`` — called
+        with EXACTLY ``batch_size`` requests (padded by replication); must
+        return one result per request, same order.
+      batch_size: the compiled batch size B.
+      max_delay_s: max time the first request of a group waits for the
+        group to fill before a padded partial batch launches.
+      max_queue: backpressure bound; ``submit`` raises ``queue.Full`` beyond
+        it (a serving layer must fail fast, not buffer unboundedly).
+    """
+
+    def __init__(self, run_batch: Callable[[List[GenRequest]], Sequence[Any]],
+                 batch_size: int, max_delay_s: float = 0.05,
+                 max_queue: int = 256):
+        if batch_size < 1:
+            raise ValueError("batch_size must be >= 1")
+        self._run_batch = run_batch
+        self.batch_size = batch_size
+        self.max_delay_s = max_delay_s
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        self._closed = threading.Event()
+        self._worker = threading.Thread(target=self._loop, daemon=True,
+                                        name="sdt-batcher")
+        self._worker.start()
+
+    # -- client side --------------------------------------------------------
+    def submit(self, request: GenRequest, timeout: Optional[float] = None
+               ) -> Future:
+        """Enqueue one request; the Future resolves to its result."""
+        if self._closed.is_set():
+            raise RuntimeError("batcher is closed")
+        fut: Future = Future()
+        self._q.put((request, fut), timeout=timeout)
+        return fut
+
+    def close(self, drain: bool = True) -> None:
+        """Stop the worker; with ``drain`` (default) queued requests finish
+        first, otherwise they fail with CancelledError."""
+        self._closed.set()
+        self._q.put(None)            # wake the worker
+        self._worker.join()
+        if not drain:
+            return
+        # worker drained on its way out; nothing left to do
+
+    # -- worker side ---------------------------------------------------------
+    def _take_group(self):
+        """Collect up to batch_size items; first item starts the deadline."""
+        item = self._q.get()
+        if item is None:
+            return None
+        group = [item]
+        t_end = time.monotonic() + self.max_delay_s
+        while len(group) < self.batch_size:
+            remaining = t_end - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)    # re-post the sentinel for the outer loop
+                break
+            group.append(nxt)
+        return group
+
+    def _loop(self) -> None:
+        while True:
+            group = self._take_group()
+            if group is None:
+                break
+            reqs = [r for r, _ in group]
+            futs = [f for _, f in group]
+            padded = reqs + [reqs[-1]] * (self.batch_size - len(reqs))
+            try:
+                results = self._run_batch(padded)
+                if len(results) != self.batch_size:
+                    raise RuntimeError(
+                        f"run_batch returned {len(results)} results for "
+                        f"batch_size {self.batch_size}")
+            except Exception as e:  # noqa: BLE001 — propagate to callers
+                for f in futs:
+                    f.set_exception(e)
+                continue
+            for f, r in zip(futs, results):
+                f.set_result(r)
+        # drain anything left after close()
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is None:
+                continue
+            req, fut = item
+            try:
+                res = self._run_batch([req] * self.batch_size)
+                fut.set_result(res[0])
+            except Exception as e:  # noqa: BLE001
+                fut.set_exception(e)

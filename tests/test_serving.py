@@ -1,0 +1,204 @@
+"""Serving layer (serving/batcher.py, serving/server.py, runners/serve.py).
+
+Beyond-reference deployment surface. Batcher semantics are tested with a
+stub run_batch (grouping, padding, deadlines, error isolation, drain); the
+HTTP front-end with a live ThreadingHTTPServer on an ephemeral port; and
+the full wiring with a fabricated tiny SD checkpoint through
+SafeDiffusionPipeline.generate_batch.
+"""
+
+import base64
+import http.client
+import io
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from safe_denoiser_tpu.serving import DynamicBatcher, GenRequest, make_server
+
+
+def test_batcher_groups_full_batches():
+    groups = []
+
+    def run(reqs):
+        groups.append(list(reqs))
+        return [r.seed for r in reqs]
+
+    b = DynamicBatcher(run, batch_size=4, max_delay_s=5.0)
+    futs = [b.submit(GenRequest("p", seed=i)) for i in range(8)]
+    results = [f.result(timeout=10) for f in futs]
+    b.close()
+    assert results == list(range(8))
+    assert [len(g) for g in groups] == [4, 4]
+    assert all(len({id(r) for r in g}) == 4 for g in groups)  # no pads
+
+
+def test_batcher_pads_partial_batch_after_deadline():
+    groups = []
+
+    def run(reqs):
+        groups.append(list(reqs))
+        return [r.seed for r in reqs]
+
+    b = DynamicBatcher(run, batch_size=4, max_delay_s=0.05)
+    t0 = time.monotonic()
+    fut = b.submit(GenRequest("solo", seed=99))
+    assert fut.result(timeout=10) == 99
+    assert time.monotonic() - t0 < 5.0
+    b.close()
+    (g,) = groups
+    assert len(g) == 4                       # padded to the compiled size
+    assert all(r.seed == 99 for r in g)      # by replicating the last req
+
+
+def test_batcher_error_isolated_to_its_batch():
+    calls = {"n": 0}
+
+    def run(reqs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("boom")
+        return [r.seed for r in reqs]
+
+    b = DynamicBatcher(run, batch_size=2, max_delay_s=0.02)
+    f1 = b.submit(GenRequest("a", seed=1))
+    f2 = b.submit(GenRequest("b", seed=2))
+    with pytest.raises(RuntimeError, match="boom"):
+        f1.result(timeout=10)
+    with pytest.raises(RuntimeError):
+        f2.result(timeout=10)
+    f3 = b.submit(GenRequest("c", seed=3))   # worker keeps serving
+    assert f3.result(timeout=10) == 3
+    b.close()
+
+
+def test_batcher_close_drains_queue():
+    done = []
+
+    def run(reqs):
+        time.sleep(0.05)
+        done.append(len(reqs))
+        return [r.seed for r in reqs]
+
+    b = DynamicBatcher(run, batch_size=2, max_delay_s=0.01)
+    futs = [b.submit(GenRequest("p", seed=i)) for i in range(5)]
+    b.close()
+    assert [f.result(timeout=10) for f in futs] == list(range(5))
+
+
+def test_batcher_rejects_after_close():
+    b = DynamicBatcher(lambda reqs: [0] * len(reqs), 1)
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(GenRequest("p"))
+
+
+def _http(port, method, path, body=None):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request(method, path, body=None if body is None else
+                 json.dumps(body), headers={"Content-Type":
+                                            "application/json"})
+    r = conn.getresponse()
+    data = json.loads(r.read())
+    conn.close()
+    return r.status, data
+
+
+@pytest.fixture
+def stub_server():
+    """Server over a stub batcher that renders a deterministic image."""
+    def run(reqs):
+        return [np.full((8, 8, 3), min(r.seed, 255), np.uint8) for r in reqs]
+
+    b = DynamicBatcher(run, batch_size=2, max_delay_s=0.01)
+    srv = make_server(b, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address[1]
+    srv.shutdown()
+    b.close()
+
+
+def test_http_healthz(stub_server):
+    status, data = _http(stub_server, "GET", "/healthz")
+    assert status == 200 and data["status"] == "ok"
+    assert data["batch_size"] == 2
+
+
+def test_http_generate_returns_decodable_png(stub_server):
+    from PIL import Image
+    status, data = _http(stub_server, "POST", "/generate",
+                         {"prompt": "hi", "seed": 7})
+    assert status == 200 and data["seed"] == 7
+    img = Image.open(io.BytesIO(base64.b64decode(data["image_png_base64"])))
+    arr = np.asarray(img)
+    assert arr.shape == (8, 8, 3) and int(arr[0, 0, 0]) == 7
+
+
+def test_http_bad_request_and_unknown_path(stub_server):
+    status, data = _http(stub_server, "POST", "/generate", {"seed": 3})
+    assert status == 400 and "prompt" in data["error"]
+    status, _ = _http(stub_server, "GET", "/nope")
+    assert status == 404
+    status, _ = _http(stub_server, "POST", "/nope", {})
+    assert status == 404
+
+
+def test_http_concurrent_requests_batch_together(stub_server):
+    """Two simultaneous HTTP posts land in ONE device batch (the point of
+    the serving layer)."""
+    out = {}
+
+    def post(seed):
+        out[seed] = _http(stub_server, "POST", "/generate",
+                          {"prompt": "x", "seed": seed})
+
+    ts = [threading.Thread(target=post, args=(s,)) for s in (11, 12)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert {out[11][0], out[12][0]} == {200}
+
+
+def test_serve_runner_end_to_end(tmp_path):
+    """Full wiring: fabricated tiny checkpoint -> parse_args ->
+    build_generate_fn -> batcher -> HTTP server -> PNG of the right size."""
+    from PIL import Image
+
+    from tests.test_e2e_pipeline import _tiny_tokenizer
+    from tests.test_runner_cli import _write_checkpoint
+
+    from safe_denoiser_tpu.pipeline.diffusion import ERASE_SPECS
+    from safe_denoiser_tpu.runners.common import build_pipeline
+    from safe_denoiser_tpu.runners.serve import build_generate_fn, parse_args
+    from safe_denoiser_tpu.utils.logging import Logger
+
+    ckpt = _write_checkpoint(tmp_path, _tiny_tokenizer())
+    args = parse_args(["--model_dir", str(ckpt), "--batch_size", "2",
+                       "--num_inference_steps", "2",
+                       "--image_length", "16",
+                       "--save-dir", str(tmp_path / "serve")])
+    logger = Logger(str(tmp_path / "serve_logs.txt"))
+    pipe = build_pipeline(args, logger)
+    run_batch = build_generate_fn(args, pipe, None, ERASE_SPECS["std"],
+                                  logger)
+    b = DynamicBatcher(run_batch, args.batch_size, max_delay_s=0.02)
+    srv = make_server(b, port=0, logger=logger)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        status, data = _http(port, "POST", "/generate",
+                             {"prompt": "a cat", "seed": 5,
+                              "guidance_scale": 7.5})
+        assert status == 200, data
+        img = Image.open(io.BytesIO(
+            base64.b64decode(data["image_png_base64"])))
+        assert np.asarray(img).shape == (16, 16, 3)
+    finally:
+        srv.shutdown()
+        b.close()
