@@ -58,6 +58,9 @@ class DynamicBatcher:
         self.max_delay_s = max_delay_s
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._closed = threading.Event()
+        # serializes the closed-flag transition against submit()'s
+        # check-then-put, so no future can land after close() drained
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._loop, daemon=True,
                                         name="sdt-batcher")
         self._worker.start()
@@ -66,21 +69,38 @@ class DynamicBatcher:
     def submit(self, request: GenRequest, timeout: Optional[float] = None
                ) -> Future:
         """Enqueue one request; the Future resolves to its result."""
-        if self._closed.is_set():
-            raise RuntimeError("batcher is closed")
-        fut: Future = Future()
-        self._q.put((request, fut), timeout=timeout)
+        with self._submit_lock:
+            if self._closed.is_set():
+                raise RuntimeError("batcher is closed")
+            fut: Future = Future()
+            self._q.put((request, fut), timeout=timeout)
         return fut
 
     def close(self, drain: bool = True) -> None:
         """Stop the worker; with ``drain`` (default) queued requests finish
-        first, otherwise they fail with CancelledError."""
-        self._closed.set()
+        first, otherwise they fail with ``RuntimeError("batcher closed")``."""
+        with self._submit_lock:
+            self._closed.set()
         self._q.put(None)            # wake the worker
         self._worker.join()
-        if not drain:
-            return
-        # worker drained on its way out; nothing left to do
+        # leftovers: items enqueued after the sentinel (incl. a submit()
+        # racing close()) — finish or fail them here, never dangle a Future
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                continue
+            req, fut = item
+            if not drain:
+                fut.set_exception(RuntimeError("batcher closed"))
+                continue
+            try:
+                fut.set_result(
+                    self._run_batch([req] * self.batch_size)[0])
+            except Exception as e:  # noqa: BLE001
+                fut.set_exception(e)
 
     # -- worker side ---------------------------------------------------------
     def _take_group(self):
@@ -124,17 +144,4 @@ class DynamicBatcher:
                 continue
             for f, r in zip(futs, results):
                 f.set_result(r)
-        # drain anything left after close()
-        while True:
-            try:
-                item = self._q.get_nowait()
-            except queue.Empty:
-                return
-            if item is None:
-                continue
-            req, fut = item
-            try:
-                res = self._run_batch([req] * self.batch_size)
-                fut.set_result(res[0])
-            except Exception as e:  # noqa: BLE001
-                fut.set_exception(e)
+        # leftovers after the close() sentinel are handled by close() itself
