@@ -1,6 +1,6 @@
 """Benchmarks: safe-denoiser sampling throughput per chip, one JSON line each.
 
-Covers ALL the driver's benchmark configurations (BASELINE.md 1-5), seven
+Covers ALL the driver's benchmark configurations (BASELINE.md 1-5), eight
 JSON lines in the default run:
   * sd14_10step_ddim   — config #1: 10-step DDIM nudity scan
   * sd14_e2e           — whole pipeline: tokenize → CLIP encode → 50-step
@@ -12,6 +12,9 @@ JSON lines in the default run:
                          the fast_sdv3 repellency renoising
   * sd3_int8_50step    — informational beyond-parity config: #5 with W8A8
                          int8 MMDiT block dots (ops/quant.py, +16.3% ABA)
+  * sd14_int8_50step   — informational beyond-parity config: the headline
+                         with W8A8 int8 UNet wide-block (level-2/mid) dots
+                         (quantize_unet_params, +2.56% ABA)
   * sd14_50step (LAST) — the headline metric the driver parses: SD-v1.4
                          50-step safe-denoiser scan, CFG folded into batch,
                          bf16 weights. The reference runs batch=1 fp32 on one
@@ -21,12 +24,13 @@ JSON lines in the default run:
 
 The driver records the tail and parses the LAST JSON line, so the headline
 prints last. BENCH_ONLY=sd14|sd14_10|sd14_e2e|sd14_sparse|sd14_bank3k|sd3|
-sd3_int8 runs a single config; BENCH_FAST=1 skips everything but the
-headline.
+sd3_int8|sd14_int8 runs a single config; BENCH_FAST=1 skips everything but
+the headline.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -72,6 +76,17 @@ def _sd14_setup():
                            jnp.bfloat16 if (s.dtype == jnp.float32
                                             and len(s.shape) > 1) else s.dtype),
         shapes)
+
+    if os.environ.get("SDT_INT8") == "1":
+        # Opt-in W8A8 int8 for the UNet's wide (level-2/mid, C=1280)
+        # transformer dots (ops/quant.py::quantize_unet_params; --int8 on
+        # the SD-v1 runners). Selective by shape: level-0 dots LOSE under
+        # int8 on v5e (probe 0.66-0.77x), level-2 wins (1.33-1.70x).
+        from safe_denoiser_tpu.ops.quant import quantize_unet_params
+        min_dim = int(os.environ.get("SDT_INT8_MIN_DIM", "1280"))
+        pq, qt = jax.jit(functools.partial(
+            quantize_unet_params, min_dim=min_dim))(params["params"])
+        params = {"params": pq, "quant": qt}
 
     # params are RETURNED and passed through jit args — closing over them
     # inlines gigabytes of constants into the lowered HLO and multiplies
@@ -398,6 +413,19 @@ def main():
                     os.environ.pop("SDT_INT8", None)
             _try("sd3_int8_50step_safe_denoiser_throughput", _sd3_int8,
                  BASELINE_SD3)
+        if only in (None, "sd14_int8"):
+            # informational beyond-parity config: W8A8 int8 UNet wide-block
+            # (level-2/mid C=1280) dots (quantize_unet_params; --int8 on the
+            # SD-v1 runners). Same-session ABA 2026-08-19: 1.5844 vs
+            # 1.5448/1.5447 controls = +2.56% (drift -0.01%).
+            def _sd14_int8():
+                os.environ["SDT_INT8"] = "1"
+                try:
+                    return bench_sd14()
+                finally:
+                    os.environ.pop("SDT_INT8", None)
+            _try("sd14_int8_50step_safe_denoiser_throughput", _sd14_int8,
+                 BASELINE_IMG_PER_SEC)
     if only in (None, "sd14"):
         # headline LAST: the driver parses the final JSON line (the value
         # re-printed from the up-front measurement when one exists)
@@ -453,10 +481,11 @@ def _supervise():
     def _headline_lines():
         return [l for l in lines if "sd14_50step_safe_denoiser" in l]
 
-    # 7 legs ran in ~1,830 s warm-cache (2026-08-19); 3,600 leaves headroom
-    # for a cold compile cache without letting a wedged tunnel eat the round
+    # 7 legs ran in ~1,830 s warm-cache (2026-08-19); the 8th (sd14_int8)
+    # reuses the warm headline program shapes. 4,200 leaves headroom for a
+    # cold compile cache without letting a wedged tunnel eat the round
     rc = _run_child({}, timeout_s=int(os.environ.get("BENCH_TIMEOUT",
-                                                     "3600")))
+                                                     "4200")))
     if os.environ.get("BENCH_ONLY") not in (None, "sd14"):
         return rc   # headline not expected under this BENCH_ONLY
     attempts = 0

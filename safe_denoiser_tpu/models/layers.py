@@ -218,7 +218,9 @@ class Attention(nn.Module):
         is_self = context is None
         context = x if context is None else context
         inner = self.num_heads * self.head_dim
-        dense = lambda feats, bias, name: nn.Dense(
+        # QDense == nn.Dense bit-for-bit on f32/bf16 kernels; it only takes
+        # the int8 path when quantize_unet_params pre-quantized this kernel
+        dense = lambda feats, bias, name: QDense(
             feats, use_bias=bias, dtype=self.dtype, name=name)
         if os.environ.get("SDT_FUSED_QKV", "0") == "1":
             # Fused projections: one [C, 3*inner] (self) / [C_kv, 2*inner]
@@ -243,6 +245,11 @@ class Attention(nn.Module):
                                   name="to_k")(context.shape[-1])
             wv, bv = _DenseParams(inner, self.use_qkv_bias,
                                   name="to_v")(context.shape[-1])
+            if wq.dtype == jnp.int8:
+                raise ValueError(
+                    "SDT_FUSED_QKV=1 cannot run on int8-quantized kernels "
+                    "(the fused concat has no per-column dequant path); "
+                    "unset SDT_FUSED_QKV or skip quantize_unet_params")
 
             def dot(inp, w, bs):
                 y = jnp.dot(inp.astype(self.dtype), w.astype(self.dtype))
@@ -337,7 +344,7 @@ class GEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h = QDense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         return h * _gelu_for(self.dtype)(gate)
 
@@ -356,13 +363,13 @@ class FeedForward(nn.Module):
             h = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
         elif self.activation == "gelu":
             h = _gelu_for(self.dtype)(
-                nn.Dense(inner, dtype=self.dtype, name="net_0")(x))
+                QDense(inner, dtype=self.dtype, name="net_0")(x))
         elif self.activation == "gelu-approximate":
-            h = nn.gelu(nn.Dense(inner, dtype=self.dtype, name="net_0")(x),
+            h = nn.gelu(QDense(inner, dtype=self.dtype, name="net_0")(x),
                         approximate=True)
         else:
             raise ValueError(self.activation)
-        return nn.Dense(dim_out, dtype=self.dtype, name="net_2")(h)
+        return QDense(dim_out, dtype=self.dtype, name="net_2")(h)
 
 
 ACT2FN: dict[str, Callable] = {

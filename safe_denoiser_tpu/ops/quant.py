@@ -1,13 +1,17 @@
-"""int8 W8A8 quantized dense ops for the SD3 MMDiT (opt-in, SDT_INT8=1).
+"""int8 W8A8 quantized dense ops for the SD3 MMDiT and the SD-v1 UNet's
+wide transformer blocks (opt-in, SDT_INT8=1 / --int8 / enable_int8()).
 
 The v5e MXU rates int8 at 2x bf16 (394.7 vs 196.9 TOPS). Measured on-target
-(tools_int8_probe.py, 2026-08-19): at the MMDiT's per-token dot shapes
-([~9k, 1536] x {1536, 6144}) an s8xs8->s32 `dot_general` NET of dynamic
-activation quantization runs 1.30-1.76x faster than the bf16 dot. At the
-SD-v1 UNet's level-0 shapes (K=320, lane-padded) the same recipe LOSES
-(0.66-0.89x) — the quantize pass costs more than the small padded dot saves
-— so int8 is wired for the SD3 family only; do not extend it to the UNet
-without a new mechanism.
+(tools_int8_probe.py, 2026-08-19, shipped per-row recipe): at the MMDiT's
+per-token dot shapes ([~9k, 1536] x {1536, 6144}) an s8xs8->s32
+`dot_general` NET of dynamic activation quantization runs 1.30-1.76x faster
+than the bf16 dot. The SD-v1 UNet is mixed: level-0 (K=320, lane-padded)
+LOSES (0.66-0.77x — the quantize pass costs more than the small padded dot
+saves), level-1 (C=640) is noise (1.01-1.14x), level-2/mid (C=1280) WINS
+(qkv/out 1.33x, fc1 1.70x, fc2 1.42x). The UNet transform is therefore
+SELECTIVE: only kernels whose min dim >= ``min_dim`` (default 1280, i.e.
+level-2 + mid blocks) are quantized — which also auto-excludes the
+cross-attention k/v dots ([768, 1280], 77 context rows, nothing to win).
 
 Scheme (standard W8A8 dynamic):
   * weights: static symmetric per-output-channel scales, quantized ONCE
@@ -99,6 +103,45 @@ def quantize_mmdit_params(params):
     (QDense falls through on non-int8 kernels); only the residual
     last-block/head tree would quantize.
     """
+    return _quantize_tree(params, lambda p, leaf: _quantized_kernel_path(p),
+                          what="MMDiT block dense")
+
+
+# UNet BasicTransformerBlock Dense modules eligible for int8 (subject to the
+# min_dim shape gate): attention projections and the ff MLP. norms, convs
+# (proj_in/proj_out are 1x1 convs), resnets, and time embeddings stay bf16.
+_UNET_ATTN_DENSE = frozenset({"to_q", "to_k", "to_v", "to_out"})
+
+
+def _unet_kernel_path(path) -> bool:
+    """('<x>_attentions_<y>', 'blocks_i', <attn|ff>, ..., 'kernel') paths."""
+    if len(path) < 4 or path[-1] != "kernel":
+        return False
+    if "_attentions_" not in path[0] and not path[0].startswith("mid_attentions"):
+        return False
+    if not path[1].startswith("blocks_"):
+        return False
+    if path[2] in ("attn1", "attn2") and path[-2] in _UNET_ATTN_DENSE:
+        return True
+    return path[2] == "ff" and (path[-2] == "net_2" or
+                                (path[-2] == "proj" and path[-3] == "net_0") or
+                                path[-2] == "net_0")
+
+
+def quantize_unet_params(params, min_dim: int = 1280):
+    """SD-v1 UNet param tree -> (params with int8 wide-block kernels, quant
+    tree), selective by shape: only transformer-block dense kernels with
+    ``min(K, N) >= min_dim`` quantize (level-2/mid at the default — the only
+    shapes where int8 wins on v5e; see module docstring). Same contract as
+    ``quantize_mmdit_params``: pass the quant tree as the ``quant``
+    collection; converters/checkpoints unaffected (load-time transform)."""
+    return _quantize_tree(
+        params,
+        lambda p, leaf: (_unet_kernel_path(p) and min(leaf.shape) >= min_dim),
+        what=f"UNet transformer dense (min_dim={min_dim})")
+
+
+def _quantize_tree(params, select, what: str):
     def _copy(t):  # mutable deep copy of the mapping structure (leaves shared)
         return ({k: _copy(v) for k, v in t.items()}
                 if hasattr(t, "items") else t)
@@ -109,7 +152,7 @@ def quantize_mmdit_params(params):
     n = 0
     for keypath, leaf in flat:
         path = tuple(k.key for k in keypath)
-        if not _quantized_kernel_path(path):
+        if not select(path, leaf):
             continue
         if leaf.dtype == jnp.int8:
             # re-quantizing int8 kernels would silently replace the real
@@ -117,7 +160,7 @@ def quantize_mmdit_params(params):
             # 100-1000x) — refuse instead
             raise ValueError(
                 f"{'/'.join(path)} is already int8 — params were quantized "
-                "before; quantize_mmdit_params must run on the original "
+                "before; the quantize transform must run on the original "
                 "f32/bf16 tree")
         wq, sw = quantize_dense_kernel(leaf)
         node = params_q
@@ -130,5 +173,5 @@ def quantize_mmdit_params(params):
         qnode["kernel_scale"] = sw
         n += 1
     if n == 0:
-        raise ValueError("no MMDiT block dense kernels found to quantize")
+        raise ValueError(f"no {what} kernels found to quantize")
     return params_q, quant_tree

@@ -207,9 +207,29 @@ class SafeDiffusionPipeline:
         sd = load_state_dict(path)
         if "unet" in sd and not hasattr(sd["unet"], "shape"):
             sd = sd["unet"]
+        was_int8 = "quant" in self.unet_params
         self.unet_params = convert_unet(sd, self.unet.config)
+        if was_int8:  # re-quantize the swapped weights
+            self.enable_int8(min_dim=self._int8_min_dim)
         # params are jit arguments (not closed-over constants), so the
         # swapped weights take effect without invalidating the cached jit
+
+    def enable_int8(self, min_dim: int = 1280) -> None:
+        """Opt-in W8A8 int8 for the UNet's WIDE (level-2/mid, C=1280)
+        transformer-block dots (ops/quant.py::quantize_unet_params): weights
+        re-quantized once here (per-output-channel scales, load-time
+        transform — checkpoints unaffected), activations per-token in-graph.
+        Selective by shape because int8 LOSES at the narrow level-0 dots
+        (probe: l0 0.66-0.77x, l2 1.33-1.70x on v5e). Beyond-parity
+        (~1e-2 rel err per quantized dot), default OFF. Idempotent."""
+        if "quant" in self.unet_params:
+            return
+        from ..ops.quant import quantize_unet_params
+        from functools import partial
+        self._int8_min_dim = min_dim
+        pq, qt = jax.jit(partial(quantize_unet_params, min_dim=min_dim))(
+            self.unet_params["params"])
+        self.unet_params = {"params": pq, "quant": qt}
 
     # -- text encoding ------------------------------------------------------
     def encode_prompt(self, prompt: str, negative_prompt: Optional[str] = None,

@@ -113,6 +113,13 @@ def base_parser(description: str) -> tuple[argparse.ArgumentParser, dict]:
                    help="shard the negative-reference bank's M axis over all "
                         "devices (psum'd partials; parallel/bank.py) — for "
                         "banks too large to replicate per chip")
+    # beyond-reference: W8A8 int8 for the model's wide transformer dots,
+    # opt-in (SD-v1 runners: UNet level-2/mid via quantize_unet_params;
+    # SD3 runners: MMDiT block dots via quantize_mmdit_params)
+    p.add_argument("--int8", action="store_true", default=g("int8", False),
+                   help="quantize the wide transformer matmuls to int8 "
+                        "(W8A8; UNet level-2/mid on SD-v1, MMDiT blocks "
+                        "on SD3)")
     return p, cfg
 
 
@@ -152,6 +159,14 @@ def build_pipeline(args, logger: Logger) -> SafeDiffusionPipeline:
     if args.erase_concept_checkpoint and "std" not in args.erase_id:
         pipe.load_unet_state_dict(args.erase_concept_checkpoint)
         logger.log(f"ESD unet: {args.erase_concept_checkpoint} is loaded...")
+    if getattr(args, "int8", False):
+        # SDT_INT8_MIN_DIM overrides the shape gate (default 1280 =
+        # level-2/mid on SD-v1 — the only dims where int8 wins on v5e);
+        # lets tiny-checkpoint drives and on-target tuning lower it
+        min_dim = int(os.environ.get("SDT_INT8_MIN_DIM", "1280"))
+        pipe.enable_int8(min_dim=min_dim)
+        logger.log(f"int8: UNet wide transformer matmuls quantized "
+                   f"(W8A8, min_dim={min_dim})")
     maybe_enable_bank_sharding(args, pipe, logger)
     return pipe
 

@@ -73,10 +73,7 @@ def _sd3_parser(desc):
     # opt out with --no_safree for the vanilla sdv3 pipeline's behavior
     parser.set_defaults(safree=cfg.get("safree", True))
     parser.add_argument("--no_safree", dest="safree", action="store_false")
-    # beyond-reference: W8A8 int8 MMDiT block dots (ops/quant.py), opt-in
-    parser.add_argument("--int8", action="store_true",
-                        default=cfg.get("int8", False),
-                        help="quantize MMDiT block matmuls to int8 (W8A8)")
+    # --int8 comes from base_parser (here: W8A8 MMDiT block dots)
     return parser
 
 

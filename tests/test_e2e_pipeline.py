@@ -181,3 +181,26 @@ def test_bank_sharding_matches_replicated_pipeline(tiny_pipe):
         tiny_pipe._rep_bank = None
     diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
     assert diff.max() <= 1 and (diff == 0).mean() > 0.99
+
+
+def test_int8_generation_close_to_f32(tiny_pipe):
+    """enable_int8 (UNet W8A8, ops/quant.py): generation still runs end to
+    end, is idempotent, and the quantized images stay close to the f32 ones
+    (~1e-2 per-dot rel err; uint8 images should agree almost everywhere)."""
+    kw = dict(num_inference_steps=4, height=32, width=32, seed=7)
+    want = tiny_pipe("a cat", **kw)[0]
+    saved = tiny_pipe.unet_params
+    try:
+        tiny_pipe.enable_int8(min_dim=8)
+        assert "quant" in tiny_pipe.unet_params
+        q = tiny_pipe.unet_params
+        tiny_pipe.enable_int8(min_dim=8)   # idempotent: second call a no-op
+        assert tiny_pipe.unet_params is q
+        got = tiny_pipe("a cat", **kw)[0]
+    finally:
+        tiny_pipe.unet_params = saved
+    assert got.shape == want.shape and got.dtype == np.uint8
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    # 4 denoising steps compound the quantization noise; the image must stay
+    # recognizably the same, not bit-equal
+    assert np.mean(diff) < 8.0, np.mean(diff)

@@ -17,7 +17,8 @@ from flax import linen as nn
 from safe_denoiser_tpu.models.layers import QDense
 from safe_denoiser_tpu.models.mmdit import MMDiT, MMDiTConfig
 from safe_denoiser_tpu.ops.quant import (int8_dense, quantize_dense_kernel,
-                                         quantize_mmdit_params)
+                                         quantize_mmdit_params,
+                                         quantize_unet_params)
 
 RNG = jax.random.PRNGKey(0)
 
@@ -188,4 +189,124 @@ def test_quantized_sample_sd3_scan():
     yq = jax.jit(run)({"params": pq, "quant": qt})
     assert bool(jnp.all(jnp.isfinite(yq)))
     rel = float(jnp.linalg.norm(yq - y0) / jnp.linalg.norm(y0))
+    assert rel < 5e-2, rel
+
+
+# ---------------------------------------------------------------------------
+# SD-v1 UNet (quantize_unet_params): selective-by-shape wide-block transform
+
+
+def _tiny_unet():
+    from safe_denoiser_tpu.models import UNet2DCondition, UNetConfig
+
+    cfg = UNetConfig(sample_size=8, block_out_channels=(32, 64),
+                     layers_per_block=1, cross_attention_dim=16,
+                     num_attention_heads=4, norm_num_groups=8)
+    m = UNet2DCondition(cfg)
+    x = jax.random.normal(jax.random.fold_in(RNG, 31), (2, 8, 8, 4))
+    t = jnp.array([500.0, 2.0])
+    ctx = jax.random.normal(jax.random.fold_in(RNG, 32), (2, 7, 16))
+    p = m.init(jax.random.fold_in(RNG, 33), x, t, ctx)["params"]
+    return m, p, x, t, ctx
+
+
+def test_quantize_unet_params_targets_and_forward_error():
+    m, p, x, t, ctx = _tiny_unet()
+    y0 = m.apply({"params": p}, x, t, ctx)
+    # min_dim low enough that every transformer-block dense qualifies
+    pq, qt = quantize_unet_params(p, min_dim=16)
+
+    assert (jax.tree_util.tree_structure(pq)
+            == jax.tree_util.tree_structure(p))
+    blk = pq["down_0_attentions_0"]["blocks_0"]
+    # attention projections + ff (GEGLU proj, net_2) are int8
+    for mod in ("attn1", "attn2"):
+        for d in ("to_q", "to_k", "to_v", "to_out"):
+            assert blk[mod][d]["kernel"].dtype == jnp.int8, (mod, d)
+    assert blk["ff"]["net_0"]["proj"]["kernel"].dtype == jnp.int8
+    assert blk["ff"]["net_2"]["kernel"].dtype == jnp.int8
+    assert pq["mid_attentions_0"]["blocks_0"]["attn1"]["to_q"][
+        "kernel"].dtype == jnp.int8
+    # everything outside the transformer blocks stays f32: convs, resnets,
+    # time embedding, proj_in/out, norms, and all biases
+    assert pq["conv_in"]["kernel"].dtype == jnp.float32
+    assert pq["time_emb_1"]["kernel"].dtype == jnp.float32
+    assert pq["down_0_resnets_0"]["conv1"]["kernel"].dtype == jnp.float32
+    assert pq["down_0_attentions_0"]["proj_in"]["kernel"].dtype == jnp.float32
+    assert blk["attn1"]["to_out"]["bias"].dtype == jnp.float32
+    # original tree untouched
+    assert p["down_0_attentions_0"]["blocks_0"]["attn1"]["to_q"][
+        "kernel"].dtype == jnp.float32
+
+    yq = m.apply({"params": pq, "quant": qt}, x, t, ctx)
+    rel = float(jnp.linalg.norm(yq - y0) / jnp.linalg.norm(y0))
+    assert rel < 5e-2, rel
+
+
+def test_quantize_unet_params_min_dim_gate():
+    """The shape gate is the point of the UNet transform: narrow kernels
+    (where int8 measured a LOSS on v5e) must stay f32."""
+    m, p, x, t, ctx = _tiny_unet()
+    # min_dim=33 excludes the 32-ch level-0 blocks and every [16, *]
+    # cross-attention k/v, keeps the 64-ch mid block
+    pq, qt = quantize_unet_params(p, min_dim=33)
+    l0 = pq["down_0_attentions_0"]["blocks_0"]
+    assert l0["attn1"]["to_q"]["kernel"].dtype == jnp.float32
+    assert l0["ff"]["net_2"]["kernel"].dtype == jnp.float32
+    mid = pq["mid_attentions_0"]["blocks_0"]
+    assert mid["attn1"]["to_q"]["kernel"].dtype == jnp.int8
+    # cross k/v contract from cross_attention_dim=16 — excluded by shape
+    assert mid["attn2"]["to_k"]["kernel"].dtype == jnp.float32
+    assert mid["attn2"]["to_q"]["kernel"].dtype == jnp.int8
+    # the partially-quantized tree still runs
+    y = m.apply({"params": pq, "quant": qt}, x, t, ctx)
+    assert bool(jnp.all(jnp.isfinite(y)))
+    # a gate excluding everything raises (mirrors the MMDiT contract)
+    with pytest.raises(ValueError, match="no .* kernels"):
+        quantize_unet_params(p, min_dim=4096)
+
+
+def test_quantize_unet_params_rejects_requantize():
+    _, p, *_ = _tiny_unet()
+    pq, _ = quantize_unet_params(p, min_dim=16)
+    with pytest.raises(ValueError, match="already int8"):
+        quantize_unet_params(pq, min_dim=16)
+
+
+def test_quantized_unet_fused_qkv_raises(monkeypatch):
+    """SDT_FUSED_QKV=1 has no dequant path for the fused concat — it must
+    fail loudly on int8 kernels, not silently produce garbage."""
+    m, p, x, t, ctx = _tiny_unet()
+    pq, qt = quantize_unet_params(p, min_dim=16)
+    monkeypatch.setenv("SDT_FUSED_QKV", "1")
+    with pytest.raises(ValueError, match="SDT_FUSED_QKV"):
+        m.apply({"params": pq, "quant": qt}, x, t, ctx)
+
+
+def test_quantized_unet_tp_matches_unsharded():
+    """int8 x tensor parallelism for the UNet rules (same GSPMD bucket-flip
+    tolerance rationale as the MMDiT test above)."""
+    from jax.sharding import Mesh
+    from safe_denoiser_tpu.parallel import UNET_TP_RULES, shard_params_tp
+
+    m, p, x, t, ctx = _tiny_unet()
+    pq, qt = quantize_unet_params(p, min_dim=16)
+    want = m.apply({"params": pq, "quant": qt}, x, t, ctx)
+
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "model"))
+    sharded = shard_params_tp({"params": pq, "quant": qt}, mesh,
+                              rules=UNET_TP_RULES)
+    kq = sharded["params"]["down_0_attentions_0"]["blocks_0"]["attn1"][
+        "to_q"]["kernel"]
+    assert kq.dtype == jnp.int8 and not kq.sharding.is_fully_replicated
+    got = np.asarray(jax.jit(m.apply)(sharded, x, t, ctx))
+    d = np.abs(got - np.asarray(want))
+    # a few bucket flips, each worth ~one quant step (~2e-2 at these
+    # activation magnitudes; measured max 1.7e-2 / mean 1.8e-3)
+    assert d.max() < 5e-2 and d.mean() < 5e-3, (d.max(), d.mean())
+    # and the sharded quantized forward stays inside the quantization error
+    # envelope of the f32 reference
+    y0 = np.asarray(m.apply({"params": p}, x, t, ctx))
+    rel = np.linalg.norm(got - y0) / np.linalg.norm(y0)
     assert rel < 5e-2, rel

@@ -41,6 +41,7 @@ SHAPES_SD14 = [
     (8192, 640, 640, "l1 qkv/out"),
     (8192, 640, 5120, "l1 fc1"),
     (8192, 2560, 640, "l1 fc2"),
+    (2048, 1280, 1280, "l2 qkv/out"),
     (2048, 1280, 10240, "l2 fc1"),
     (2048, 5120, 1280, "l2 fc2"),
 ]
