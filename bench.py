@@ -270,7 +270,12 @@ def bench_sd14_e2e():
     # so only the LAST conversion waits on the device (VERDICT r2 item 2:
     # the serial np.asarray between stages was dead time)
     np.asarray(dispatch(jax.random.PRNGKey(1)))  # warmup, fully real
-    n_rounds = 5   # ~14 s measured region: the 3-round number wobbled +-2%
+    # 10 rounds (~27 s): the final round's exposed device->host transfer +
+    # conversion (~150 ms, the one the double-buffering cannot overlap) is
+    # fixed cost, so doubling the rounds halves its per-round share
+    # (5-round legs measured 0.988x vs a 0.9995x device-time bound —
+    # tools_profile_e2e 2026-08-19: scan 2579.5 + decode 87.3 + encode 1.0)
+    n_rounds = int(os.environ.get("BENCH_E2E_ROUNDS", "10"))
     t0 = time.perf_counter()
     pending = None
     for i in range(n_rounds):
@@ -348,6 +353,17 @@ def main():
 
     only = os.environ.get("BENCH_ONLY")
     fast = os.environ.get("BENCH_FAST") == "1"
+
+    # An ambient SDT_INT8=1 must NOT silently quantize the parity legs: the
+    # driver parses the final headline line as the bf16 parity record, and an
+    # int8 number under that name would be mislabeled. The int8 legs below
+    # set/pop the var around their own setup; everything else runs bf16.
+    # (tools_ab_int8_sd14.py calls bench_sd14() directly, not main(), so its
+    # env-driven A/B is unaffected.)
+    if os.environ.pop("SDT_INT8", None) == "1":
+        print("[bench] ignoring ambient SDT_INT8=1 — int8 runs only in the "
+              "dedicated sd14_int8/sd3_int8 legs (BENCH_ONLY selects them)",
+              file=sys.stderr)
 
     def _try(name, fn, baseline):
         # a secondary benchmark failing (compile crash, OOM) must never
@@ -482,8 +498,9 @@ def _supervise():
         return [l for l in lines if "sd14_50step_safe_denoiser" in l]
 
     # 7 legs ran in ~1,830 s warm-cache (2026-08-19); the 8th (sd14_int8)
-    # reuses the warm headline program shapes. 4,200 leaves headroom for a
-    # cold compile cache without letting a wedged tunnel eat the round
+    # compiles its own HLO (int8 dtypes + quant collection — NOT a cache hit
+    # on the headline program). 4,200 leaves headroom for a cold compile
+    # cache without letting a wedged tunnel eat the round
     rc = _run_child({}, timeout_s=int(os.environ.get("BENCH_TIMEOUT",
                                                      "4200")))
     if os.environ.get("BENCH_ONLY") not in (None, "sd14"):

@@ -117,7 +117,7 @@ def _unet_kernel_path(path) -> bool:
     """('<x>_attentions_<y>', 'blocks_i', <attn|ff>, ..., 'kernel') paths."""
     if len(path) < 4 or path[-1] != "kernel":
         return False
-    if "_attentions_" not in path[0] and not path[0].startswith("mid_attentions"):
+    if "_attentions_" not in path[0]:  # covers mid_attentions_0 too
         return False
     if not path[1].startswith("blocks_"):
         return False

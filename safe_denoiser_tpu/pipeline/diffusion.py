@@ -210,7 +210,7 @@ class SafeDiffusionPipeline:
         was_int8 = "quant" in self.unet_params
         self.unet_params = convert_unet(sd, self.unet.config)
         if was_int8:  # re-quantize the swapped weights
-            self.enable_int8(min_dim=self._int8_min_dim)
+            self.enable_int8(min_dim=getattr(self, "_int8_min_dim", 1280))
         # params are jit arguments (not closed-over constants), so the
         # swapped weights take effect without invalidating the cached jit
 
@@ -223,6 +223,13 @@ class SafeDiffusionPipeline:
         (probe: l0 0.66-0.77x, l2 1.33-1.70x on v5e). Beyond-parity
         (~1e-2 rel err per quantized dot), default OFF. Idempotent."""
         if "quant" in self.unet_params:
+            prev = getattr(self, "_int8_min_dim", 1280)
+            if min_dim != prev:
+                raise ValueError(
+                    f"enable_int8(min_dim={min_dim}) after a previous "
+                    f"enable_int8(min_dim={prev}): already-quantized kernels "
+                    "cannot be re-gated (scales are fixed at quantize time). "
+                    "Reload the checkpoint first.")
             return
         from ..ops.quant import quantize_unet_params
         from functools import partial

@@ -196,6 +196,8 @@ def test_int8_generation_close_to_f32(tiny_pipe):
         q = tiny_pipe.unet_params
         tiny_pipe.enable_int8(min_dim=8)   # idempotent: second call a no-op
         assert tiny_pipe.unet_params is q
+        with pytest.raises(ValueError):    # mismatched re-gate must refuse
+            tiny_pipe.enable_int8(min_dim=16)
         got = tiny_pipe("a cat", **kw)[0]
     finally:
         tiny_pipe.unet_params = saved
