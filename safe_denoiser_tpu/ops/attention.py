@@ -34,13 +34,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, sm_scale: float,
-                 block_k: int, valid_kv: int):
+                 block_k: int, valid_kv: int, quant_i8: bool = False):
     """One q-block against the full (unmasked) KV row.
 
     q_ref: [1, bq, D] bf16/f32; kt_ref: [1, D, S]; v_ref: [1, S, D];
     o_ref: [1, bq, D]. ``valid_kv`` < S masks the zero-padded tail keys
     (needed for non-512-multiple sequences, e.g. SD3's 4429 joint tokens)
     — the mask compiles only into the final chunk.
+
+    quant_i8: run the QK^T dot in int8 (SageAttention-style, beyond-parity
+    opt-in — MEASURED NEGATIVE, see below). v5e's int8 MXU path is
+    nominally 2x bf16, which would halve the D->128 lane-padded floor the
+    bf16 QK^T is pinned at. Scales are dynamic and in-kernel: Q
+    per-query-row, K per-key-token (columns of K^T), both folded with
+    sm_scale into the logit dequant. PV stays bf16: quantizing P+V as well
+    measured 2.4-3.4% output error vs 0.8% for QK-only (flat attention
+    spreads mass over ~S keys, so 7-bit P accumulates relative noise) —
+    same conclusion SageAttention reached. Softmax statistics and the
+    output accumulator stay f32.
+
+    ON-TARGET RESULT (2026-08-19 whole-scan ABAs, tools_ab_env.py): SD-v1
+    headline -2.95%, SD3 -2.16% — the int8 rate does not beat the in-kernel
+    quantize VPU overhead plus the block_q 512 cap (1024 blows scoped VMEM
+    with the unrolled quantize temporaries). Kept as a documented opt-in
+    (SDT_INT8_ATTN=1) for re-testing on future Mosaic versions; do not
+    enable by default.
     """
     bq = q_ref.shape[1]
     s_kv = kt_ref.shape[2]
@@ -51,13 +69,35 @@ def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, sm_scale: float,
     q = q_ref[0]
     masked = valid_kv < s_kv
 
+    def _i8(x, amax):
+        # symmetric round-to-nearest int8 with a zero-safe scale
+        r = 127.0 / jnp.maximum(amax, 1e-20)
+        return jnp.clip(jnp.round(x.astype(jnp.float32) * r),
+                        -127.0, 127.0).astype(jnp.int8)
+
+    if quant_i8:
+        q_amax = jnp.max(jnp.abs(q.astype(jnp.float32)), axis=1,
+                         keepdims=True)                          # [bq, 1]
+        qi = _i8(q, q_amax)
+        # per-row dequant constant: amax_q/127 * c (K's joins per chunk)
+        q_deq = q_amax * (c / 127.0)
+
     def body(i, carry):
         m_prev, l_prev, acc_prev = carry
         kt = kt_ref[0, :, pl.ds(i * block_k, block_k)]          # [D, bk]
-        s = jax.lax.dot_general(
-            q, kt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # [bq, bk]
-        s = s * c                                                # log2 domain
+        if quant_i8:
+            k_amax = jnp.max(jnp.abs(kt.astype(jnp.float32)), axis=0,
+                             keepdims=True)                      # [1, bk]
+            ki = _i8(kt, k_amax)
+            s32 = jax.lax.dot_general(
+                qi, ki, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)                # [bq, bk]
+            s = s32.astype(jnp.float32) * q_deq * (k_amax * (1.0 / 127.0))
+        else:
+            s = jax.lax.dot_general(
+                q, kt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [bq, bk]
+            s = s * c                                            # log2 domain
         if masked:  # tail-mask padded keys (no-op chunks fold to identity)
             col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < valid_kv, s, -jnp.inf)
@@ -75,7 +115,8 @@ def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, sm_scale: float,
 
     m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, q_ref.shape[2]), jnp.float32)
+    acc0 = jnp.zeros((bq, o_ref.shape[2]), jnp.float32)  # = V width (q/kt
+    # may carry an int8 contraction pad wider than the output)
     # full unroll: Mosaic supports only unroll=1|all, and the unrolled body
     # lets the scheduler overlap chunk i's exp2/max (VPU) with chunk i+1's
     # matmuls (MXU). (A plain python loop with constant chunk indices
@@ -86,25 +127,36 @@ def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, sm_scale: float,
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_q", "block_k",
-                                             "valid_kv", "interpret"))
+                                             "valid_kv", "quant_i8",
+                                             "interpret"))
 def _self_attention_bhsd(q: jax.Array, kt: jax.Array, v: jax.Array,
                          sm_scale: float, block_q: int = 512,
                          block_k: int = 512, valid_kv: int | None = None,
+                         quant_i8: bool = False,
                          interpret: bool = False) -> jax.Array:
     """q: [BH, S, D], kt: [BH, D, S], v: [BH, S, D] -> [BH, S, D].
     S must be a multiple of the blocks; ``valid_kv`` masks padded tail keys."""
     bh, s, d = q.shape
+    if quant_i8 and d % 64:
+        # int8 MXU feeds with contraction < 64 lower pathologically on v5e
+        # (D=40 measured ~2000x slower than bf16); zero-pad the contraction
+        # to the next 64-multiple — zeros quantize to zeros and contribute
+        # nothing to QK^T. V/output keep the true D.
+        dp = -(-d // 64) * 64
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, dp - d)))
+        kt = jnp.pad(kt, ((0, 0), (0, dp - d), (0, 0)))
+    dq = q.shape[2]   # contraction width (= d unless int8-padded above)
     grid = (bh, s // block_q)
     kernel = functools.partial(_attn_kernel, sm_scale=sm_scale,
-                               block_k=block_k,
+                               block_k=block_k, quant_i8=quant_i8,
                                valid_kv=s if valid_kv is None else valid_kv)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, block_q, dq), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, s), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, dq, s), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -457,8 +509,12 @@ def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     s_pad = -(-s // block) * block
     valid = s
     # trace sweep (tools_attn_trace.py): block_q 1024 measures 3.001 ms vs
-    # 3.040 at 512 for the [8,8,4096,40] layer; use it when the grid allows
-    block_q = 1024 if s_pad % 1024 == 0 else 512
+    # 3.040 at 512 for the [8,8,4096,40] layer; use it when the grid allows.
+    # The int8-QK path must stay at 512: its per-chunk quantize temporaries
+    # under the unrolled fori pushed the 1024-block scoped VMEM to 18.16M
+    # (16M limit) at the S=4096 layer.
+    i8_attn = os.environ.get("SDT_INT8_ATTN") == "1"
+    block_q = 1024 if (s_pad % 1024 == 0 and not i8_attn) else 512
     if s_pad != s:
         # zero-pad to the block grid; padded keys are -inf-masked in the
         # kernel (SD3's joint sequence is 4096 + 333 text tokens), padded
@@ -497,12 +553,19 @@ def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                                  interpret=interpret)
     else:
         ktf = jnp.transpose(k, (0, 2, 3, 1)).reshape(b * h, d, s_pad)
+        # SDT_INT8_ATTN=1: the QK^T dot in int8 (dynamic per-token scales
+        # quantized in-kernel, PV + softmax stats untouched — see
+        # _attn_kernel quant_i8). Beyond-parity opt-in like the int8 weight
+        # path; bf16 compute only (the f32 path keeps reference-exact
+        # numerics for the torch parity harnesses).
+        quant_i8 = i8_attn and compute_dtype == jnp.bfloat16
         out = _self_attention_bhsd(qf.astype(compute_dtype),
                                    ktf.astype(compute_dtype),
                                    vf.astype(compute_dtype),
                                    sm_scale=float(sm_scale),
                                    block_q=block_q,
                                    valid_kv=valid if s_pad != s else None,
+                                   quant_i8=quant_i8,
                                    interpret=interpret)
     out = out.reshape(b, h, s_pad, d).transpose(0, 2, 1, 3)[:, :s]
     return out.astype(v.dtype)

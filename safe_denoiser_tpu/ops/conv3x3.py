@@ -51,7 +51,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_hbm, w_ref, b_ref, *rest, tile_h: int, H: int, W: int,
             Ci: int, Co: int, has_pre: bool, act: str | None,
-            has_res: bool):
+            has_res: bool, pad_cols: bool = False):
+    """pad_cols=True: the activated scratch is 16 columns wider than the
+    image (band at column 0, columns W..W+15 permanently zero), so the
+    dx=-1 tap at m=0 wraps into the PREVIOUS flat row's zero pad and the
+    dx=+1 tap at m=W-1 reads the CURRENT row's zero pad — the six per-band
+    edge fix-up dots and the column-mask subtract pass disappear entirely,
+    for (W+16)/W more rows per tap dot (3-12% at the decode shapes)."""
     idx = 0
     if has_pre:
         a_ref, s_ref = rest[idx], rest[idx + 1]   # [1, 1, Ci] blocks
@@ -107,9 +113,16 @@ def _kernel(x_hbm, w_ref, b_ref, *rest, tile_h: int, H: int, W: int,
     # scratch row k+1 = band row k+d  =>  write band at row offset 1-d
     s0 = jnp.clip(i * th - 1, 0, H - (th + 2))
     d = i * th - 1 - s0
+    Wp = W + 16 if pad_cols else W    # scratch row width (see docstring)
+    if pad_cols:
+        # pad the band to the scratch width in-register: the 16 pad columns
+        # re-zero on every write, so the scratch's pad region stays zero
+        # without a separate maintenance pass
+        band = jnp.concatenate(
+            [band, jnp.zeros((th + 2, 16, Ci), band.dtype)], axis=1)
     sact[pl.ds(1 - d, th + 2)] = band.astype(sact.dtype)
 
-    zero_row = jnp.zeros((W, Ci), sact.dtype)
+    zero_row = jnp.zeros((Wp, Ci), sact.dtype)
 
     @pl.when(i == 0)
     def _top():                                       # image row -1
@@ -119,37 +132,48 @@ def _kernel(x_hbm, w_ref, b_ref, *rest, tile_h: int, H: int, W: int,
     def _bottom():                                    # image row H
         sact[th + 2] = zero_row
 
-    sv = sact[...]                                    # [th+4, W, Ci]
-    f = sv.reshape((th + 4) * W, Ci)
+    sv = sact[...]                                    # [th+4, Wp, Ci]
+    f = sv.reshape((th + 4) * Wp, Ci)
     total = None
     for dy in range(3):
         for dx in range(3):
-            start = (1 + dy) * W + dx - 1
-            y = lax.dot_general(f[start:start + th * W], w_ref[dy * 3 + dx],
+            start = (1 + dy) * Wp + dx - 1
+            y = lax.dot_general(f[start:start + th * Wp], w_ref[dy * 3 + dx],
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
             total = y if total is None else total + y
-    total = total.reshape(th, W, Co) + b_ref[...].astype(jnp.float32)
+    total = total.reshape(th, Wp, Co)
+    if pad_cols:
+        total = total[:, :W]
+    total = total + b_ref[...].astype(jnp.float32)
     if has_res:
         total = total + res_ref[0].astype(jnp.float32)
 
     # wrap fix-up == zero SAME-padding of the left/right image columns
-    col_l = sv[:, W - 1, :]                           # [th+4, Ci]
-    col_r = sv[:, 0, :]
-    e_l = e_r = None
-    for dy in range(3):
-        yl = lax.dot_general(col_l[dy:dy + th], w_ref[dy * 3],
-                             (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-        yr = lax.dot_general(col_r[dy + 2:dy + 2 + th], w_ref[dy * 3 + 2],
-                             (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-        e_l = yl if e_l is None else e_l + yl
-        e_r = yr if e_r is None else e_r + yr
-    # Mosaic rejects value-level .at[col].add (scatter-add); a column-mask
-    # multiply-subtract is the supported form and fuses into the VPU pass
-    cw = lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
-    total = total - e_l[:, None, :] * (cw == 0) - e_r[:, None, :] * (cw == W - 1)
+    # (pad_cols handles both wrap and padding structurally — no fix-ups).
+    # SDT_CONV_NOFIX=1 is a TIMING-ONLY debug switch (wrong values at the
+    # image's left/right edge columns) that isolates what the six tiny
+    # fix-up dots cost per grid step.
+    import os
+    if not pad_cols and os.environ.get("SDT_CONV_NOFIX") != "1":
+        col_l = sv[:, W - 1, :]                       # [th+4, Ci]
+        col_r = sv[:, 0, :]
+        e_l = e_r = None
+        for dy in range(3):
+            yl = lax.dot_general(col_l[dy:dy + th], w_ref[dy * 3],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+            yr = lax.dot_general(col_r[dy + 2:dy + 2 + th], w_ref[dy * 3 + 2],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+            e_l = yl if e_l is None else e_l + yl
+            e_r = yr if e_r is None else e_r + yr
+        # Mosaic rejects value-level .at[col].add (scatter-add); a column-
+        # mask multiply-subtract is the supported form and fuses into the
+        # VPU pass
+        cw = lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+        total = (total - e_l[:, None, :] * (cw == 0)
+                 - e_r[:, None, :] * (cw == W - 1))
 
     o_ref[0] = total.astype(o_ref.dtype)
 
@@ -524,7 +548,10 @@ def conv3x3(x, w, b=None, pre_scale=None, pre_shift=None, act=None,
     if not supports(x.shape, Ci, Co):
         return _fallback(x, w, b, pre_scale, pre_shift, act, residual)
 
-    tile_h = _pick_tile_h(H, W, Co)
+    import os
+    pad_cols = os.environ.get("SDT_CONV_PADCOLS", "0") == "1"
+    Wp = W + 16 if pad_cols else W
+    tile_h = _pick_tile_h(H, Wp, Co)
     has_pre = pre_scale is not None
     has_res = residual is not None
     w9 = w.reshape(9, Ci, Co)
@@ -555,7 +582,8 @@ def conv3x3(x, w, b=None, pre_scale=None, pre_shift=None, act=None,
     grid = (B, H // tile_h)
     return pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, H=H, W=W, Ci=Ci, Co=Co,
-                          has_pre=has_pre, act=act, has_res=has_res),
+                          has_pre=has_pre, act=act, has_res=has_res,
+                          pad_cols=pad_cols),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile_h, W, Co),
@@ -564,7 +592,7 @@ def conv3x3(x, w, b=None, pre_scale=None, pre_shift=None, act=None,
         out_shape=jax.ShapeDtypeStruct((B, H, W, Co), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, tile_h + 2, W, Ci), x.dtype),
-            pltpu.VMEM((tile_h + 4, W, Ci), x.dtype),
+            pltpu.VMEM((tile_h + 4, Wp, Ci), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

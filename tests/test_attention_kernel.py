@@ -194,3 +194,49 @@ def test_flash2_padded_on_target_matches_einsum():
     got = self_attention(q, k, v, sm)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-3, rtol=3e-3)
+
+
+def test_int8_qk_close_to_f32():
+    """quant_i8 (SDT_INT8_ATTN surface): the int8 QK^T path must track the
+    exact kernel within ~1% relative — Q per-row / K per-token dynamic
+    scales, PV and softmax stats untouched (ops/attention.py _attn_kernel)."""
+    rs = np.random.RandomState(3)
+    bh, s, d = 4, 1024, 40
+    q = jnp.asarray(rs.randn(bh, s, d), jnp.float32)
+    kt = jnp.asarray(rs.randn(bh, d, s), jnp.float32)
+    v = jnp.asarray(rs.randn(bh, s, d), jnp.float32)
+    sm = float(d) ** -0.5
+    ref = _self_attention_bhsd(q, kt, v, sm, interpret=True)
+    got = _self_attention_bhsd(q, kt, v, sm, quant_i8=True, interpret=True)
+    rel = float(jnp.linalg.norm(ref - got) / jnp.linalg.norm(ref))
+    assert rel < 0.015, rel
+    # tail-masked variant (SD3's non-512-multiple joint sequence)
+    refm = _self_attention_bhsd(q, kt, v, sm, valid_kv=s - 100,
+                                interpret=True)
+    gotm = _self_attention_bhsd(q, kt, v, sm, valid_kv=s - 100,
+                                quant_i8=True, interpret=True)
+    relm = float(jnp.linalg.norm(refm - gotm) / jnp.linalg.norm(refm))
+    assert relm < 0.015, relm
+
+
+def test_int8_attn_env_dispatch(monkeypatch):
+    """SDT_INT8_ATTN=1 must route bf16 bhsd attention through the int8 QK
+    path (and leave f32 inputs on the exact path)."""
+    monkeypatch.setenv("SDT_FLASH2_LAYOUT", "bhsd")
+    monkeypatch.setenv("SDT_INT8_ATTN", "1")
+    rs = np.random.RandomState(5)
+    b, s, h, d = 1, 512, 2, 40
+    q = jnp.asarray(rs.randn(b, s, h, d), jnp.bfloat16)
+    k = jnp.asarray(rs.randn(b, s, h, d), jnp.bfloat16)
+    v = jnp.asarray(rs.randn(b, s, h, d), jnp.bfloat16)
+    sm = float(d) ** -0.5
+    got = self_attention(q, k, v, sm, interpret=True)
+    want = einsum_ref(q, k, v, sm)
+    # int8 QK: looser than the bf16 path's 3e-3, still tight
+    np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
+                               np.asarray(want), atol=0.05, rtol=0.05)
+    # f32 inputs bypass the int8 path entirely (parity harnesses rely on it)
+    got32 = self_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                           v.astype(jnp.float32), sm, interpret=True)
+    np.testing.assert_allclose(np.asarray(got32), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
