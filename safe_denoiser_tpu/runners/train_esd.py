@@ -58,6 +58,23 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--image_length", type=int, default=g("image_length", 512))
     p.add_argument("--seed", type=int, default=g("seed", 42))
     p.add_argument("--log_every", type=int, default=g("log_every", 50))
+    p.add_argument("--lora_rank", type=int, default=g("lora_rank", 0),
+                   help="train a rank-r LoRA adapter instead of full "
+                        "fine-tuning (0 = full fine-tune). Base weights "
+                        "stay frozen; export is the merged UNet plus an "
+                        "optional standalone adapter (--save_lora_path)")
+    p.add_argument("--lora_alpha", type=float, default=g("lora_alpha", None),
+                   help="LoRA merge alpha (default = rank, i.e. scale 1.0)")
+    p.add_argument("--lora_targets", type=str,
+                   default=g("lora_targets", None),
+                   help="kernel subset for LoRA (default: derived from "
+                        "--train_method; or xattn/selfattn/attn/full/"
+                        "<path substring>)")
+    p.add_argument("--save_lora_path", type=str,
+                   default=g("save_lora_path", None),
+                   help="also save the standalone adapter (.safetensors "
+                        "or .pt) — loadable via SafeDiffusionPipeline."
+                        "load_lora")
     p.add_argument("--save_path", type=str,
                    default=g("save_path", "./esd_unet.safetensors"),
                    help=".safetensors or .pt — the torch-layout erased UNet")
@@ -117,21 +134,38 @@ def main(argv=None):
     ctx_c = jnp.tile(embeds[1], (b, 1, 1))   # [B, L, D] concept states
 
     params = pipe.unet_params
-    frozen = jax.tree_util.tree_map(jnp.copy, params)  # params are donated
     cfg = ESDConfig(negative_guidance=args.negative_guidance,
                     learning_rate=args.lr)
-    mask = esd_param_mask(params, args.train_method)
-    n_train = sum(int(jnp.size(p)) for p, m in
-                  zip(jax.tree_util.tree_leaves(params),
-                      jax.tree_util.tree_leaves(mask)) if m)
-    logger.log(f"train_method={args.train_method}: "
-               f"{n_train:,} trainable parameters")
 
     def apply_fn(p, x, t, ctx):
         return pipe.unet.apply(p, x, t, ctx)
 
-    step = make_esd_train_step(apply_fn, cfg, param_mask=mask)
-    opt_state = make_optimizer(cfg, mask).init(params)
+    use_lora = args.lora_rank > 0
+    if use_lora:
+        from ..training import (apply_lora, init_lora_params, lora_scale,
+                                make_lora_esd_train_step)
+        targets = args.lora_targets or args.train_method
+        lora = init_lora_params(params, jax.random.PRNGKey(args.seed + 1),
+                                args.lora_rank, targets)
+        scale = lora_scale(args.lora_rank, args.lora_alpha)
+        n_train = sum(int(jnp.size(p))
+                      for p in jax.tree_util.tree_leaves(lora))
+        logger.log(f"lora rank={args.lora_rank} targets={targets}: "
+                   f"{n_train:,} trainable parameters "
+                   f"({len(lora)} kernels)")
+        frozen = params     # base is never updated: it IS the teacher
+        step = make_lora_esd_train_step(apply_fn, cfg, scale=scale)
+        opt_state = make_optimizer(cfg).init(lora)
+    else:
+        frozen = jax.tree_util.tree_map(jnp.copy, params)  # params donated
+        mask = esd_param_mask(params, args.train_method)
+        n_train = sum(int(jnp.size(p)) for p, m in
+                      zip(jax.tree_util.tree_leaves(params),
+                          jax.tree_util.tree_leaves(mask)) if m)
+        logger.log(f"train_method={args.train_method}: "
+                   f"{n_train:,} trainable parameters")
+        step = make_esd_train_step(apply_fn, cfg, param_mask=mask)
+        opt_state = make_optimizer(cfg, mask).init(params)
 
     side = args.image_length // 8
     shape = (b, side, side, 4)
@@ -142,18 +176,25 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     ckpt_path = args.save_path + ".train_state"
     start_it = 0
+    # the trained tree is the adapter under LoRA, the full params otherwise;
+    # checkpoints/resume handle either transparently
+    train_tree = lora if use_lora else params
     if args.resume and os.path.exists(ckpt_path):
         from ..training import restore_train_state
-        params, opt_state, start_it, rng, _ = restore_train_state(
-            ckpt_path, params, opt_state)
+        train_tree, opt_state, start_it, rng, _ = restore_train_state(
+            ckpt_path, train_tree, opt_state)
         logger.log(f"resumed from {ckpt_path} at iter {start_it}")
 
     t0 = time.time()
     for it in range(start_it, args.iterations):
         rng, k = jax.random.split(rng)
         x_t, t = draw(frozen, k)
-        params, opt_state, loss = step(params, frozen, opt_state,
-                                       x_t, t, ctx_c, ctx_u)
+        if use_lora:
+            train_tree, opt_state, loss = step(train_tree, opt_state,
+                                               params, x_t, t, ctx_c, ctx_u)
+        else:
+            train_tree, opt_state, loss = step(train_tree, frozen, opt_state,
+                                               x_t, t, ctx_c, ctx_u)
         if it % args.log_every == 0 or it == args.iterations - 1:
             logger.log(f"iter {it}: loss {float(loss):.6f} "
                        f"({time.time() - t0:.1f}s)")
@@ -161,11 +202,22 @@ def main(argv=None):
             # the carried rng is saved POST-split, so the resumed stream
             # continues exactly where this one left off
             from ..training import save_train_state
-            save_train_state(ckpt_path, params, opt_state, it + 1, rng,
+            save_train_state(ckpt_path, train_tree, opt_state, it + 1, rng,
                              metadata={"prompt": args.prompt,
-                                       "train_method": args.train_method})
+                                       "train_method": args.train_method,
+                                       "lora_rank": args.lora_rank})
 
-    export_unet(params, pipe.unet.config, args.save_path)
+    if use_lora:
+        export_unet(apply_lora(params, train_tree, scale),
+                    pipe.unet.config, args.save_path)
+        if args.save_lora_path:
+            from ..training import save_lora
+            save_lora(args.save_lora_path, train_tree, args.lora_rank,
+                      args.lora_alpha, targets,
+                      metadata={"prompt": args.prompt})
+            logger.log(f"LoRA adapter saved: {args.save_lora_path}")
+    else:
+        export_unet(train_tree, pipe.unet.config, args.save_path)
     logger.log(f"Erased UNet saved: {args.save_path}")
     print("end")
 
