@@ -220,17 +220,8 @@ class SafeDiffusionPipeline:
         overrides the adapter's recorded alpha/rank coefficient. Adapters
         apply to float kernels, so load the adapter BEFORE
         :meth:`enable_int8` (an already-int8 tree raises)."""
-        from ..training.lora import apply_lora, load_lora, lora_scale
-        lora, meta = load_lora(path)
-        if scale is None:
-            scale = lora_scale(int(meta.get("rank", 1)),
-                               meta.get("alpha", None))
-        if "quant" in self.unet_params:
-            raise ValueError(
-                "load_lora after enable_int8: the adapter applies to float "
-                "kernels. Load the adapter first, then enable_int8().")
-        self.unet_params = jax.jit(
-            lambda p, l: apply_lora(p, l, scale))(self.unet_params, lora)
+        from ..training.lora import merge_lora_into
+        self.unet_params = merge_lora_into(self.unet_params, path, scale)
 
     def enable_int8(self, min_dim: int = 1280) -> None:
         """Opt-in W8A8 int8 for the UNet's WIDE (level-2/mid, C=1280)

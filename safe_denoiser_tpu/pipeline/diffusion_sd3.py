@@ -231,18 +231,9 @@ class SafeDiffusion3Pipeline:
         """Merge a LoRA adapter (training/lora.py) into the MMDiT weights.
         Same contract as ``SafeDiffusionPipeline.load_lora``: adapters apply
         to float kernels, so call this BEFORE :meth:`enable_int8`."""
-        from ..training.lora import apply_lora, load_lora, lora_scale
-        lora, meta = load_lora(path)
-        if scale is None:
-            scale = lora_scale(int(meta.get("rank", 1)),
-                               meta.get("alpha", None))
-        if "quant" in self.transformer_params:
-            raise ValueError(
-                "load_lora after enable_int8: the adapter applies to float "
-                "kernels. Load the adapter first, then enable_int8().")
-        self.transformer_params = jax.jit(
-            lambda p, l: apply_lora(p, l, scale))(
-                self.transformer_params, lora)
+        from ..training.lora import merge_lora_into
+        self.transformer_params = merge_lora_into(self.transformer_params,
+                                                  path, scale)
 
     def enable_int8(self) -> None:
         """Opt-in W8A8 int8 for the MMDiT block dots (ops/quant.py): weights

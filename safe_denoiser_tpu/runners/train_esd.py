@@ -181,8 +181,16 @@ def main(argv=None):
     train_tree = lora if use_lora else params
     if args.resume and os.path.exists(ckpt_path):
         from ..training import restore_train_state
-        train_tree, opt_state, start_it, rng, _ = restore_train_state(
+        train_tree, opt_state, start_it, rng, meta = restore_train_state(
             ckpt_path, train_tree, opt_state)
+        ck_rank = int(meta.get("lora_rank", args.lora_rank))
+        if ck_rank != args.lora_rank:
+            # restore_train_state already rejects shape mismatches; this
+            # catches the rank change before any further confusion (e.g. a
+            # changed alpha/rank merge scale applied to restored factors)
+            raise SystemExit(
+                f"--resume with --lora_rank {args.lora_rank} but "
+                f"{ckpt_path} was written at lora_rank {ck_rank}")
         logger.log(f"resumed from {ckpt_path} at iter {start_it}")
 
     t0 = time.time()
@@ -208,8 +216,11 @@ def main(argv=None):
                                        "lora_rank": args.lora_rank})
 
     if use_lora:
-        export_unet(apply_lora(params, train_tree, scale),
-                    pipe.unet.config, args.save_path)
+        # one compiled program — eager apply_lora would dispatch ~4 ops per
+        # targeted kernel individually (each a tunnel RPC round-trip)
+        merged = jax.jit(lambda p, l: apply_lora(p, l, scale))(params,
+                                                               train_tree)
+        export_unet(merged, pipe.unet.config, args.save_path)
         if args.save_lora_path:
             from ..training import save_lora
             save_lora(args.save_lora_path, train_tree, args.lora_rank,

@@ -10,7 +10,7 @@ from .flow import (flow_matching_loss, make_flow_train_step,
                    sample_sigmas_logit_normal)
 from .lora import (apply_lora, init_lora_params, load_lora, lora_scale,
                    lora_target_paths, make_lora_esd_train_step,
-                   make_lora_train_step, save_lora)
+                   make_lora_train_step, merge_lora_into, save_lora)
 from .uce import (cross_attn_kv_paths, edit_unet_concepts, rece_edit,
                   uce_edit, uce_edit_kernel)
 
@@ -23,4 +23,5 @@ __all__ = ["ESDConfig", "esd_loss", "ddpm_loss", "esd_param_mask",
            "save_train_state", "restore_train_state",
            "init_lora_params", "apply_lora", "lora_scale",
            "lora_target_paths", "make_lora_esd_train_step",
-           "make_lora_train_step", "save_lora", "load_lora"]
+           "make_lora_train_step", "merge_lora_into", "save_lora",
+           "load_lora"]

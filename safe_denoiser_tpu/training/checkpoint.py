@@ -63,6 +63,26 @@ def restore_train_state(path: str, params_template: Any,
     params = serialization.from_state_dict(params_template, state["params"])
     opt_state = serialization.from_state_dict(opt_state_template,
                                               state["opt_state"])
+    # from_state_dict restores arrays of ANY shape into the template
+    # (verified: no validation in flax) — a resume with changed
+    # hyperparameters (e.g. a different --lora_rank) would silently
+    # continue with stale-shaped state. Fail loudly instead.
+    for name, restored, template in (("params", params, params_template),
+                                     ("opt_state", opt_state,
+                                      opt_state_template)):
+        flat_r = jax.tree_util.tree_flatten_with_path(restored)[0]
+        flat_t = dict(jax.tree_util.tree_flatten_with_path(template)[0])
+        for p, leaf in flat_r:
+            tmpl = flat_t.get(p)
+            got = getattr(leaf, "shape", None)
+            want = getattr(tmpl, "shape", None)
+            if got != want:
+                s = "/".join(str(getattr(k, "key", k)) for k in p)
+                raise ValueError(
+                    f"checkpoint {path} {name} leaf {s} has shape {got} but "
+                    f"the live template expects {want} — the run was "
+                    "restarted with different hyperparameters (e.g. "
+                    "--lora_rank) than the snapshot was written with")
     rng = state["rng"]
     if rng.size == 0:
         rng = None

@@ -110,7 +110,14 @@ def esd_param_mask(params: Any, train_method: str) -> Any:
         if train_method == "selfattn":
             return "attn1" in s
         if train_method == "noxattn":
-            top = str(getattr(path[0], "key", path[0]))
+            # the tree may arrive flax-wrapped ({'params': {...}}) — the
+            # collection key is not a module name, so skip it when finding
+            # the top-level component (otherwise top == 'params' always and
+            # the freeze set silently never matches)
+            keys = [str(getattr(k, "key", k)) for k in path]
+            while keys and keys[0] == "params":
+                keys = keys[1:]
+            top = keys[0] if keys else ""
             return "attn2" not in s and top not in _NOXATTN_FROZEN_TOP
         raise ValueError(f"unknown train_method: {train_method!r}")
 

@@ -119,22 +119,73 @@ def lora_scale(rank: int, alpha: float | None = None) -> float:
 
 
 def apply_lora(params: Any, lora: Dict[str, Dict[str, Any]],
-               scale: float = 1.0) -> Any:
+               scale: float = 1.0, strict: bool = True) -> Any:
     """Merged tree: targeted kernels become ``kernel + scale * A @ B``.
 
     The delta accumulates in fp32 and is cast back to the kernel's dtype, so
     a zero B reproduces the base bit-exactly. Differentiable in ``lora`` —
     call inside the loss to train, or once at export time to materialise a
     merged checkpoint (:mod:`models.weights_export` then applies unchanged).
+
+    ``strict`` (default) raises if any adapter entry matches no leaf of
+    ``params`` — otherwise a path-mismatched adapter (wrong model family,
+    foreign file) would merge as a silent no-op and the caller would sample
+    from an unmodified model believing the erasure is active. The check is
+    trace-time Python, so it costs nothing inside a jitted loss.
     """
+    consumed = set()
+
     def upd(path, leaf):
-        ab = lora.get(_path_str(path))
+        s = _path_str(path)
+        ab = lora.get(s)
         if ab is None:
             return leaf
+        consumed.add(s)
         delta = (ab["a"].astype(jnp.float32) @ ab["b"].astype(jnp.float32))
         return (leaf.astype(jnp.float32) + scale * delta).astype(leaf.dtype)
 
-    return jax.tree_util.tree_map_with_path(upd, params)
+    merged = jax.tree_util.tree_map_with_path(upd, params)
+    if strict:
+        missing = sorted(set(lora) - consumed)
+        if missing:
+            raise ValueError(
+                f"LoRA adapter has {len(missing)} entries matching no param "
+                f"leaf (wrong model family or path layout?): "
+                f"{missing[:5]}{'...' if len(missing) > 5 else ''}")
+    return merged
+
+
+def merge_lora_into(params: Any, path: str,
+                    scale: float | None = None) -> Any:
+    """Load an adapter file and return ``params`` with it merged in — the
+    shared implementation behind ``SafeDiffusionPipeline.load_lora`` and
+    ``SafeDiffusion3Pipeline.load_lora``.
+
+    ``scale`` overrides the adapter's recorded alpha/rank coefficient.
+    Raises on int8-quantized trees (adapters apply to float kernels — call
+    before ``enable_int8``) and on adapters whose paths match no leaf.
+    The merge runs as ONE jitted program (per-kernel eager dispatch would
+    cost a tunnel RPC round-trip for every targeted kernel).
+    """
+    lora, meta = load_lora(path)
+    if scale is None:
+        scale = lora_scale(int(meta.get("rank", 1)), meta.get("alpha", None))
+    if isinstance(params, dict) and "quant" in params:
+        raise ValueError(
+            "load_lora after enable_int8: the adapter applies to float "
+            "kernels. Load the adapter first, then enable_int8().")
+    # strict-validate OUTSIDE jit so a bad file raises before compiling
+    leaf_paths = set()
+    jax.tree_util.tree_map_with_path(
+        lambda p, l: leaf_paths.add(_path_str(p)), params)
+    missing = sorted(set(lora) - leaf_paths)
+    if missing:
+        raise ValueError(
+            f"LoRA adapter has {len(missing)} entries matching no param "
+            f"leaf (wrong model family or path layout?): "
+            f"{missing[:5]}{'...' if len(missing) > 5 else ''}")
+    return jax.jit(lambda p, l: apply_lora(p, l, scale, strict=False))(
+        params, lora)
 
 
 def make_lora_esd_train_step(apply_fn: Callable,
@@ -227,11 +278,20 @@ def load_lora(path: str):
         blob = load_pt(path)
         flat, meta = blob["lora"], dict(blob["meta"])
     lora: Dict[str, Dict[str, Any]] = {}
+    unknown = []
     for k, v in flat.items():
         if k.endswith(".lora_a"):
             lora.setdefault(k[:-len(".lora_a")], {})["a"] = jnp.asarray(v)
         elif k.endswith(".lora_b"):
             lora.setdefault(k[:-len(".lora_b")], {})["b"] = jnp.asarray(v)
+        else:
+            unknown.append(k)
+    if unknown or not lora:
+        raise ValueError(
+            f"{path} is not a LoRA adapter file: "
+            + (f"{len(unknown)} keys end in neither .lora_a nor .lora_b "
+               f"({unknown[:3]}...)" if unknown else "no .lora_a/.lora_b "
+               "tensors found"))
     for p, ab in lora.items():
         if set(ab) != {"a", "b"}:
             raise ValueError(f"adapter file missing a/b pair for {p}")

@@ -335,3 +335,81 @@ def test_lora_step_under_mesh_matches_unsharded():
                     jax.tree_util.tree_leaves(lora_s)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_apply_lora_strict_raises_on_unmatched_paths():
+    """A path-mismatched adapter must raise, not merge as a silent no-op
+    (the user would sample from an un-erased model believing the adapter
+    is active)."""
+    _, params, _, _ = _tiny_setup()
+    lora = init_lora_params(params, jax.random.PRNGKey(0), rank=2,
+                            targets="xattn")
+    bad = {("wrong/" + k): v for k, v in lora.items()}
+    with pytest.raises(ValueError, match="matching no param leaf"):
+        apply_lora(params, bad)
+    # strict=False keeps the trainable-overlay semantics (always-matching
+    # paths by construction) available without the trace-time set check
+    merged = apply_lora(params, bad, strict=False)
+    for a, b in zip(jax.tree_util.tree_leaves(merged),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_merge_lora_into_rejects_wrong_family_adapter(tmp_path):
+    """Pipeline-surface merge must validate adapter paths against the tree
+    BEFORE compiling the merge (wrong model family / foreign file)."""
+    from safe_denoiser_tpu.training import merge_lora_into
+    _, params, _, _ = _tiny_setup()
+    lora = init_lora_params(params, jax.random.PRNGKey(0), rank=2,
+                            targets="xattn")
+    bad = {("sd3_block/" + k): v for k, v in lora.items()}
+    p = str(tmp_path / "bad.safetensors")
+    save_lora(p, bad, rank=2)
+    with pytest.raises(ValueError, match="matching no param leaf"):
+        merge_lora_into(params, p)
+    # and the matched adapter still merges identically to apply_lora
+    good = str(tmp_path / "good.safetensors")
+    save_lora(good, lora, rank=2)
+    merged = merge_lora_into(params, good)
+    expect = apply_lora(params, lora, 1.0)
+    for a, b in zip(jax.tree_util.tree_leaves(merged),
+                    jax.tree_util.tree_leaves(expect)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_lora_rejects_non_adapter_file(tmp_path):
+    """A .safetensors that is not an adapter (keys end in neither .lora_a
+    nor .lora_b) must raise instead of loading an empty/partial tree."""
+    from safetensors.numpy import save_file
+    p = str(tmp_path / "unet.safetensors")
+    save_file({"conv_in.weight": np.zeros((4, 4), np.float32)}, p)
+    with pytest.raises(ValueError, match="not a LoRA adapter"):
+        load_lora(p)
+
+
+def test_resume_with_changed_rank_raises(tmp_path):
+    """restore_train_state must reject shape-mismatched snapshots (flax's
+    from_state_dict silently restores ANY shape into the template): a
+    --lora_rank 4 resume of a rank-8 run must fail loudly, not continue
+    with a wrong merge scale and lying export metadata."""
+    from safe_denoiser_tpu.training import (restore_train_state,
+                                            save_train_state)
+    _, params, _, _ = _tiny_setup()
+    cfg = ESDConfig()
+    lora8 = init_lora_params(params, jax.random.PRNGKey(0), rank=8,
+                             targets="xattn")
+    opt8 = make_optimizer(cfg).init(lora8)
+    p = str(tmp_path / "ck.train_state")
+    save_train_state(p, lora8, opt8, 10, jax.random.PRNGKey(1),
+                     metadata={"lora_rank": 8})
+    lora4 = init_lora_params(params, jax.random.PRNGKey(0), rank=4,
+                             targets="xattn")
+    opt4 = make_optimizer(cfg).init(lora4)
+    with pytest.raises(ValueError, match="different hyperparameters"):
+        restore_train_state(p, lora4, opt4)
+    # same-rank restore still round-trips
+    got, _, step, _, meta = restore_train_state(p, lora8, opt8)
+    assert step == 10 and int(meta["lora_rank"]) == 8
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(lora8)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

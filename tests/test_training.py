@@ -229,7 +229,8 @@ def test_esd_param_mask_updates_only_selected_subset(method, touched,
         if method != "noxattn" and frozen_frag in s:
             assert not flat_mask[path], s
         if method == "noxattn":
-            top = s.split("/")[0]
+            parts = [k for k in s.split("/") if k != "params"]
+            top = parts[0] if parts else ""
             # CompVis ESD noxattn recipe: freeze attn2, the TOP-LEVEL time
             # embedding, and the output head ('out.') — but the per-resnet
             # time_emb_proj stays trainable (CompVis 'emb_layers')
