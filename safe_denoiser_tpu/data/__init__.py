@@ -2,10 +2,11 @@
 
 from .images import (get_all_imgs, get_dataloader, get_dataset,
                      get_transform, load_image_bank)
-from .prompts import PromptCase, iter_prompt_cases, load_prompt_csv
+from .prompts import (PromptCase, iter_prompt_cases, load_prompt_csv,
+                      shard_cases)
 
 __all__ = [
     "get_dataset", "get_dataloader", "get_transform", "get_all_imgs",
     "load_image_bank",
-    "load_prompt_csv", "iter_prompt_cases", "PromptCase",
+    "load_prompt_csv", "iter_prompt_cases", "PromptCase", "shard_cases",
 ]

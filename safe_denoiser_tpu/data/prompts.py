@@ -86,3 +86,25 @@ def iter_prompt_cases(dataset: pd.DataFrame,
         yield PromptCase(case_number=case_num, prompt=target_prompt,
                          seed=int(seed), guidance=float(guidance),
                          categories=categories, row_index=int(_iter))
+
+
+def shard_cases(cases: Iterator[PromptCase], num_shards: int,
+                shard_id: int) -> Iterator[PromptCase]:
+    """Fleet mode: deterministic round-robin partition of a benchmark's
+    cases across ``num_shards`` independent processes/hosts (the reference
+    is single-process; SURVEY.md §5 notes the scaling axis of these
+    benchmarks is the 10k-30k prompt count). Shard k yields cases whose
+    enumeration order ``% num_shards == k`` — balanced, disjoint, and
+    independent of case_number gaps or broken-row skips on other shards.
+
+    Each shard writes its own --save-dir; merge the per-shard
+    ``detect_dict.json`` files with ``tools/logs.py::merge_detect_dicts``.
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    if not 0 <= shard_id < num_shards:
+        raise ValueError(
+            f"shard_id {shard_id} out of range for num_shards {num_shards}")
+    for i, case in enumerate(cases):
+        if i % num_shards == shard_id:
+            yield case

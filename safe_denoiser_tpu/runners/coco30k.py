@@ -13,7 +13,7 @@ from ..data import iter_prompt_cases
 from ..pipeline.diffusion import ERASE_SPECS
 from ..utils.logging import Logger
 from .common import (base_parser, build_pipeline, build_repellency,
-                     dump_run_artifacts, make_save_dirs)
+                     dump_run_artifacts, make_save_dirs, shard_iter)
 from .nudity import resolve_negative_space, save_png
 
 
@@ -83,10 +83,9 @@ def main(argv=None):
     scorer = (InLoopClipScore(args.clip_weights_dir)
               if args.clip_weights_dir else None)
 
-    cases = list(iter_prompt_cases(dataset,
-                                   default_guidance=args.guidance_scale,
-                                   valid_case_numbers=args.valid_case_numbers,
-                                   logger=logger))
+    cases = list(shard_iter(args, iter_prompt_cases(
+        dataset, default_guidance=args.guidance_scale,
+        valid_case_numbers=args.valid_case_numbers, logger=logger)))
 
     # Batched throughput mode (--batch_size > 1): rows keep their own seeds
     # and guidance; CFG pairs fold into one UNet batch (the reference is

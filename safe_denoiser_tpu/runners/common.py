@@ -120,7 +120,26 @@ def base_parser(description: str) -> tuple[argparse.ArgumentParser, dict]:
                    help="quantize the wide transformer matmuls to int8 "
                         "(W8A8; UNet level-2/mid on SD-v1, MMDiT blocks "
                         "on SD3)")
+    # beyond-reference fleet mode: partition the prompt CSV round-robin
+    # across independent processes/hosts (each with its own --save-dir);
+    # merge per-shard detect_dict.json afterwards with
+    # `python -m safe_denoiser_tpu.tools.logs merge <out> <shard dicts...>`
+    p.add_argument("--num_shards", type=int, default=g("num_shards", 1),
+                   help="fleet mode: total number of independent shard "
+                        "processes splitting the prompt set")
+    p.add_argument("--shard_id", type=int, default=g("shard_id", 0),
+                   help="fleet mode: this process's shard index in "
+                        "[0, num_shards)")
     return p, cfg
+
+
+def shard_iter(args, cases):
+    """Apply --num_shards/--shard_id to a PromptCase iterator (pass-through
+    partition for the default single-process run; always validates the
+    shard indices so a stray --shard_id is rejected loudly)."""
+    from ..data import shard_cases
+    return shard_cases(cases, getattr(args, "num_shards", 1),
+                       getattr(args, "shard_id", 0))
 
 
 def make_save_dirs(save_dir: str) -> dict[str, str]:

@@ -14,8 +14,7 @@ from ..pipeline.diffusion import ERASE_SPECS
 from ..utils.logging import Logger
 from .common import (
     DetectAggregator, base_parser, build_eval, build_pipeline,
-    build_repellency, make_save_dirs,
-)
+    build_repellency, make_save_dirs, shard_iter)
 from .nudity import resolve_negative_space, save_png
 
 
@@ -40,9 +39,9 @@ def main(argv=None):
     negative_prompt_space, negative_prompt = resolve_negative_space(args)
 
     agg = DetectAggregator()
-    for case in iter_prompt_cases(dataset, default_guidance=args.guidance_scale,
-                                  valid_case_numbers=args.valid_case_numbers,
-                                  logger=logger):
+    for case in shard_iter(args, iter_prompt_cases(
+            dataset, default_guidance=args.guidance_scale,
+            valid_case_numbers=args.valid_case_numbers, logger=logger)):
         if args.resume and os.path.exists(
                 os.path.join(dirs["all"], f"{case.case_number}.png")):
             logger.log(f"[resume] skipping Case#: {case.case_number}")

@@ -21,8 +21,7 @@ from .common import (
     build_pipeline,
     build_repellency,
     dump_run_artifacts,
-    make_save_dirs,
-)
+    make_save_dirs, shard_iter)
 
 
 def save_png(img: np.ndarray, path: str) -> None:
@@ -89,9 +88,9 @@ def main(argv=None):
     negative_prompt_space, negative_prompt = resolve_negative_space(args)
 
     agg = DetectAggregator()
-    for case in iter_prompt_cases(dataset, default_guidance=args.guidance_scale,
-                                  valid_case_numbers=args.valid_case_numbers,
-                                  logger=logger):
+    for case in shard_iter(args, iter_prompt_cases(
+            dataset, default_guidance=args.guidance_scale,
+            valid_case_numbers=args.valid_case_numbers, logger=logger)):
         if args.resume:
             tag = (f"{case.case_number}.png" if "artists-" in args.category
                    else f"{case.case_number}_{'-'.join(case.categories)}.png")

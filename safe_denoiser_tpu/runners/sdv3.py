@@ -17,7 +17,7 @@ from ..utils.config import load_yaml
 from ..utils.logging import Logger
 from .common import (DetectAggregator, base_parser, build_eval,
                      check_bank_matches_image_length, make_save_dirs,
-                     maybe_enable_bank_sharding)
+                     maybe_enable_bank_sharding, shard_iter)
 from .nudity import save_png
 
 
@@ -102,9 +102,9 @@ def main_nudity(argv=None):
     window = RepellencyWindow(1000.0, 880.0 if args.efficient else 780.0)
 
     agg = DetectAggregator()
-    for case in iter_prompt_cases(dataset, default_guidance=args.guidance_scale,
-                                  valid_case_numbers=args.valid_case_numbers,
-                                  logger=logger):
+    for case in shard_iter(args, iter_prompt_cases(
+            dataset, default_guidance=args.guidance_scale,
+            valid_case_numbers=args.valid_case_numbers, logger=logger)):
         start = time.time()
         # negative_prompt=None -> the pipeline's hardcoded 17-phrase string.
         # EVERY reference SD3 pipeline (vanilla sdv3_pipeline.py:984-991 and
@@ -164,9 +164,9 @@ def main_coco30k(argv=None):
         logger.log("int8: MMDiT block matmuls quantized (W8A8)")
     repellency_processor, _ = build_sd3_repellency(args, pipe, logger)
 
-    for case in iter_prompt_cases(dataset, default_guidance=args.guidance_scale,
-                                  valid_case_numbers=args.valid_case_numbers,
-                                  logger=logger):
+    for case in shard_iter(args, iter_prompt_cases(
+            dataset, default_guidance=args.guidance_scale,
+            valid_case_numbers=args.valid_case_numbers, logger=logger)):
         start = time.time()
         imgs = pipe(case.prompt,
                     num_inference_steps=args.num_inference_steps,

@@ -69,3 +69,79 @@ def parse_log_file_to_csv(log_path: str, csv_path: str) -> int:
             w.writerow([r.case_number, r.seed, r.prompt, r.unsafe, r.pred,
                         r.wall_clock_s, len(r.repellency_timesteps)])
     return len(records)
+
+
+def merge_detect_dicts(dicts: "list[dict]") -> dict:
+    """Merge per-shard ``detect_dict.json`` payloads (fleet mode,
+    --num_shards/--shard_id) into the dict a single-process run would have
+    produced. Ratios are re-derived from counts: each shard's
+    ``toxic_ratio[cat] * toxic_size[cat]`` recovers its unsafe count, so
+    the merge is exact (no averaging-of-averages drift). The per-case
+    ``unsafe`` lists concatenate in shard order — use the per-shard logs
+    for case-level attribution.
+    """
+    unsafe: list = []
+    counts: dict[str, int] = {}
+    sizes: dict[str, int] = {}
+    pred_sums: dict[str, float] = {}
+    total_unsafe = 0
+    total = 0
+    for d in dicts:
+        unsafe.extend(d.get("unsafe", []))
+        ratio = d.get("toxic_ratio", {})
+        pred = d.get("toxic_pred_ratio", {})
+        size = d.get("toxic_size", {})
+        for cat, n in size.items():
+            if cat == "average":
+                total += int(n)
+                total_unsafe += round(ratio.get("average", 0.0) * n)
+                continue
+            sizes[cat] = sizes.get(cat, 0) + int(n)
+            counts[cat] = counts.get(cat, 0) + round(ratio.get(cat, 0.0) * n)
+            pred_sums[cat] = pred_sums.get(cat, 0.0) + pred.get(cat, 0.0) * n
+    out: dict = {"unsafe": unsafe}
+    out["toxic_ratio"] = {c: counts[c] / sizes[c] for c in sizes}
+    out["toxic_pred_ratio"] = {c: pred_sums[c] / sizes[c] for c in sizes}
+    out["toxic_size"] = dict(sizes)
+    if total:
+        out["toxic_ratio"]["average"] = total_unsafe / total
+        out["toxic_size"]["average"] = total
+    return out
+
+
+def merge_detect_dict_files(out_path: str, shard_paths: "list[str]") -> dict:
+    import json
+
+    merged = merge_detect_dicts(
+        [json.load(open(p)) for p in shard_paths])
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=2)
+    return merged
+
+
+def _main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="log/result tooling (reference mics/parse_score.py)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pp = sub.add_parser("parse", help="logs.txt -> per-case CSV")
+    pp.add_argument("log_path")
+    pp.add_argument("csv_path")
+    pm = sub.add_parser("merge", help="merge per-shard detect_dict.json "
+                                      "files (fleet mode)")
+    pm.add_argument("out_path")
+    pm.add_argument("shards", nargs="+")
+    args = p.parse_args(argv)
+    if args.cmd == "parse":
+        n = parse_log_file_to_csv(args.log_path, args.csv_path)
+        print(f"{n} cases -> {args.csv_path}")
+    else:
+        merged = merge_detect_dict_files(args.out_path, args.shards)
+        print(f"merged {len(args.shards)} shards -> {args.out_path} "
+              f"(average toxic_ratio "
+              f"{merged['toxic_ratio'].get('average', float('nan')):.4f})")
+
+
+if __name__ == "__main__":
+    _main()

@@ -135,3 +135,42 @@ def test_fixture_coco30k_schema():
     assert len(cases) == 5
     assert cases[0].prompt.startswith("A bicycle replica")
     assert cases[0].case_number == 0 and cases[0].seed == 41337
+
+
+def test_shard_cases_partition_disjoint_and_covering():
+    """Fleet mode: shards are balanced round-robin, disjoint, covering, and
+    deterministic; out-of-range ids are rejected loudly."""
+    from safe_denoiser_tpu.data import shard_cases
+
+    df = pd.DataFrame({
+        "case_number": list(range(7)),
+        "prompt": [f"p{i}" for i in range(7)],
+        "evaluation_seed": list(range(7)),
+    })
+    full = [c.case_number for c in iter_prompt_cases(df)]
+    shards = [[c.case_number for c in
+               shard_cases(iter_prompt_cases(df), 3, k)] for k in range(3)]
+    assert shards == [[0, 3, 6], [1, 4], [2, 5]]
+    assert sorted(sum(shards, [])) == full
+    # num_shards=1 is the identity
+    assert [c.case_number
+            for c in shard_cases(iter_prompt_cases(df), 1, 0)] == full
+    # the partition indexes the ENUMERATION, not case_number: a broken row
+    # (skipped by the sniffer on every shard) must not unbalance shards
+    df_broken = pd.DataFrame({
+        "case_number": list(range(7)),
+        "prompt": [f"p{i}" if i != 1 else 123 for i in range(7)],  # row 1
+        "evaluation_seed": list(range(7)),                # broken (non-str)
+    })
+    s0 = [c.case_number for c in
+          shard_cases(iter_prompt_cases(df_broken), 2, 0)]
+    s1 = [c.case_number for c in
+          shard_cases(iter_prompt_cases(df_broken), 2, 1)]
+    assert sorted(s0 + s1) == [0, 2, 3, 4, 5, 6]
+    assert abs(len(s0) - len(s1)) <= 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        list(shard_cases(iter_prompt_cases(df), 2, 2))
+    with _pytest.raises(ValueError):
+        list(shard_cases(iter_prompt_cases(df), 0, 0))

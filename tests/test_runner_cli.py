@@ -279,3 +279,35 @@ def test_bank_image_length_mismatch_fails_fast():
     # cache-imported proj refs: bank images unused, mismatch tolerated
     check_bank_matches_image_length(
         refs_512, {"params": {"cache_proj_ref": True}}, 32)
+
+
+def test_run_nudity_fleet_shards_disjoint_and_covering(tmp_path):
+    """Fleet mode (--num_shards/--shard_id): two shard processes of the same
+    benchmark must generate disjoint case sets whose union is the full set
+    (round-robin by enumeration order), each into its own save dir."""
+    tok = _tiny_tokenizer()
+    ckpt = _write_checkpoint(tmp_path, tok)
+    csv = tmp_path / "prompts.csv"
+    csv.write_text("case_number,prompt,evaluation_seed\n"
+                   "0,a cat,7\n1,a dog,8\n2,a bird,9\n")
+
+    from safe_denoiser_tpu.runners.nudity import main
+    outs = []
+    for k in range(2):
+        save_dir = tmp_path / f"out_shard{k}"
+        main(["--data", str(csv), "--save-dir", str(save_dir),
+              "--erase_id", "std", "--model_dir", str(ckpt),
+              "--category", "artists-Test",
+              "--num_inference_steps", "2", "--image_length", "32",
+              "--num_shards", "2", "--shard_id", str(k)])
+        outs.append({p.name for p in (save_dir / "all").glob("*.png")})
+    assert outs[0] == {"0.png", "2.png"}
+    assert outs[1] == {"1.png"}
+
+    # invalid shard indices are rejected loudly
+    with pytest.raises(ValueError, match="out of range"):
+        main(["--data", str(csv), "--save-dir", str(tmp_path / "bad"),
+              "--erase_id", "std", "--model_dir", str(ckpt),
+              "--category", "artists-Test",
+              "--num_inference_steps", "2", "--image_length", "32",
+              "--num_shards", "2", "--shard_id", "2"])

@@ -107,3 +107,53 @@ def test_stacks_and_timer():
     t.start()
     t.stop()
     assert t.summary()["n"] == 1
+
+
+def test_merge_detect_dicts_exact():
+    """Fleet-mode merge must equal the single-process aggregation exactly
+    (counts re-derived from ratio*size, no averaging-of-averages)."""
+    from safe_denoiser_tpu.runners.common import DetectAggregator
+    from safe_denoiser_tpu.tools.logs import merge_detect_dicts
+
+    cases = [(["sexual"], True, 0.9), (["sexual", "violence"], False, 0.2),
+             (["violence"], True, 0.7), (["sexual"], True, 0.8),
+             (["harassment"], False, 0.1)]
+    full = DetectAggregator()
+    sh = [DetectAggregator(), DetectAggregator()]
+    for i, (cats, unsafe, pred) in enumerate(cases):
+        full.add(cats, unsafe, pred)
+        sh[i % 2].add(cats, unsafe, pred)
+    merged = merge_detect_dicts([a.finalize() for a in sh])
+    want = full.finalize()
+    assert merged["toxic_size"] == want["toxic_size"]
+    for cat, r in want["toxic_ratio"].items():
+        assert merged["toxic_ratio"][cat] == pytest.approx(r)
+    for cat, r in want["toxic_pred_ratio"].items():
+        assert merged["toxic_pred_ratio"][cat] == pytest.approx(r)
+    assert sorted(merged["unsafe"]) == sorted(want["unsafe"])
+
+
+def test_merge_detect_dict_files_cli(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    from safe_denoiser_tpu.runners.common import DetectAggregator
+
+    paths = []
+    for k in range(2):
+        a = DetectAggregator()
+        a.add(["sexual"], k == 0, 0.5 + k / 10)
+        p = tmp_path / f"shard{k}.json"
+        p.write_text(json.dumps(a.finalize()))
+        paths.append(str(p))
+    out = tmp_path / "merged.json"
+    r = subprocess.run(
+        [sys.executable, "-m", "safe_denoiser_tpu.tools.logs", "merge",
+         str(out), *paths],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    merged = json.loads(out.read_text())
+    assert merged["toxic_size"]["sexual"] == 2
+    assert merged["toxic_ratio"]["sexual"] == pytest.approx(0.5)
+    assert merged["toxic_ratio"]["average"] == pytest.approx(0.5)
