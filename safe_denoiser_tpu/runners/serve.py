@@ -49,6 +49,15 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--shard_bank", action="store_true",
                    default=g("shard_bank", False))
     p.add_argument("--save-dir", type=str, default=g("save_dir", "./serve"))
+    p.add_argument("--export_aot", type=str, default=g("export_aot", None),
+                   help="export this serving configuration as an AOT "
+                        "deployment bundle (serving/aot.py) to PATH and "
+                        "exit — no server is started")
+    p.add_argument("--aot_bundle", type=str, default=g("aot_bundle", None),
+                   help="serve from a pre-exported AOT bundle instead of "
+                        "tracing: programs come from the artifact, weights "
+                        "from --model_dir ('none'-text-method erase ids "
+                        "only)")
     return p.parse_args(argv)
 
 
@@ -73,6 +82,46 @@ def build_generate_fn(args, pipe, repellency_processor, erase_spec, logger):
     return run_batch
 
 
+def build_aot_generate_fn(args, pipe, repellency_processor, erase_spec,
+                          logger):
+    """-> run_batch over a pre-exported AOT bundle (serving/aot.py): the
+    device programs come from the artifact, weights/tokenizer from the live
+    checkpoint. Text-method erase ids (safree/sld) need host-side text prep
+    the bundle does not carry — refuse those loudly."""
+    from ..serving.aot import load_bundle
+
+    if erase_spec.text_method != "none":
+        raise SystemExit(
+            f"--aot_bundle serves 'none'-text-method erase ids only "
+            f"(got {args.erase_id!r}: SAFREE/SLD text prep is live host "
+            "logic) — drop --aot_bundle or use std/std_rep")
+    bundle = load_bundle(args.aot_bundle)
+    for key, want in (("batch_size", args.batch_size),
+                      ("num_inference_steps", args.num_inference_steps),
+                      ("height", args.image_length)):
+        if int(bundle.meta[key]) != int(want):
+            raise SystemExit(
+                f"--aot_bundle was exported with {key}="
+                f"{bundle.meta[key]} but the server is configured for "
+                f"{want} — re-export or match the flags")
+    refs = None
+    if repellency_processor is not None and erase_spec.repellency:
+        refs = repellency_processor.get_proj_ref()
+    logger.log(f"AOT bundle: {args.aot_bundle} "
+               f"(exported on jax {bundle.meta.get('jax_version')}, "
+               f"platform {bundle.meta.get('platform')})")
+
+    def run_batch(reqs):
+        return bundle.generate(
+            pipe.unet_params, pipe.vae_params, pipe.text_params,
+            pipe.tokenizer, prompts=[r.prompt for r in reqs],
+            seeds=[r.seed for r in reqs],
+            guidance_scales=[r.guidance_scale for r in reqs],
+            negative_prompt=args.negative_prompt, refs=refs)
+
+    return run_batch
+
+
 def main(argv=None):
     args = parse_args(argv)
 
@@ -89,8 +138,31 @@ def main(argv=None):
     pipe = build_pipeline(args, logger)
     repellency_processor, _ = build_repellency(args, pipe, logger)
 
-    run_batch = build_generate_fn(args, pipe, repellency_processor,
-                                  erase_spec, logger)
+    if args.export_aot:
+        from ..serving.aot import export_pipeline, save_bundle
+        if erase_spec.text_method != "none":
+            raise SystemExit(
+                "--export_aot supports 'none'-text-method erase ids only "
+                "(SAFREE/SLD text prep is live host logic)")
+        cfg = refs = None
+        if repellency_processor is not None and erase_spec.repellency:
+            cfg = repellency_processor.config()
+            refs = repellency_processor.get_proj_ref()
+        bundle = export_pipeline(
+            pipe, batch_size=args.batch_size,
+            num_inference_steps=args.num_inference_steps,
+            height=args.image_length, width=args.image_length,
+            erase_spec=erase_spec, repellency_cfg=cfg, refs=refs)
+        save_bundle(bundle, args.export_aot)
+        logger.log(f"AOT bundle exported to {args.export_aot}")
+        return
+
+    if args.aot_bundle:
+        run_batch = build_aot_generate_fn(args, pipe, repellency_processor,
+                                          erase_spec, logger)
+    else:
+        run_batch = build_generate_fn(args, pipe, repellency_processor,
+                                      erase_spec, logger)
     batcher = DynamicBatcher(run_batch, args.batch_size,
                              max_delay_s=args.max_delay_ms / 1000.0)
 

@@ -9,6 +9,7 @@ SafeDiffusionPipeline.generate_batch.
 
 import base64
 import http.client
+import os
 import io
 import json
 import threading
@@ -202,3 +203,70 @@ def test_serve_runner_end_to_end(tmp_path):
     finally:
         srv.shutdown()
         b.close()
+
+
+def test_serve_runner_aot_bundle_end_to_end(tmp_path):
+    """Deployment-artifact wiring: serve.py --export_aot writes the bundle,
+    then --aot_bundle serves HTTP from the exported programs and matches the
+    live-pipeline image bit-for-bit on the same platform."""
+    from PIL import Image
+
+    from tests.test_e2e_pipeline import _tiny_tokenizer
+    from tests.test_runner_cli import _write_checkpoint
+
+    from safe_denoiser_tpu.pipeline.diffusion import ERASE_SPECS
+    from safe_denoiser_tpu.runners.common import build_pipeline
+    from safe_denoiser_tpu.runners.serve import (build_aot_generate_fn,
+                                                 main, parse_args)
+    from safe_denoiser_tpu.utils.logging import Logger
+
+    ckpt = _write_checkpoint(tmp_path, _tiny_tokenizer())
+    bundle_path = str(tmp_path / "bundle.sdt")
+    # export via the CLI entry (exits before serving)
+    main(["--model_dir", str(ckpt), "--batch_size", "2",
+          "--num_inference_steps", "2", "--image_length", "16",
+          "--save-dir", str(tmp_path / "serve"),
+          "--export_aot", bundle_path])
+    assert os.path.exists(bundle_path)
+
+    args = parse_args(["--model_dir", str(ckpt), "--batch_size", "2",
+                       "--num_inference_steps", "2", "--image_length", "16",
+                       "--save-dir", str(tmp_path / "serve"),
+                       "--aot_bundle", bundle_path])
+    logger = Logger(str(tmp_path / "serve_logs.txt"))
+    pipe = build_pipeline(args, logger)
+    run_batch = build_aot_generate_fn(args, pipe, None, ERASE_SPECS["std"],
+                                      logger)
+    b = DynamicBatcher(run_batch, args.batch_size, max_delay_s=0.02)
+    srv = make_server(b, port=0, logger=logger)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        status, data = _http(port, "POST", "/generate",
+                             {"prompt": "a cat", "seed": 5,
+                              "guidance_scale": 7.5})
+        assert status == 200, data
+        aot_img = np.asarray(Image.open(io.BytesIO(
+            base64.b64decode(data["image_png_base64"]))))
+        assert aot_img.shape == (16, 16, 3)
+    finally:
+        srv.shutdown()
+        b.close()
+
+    live = pipe.generate_batch(["a cat", "a cat"], seeds=[5, 5],
+                               guidance_scales=[7.5, 7.5],
+                               num_inference_steps=2, height=16, width=16)
+    np.testing.assert_array_equal(aot_img, live[0])
+
+    # flag-mismatch guard: a bundle exported at batch 2 refuses batch 4
+    args4 = parse_args(["--model_dir", str(ckpt), "--batch_size", "4",
+                        "--num_inference_steps", "2", "--image_length", "16",
+                        "--save-dir", str(tmp_path / "serve"),
+                        "--aot_bundle", bundle_path])
+    with pytest.raises(SystemExit, match="batch_size"):
+        build_aot_generate_fn(args4, pipe, None, ERASE_SPECS["std"], logger)
+    # text-method guard
+    with pytest.raises(SystemExit, match="none"):
+        build_aot_generate_fn(args, pipe, None, ERASE_SPECS["safree"],
+                              logger)
