@@ -512,9 +512,12 @@ def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     # 3.040 at 512 for the [8,8,4096,40] layer; use it when the grid allows.
     # The int8-QK path must stay at 512: its per-chunk quantize temporaries
     # under the unrolled fori pushed the 1024-block scoped VMEM to 18.16M
-    # (16M limit) at the S=4096 layer.
-    i8_attn = os.environ.get("SDT_INT8_ATTN") == "1"
-    block_q = 1024 if (s_pad % 1024 == 0 and not i8_attn) else 512
+    # (16M limit) at the S=4096 layer. The cap applies only when the int8
+    # path is actually taken (bhsd layout + bf16 compute) — an ambient
+    # SDT_INT8_ATTN=1 must not slow f32 parity or nt-layout runs.
+    quant_i8 = (os.environ.get("SDT_INT8_ATTN") == "1"
+                and layout != "nt" and compute_dtype == jnp.bfloat16)
+    block_q = 1024 if (s_pad % 1024 == 0 and not quant_i8) else 512
     if s_pad != s:
         # zero-pad to the block grid; padded keys are -inf-masked in the
         # kernel (SD3's joint sequence is 4096 + 333 text tokens), padded
@@ -558,7 +561,6 @@ def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         # _attn_kernel quant_i8). Beyond-parity opt-in like the int8 weight
         # path; bf16 compute only (the f32 path keeps reference-exact
         # numerics for the torch parity harnesses).
-        quant_i8 = i8_attn and compute_dtype == jnp.bfloat16
         out = _self_attention_bhsd(qf.astype(compute_dtype),
                                    ktf.astype(compute_dtype),
                                    vf.astype(compute_dtype),

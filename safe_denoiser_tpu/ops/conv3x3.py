@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_hbm, w_ref, b_ref, *rest, tile_h: int, H: int, W: int,
             Ci: int, Co: int, has_pre: bool, act: str | None,
-            has_res: bool, pad_cols: bool = False):
+            has_res: bool, pad_cols: bool = False, nofix: bool = False):
     """pad_cols=True: the activated scratch is 16 columns wider than the
     image (band at column 0, columns W..W+15 permanently zero), so the
     dx=-1 tap at m=0 wraps into the PREVIOUS flat row's zero pad and the
@@ -151,11 +151,10 @@ def _kernel(x_hbm, w_ref, b_ref, *rest, tile_h: int, H: int, W: int,
 
     # wrap fix-up == zero SAME-padding of the left/right image columns
     # (pad_cols handles both wrap and padding structurally — no fix-ups).
-    # SDT_CONV_NOFIX=1 is a TIMING-ONLY debug switch (wrong values at the
-    # image's left/right edge columns) that isolates what the six tiny
-    # fix-up dots cost per grid step.
-    import os
-    if not pad_cols and os.environ.get("SDT_CONV_NOFIX") != "1":
+    # nofix (SDT_CONV_NOFIX=1) is a TIMING-ONLY debug switch (wrong values
+    # at the image's left/right edge columns) that isolates what the six
+    # tiny fix-up dots cost per grid step.
+    if not pad_cols and not nofix:
         col_l = sv[:, W - 1, :]                       # [th+4, Ci]
         col_r = sv[:, 0, :]
         e_l = e_r = None
@@ -488,14 +487,17 @@ def conv3x3_up(h, w, b=None, *, form: str = "planar",
     )(h, _w_eff_up(w), bias)
 
 
-def _pick_tile_h(H: int, W: int, Co: int) -> int:
+def _pick_tile_h(H: int, W: int, Co: int,
+                 budget: float | None = None) -> int:
     # up to three per-tap f32 dot results [tile_h*W, Co] are live at once
     # (the in-register row sum); keep each ~<=1.25 MB so Mosaic's scoped
     # VMEM stays inside the v5e budget. The clamped halo DMA needs at least
     # one full extra row in range (H >= tile_h+2). SDT_CONV_BUDGET overrides
-    # for on-target tile sweeps (bytes per f32 dot result).
-    import os
-    budget = float(os.environ.get("SDT_CONV_BUDGET", "1.25e6"))
+    # for on-target tile sweeps (bytes per f32 dot result); conv3x3 threads
+    # it through the jit cache key so in-process sweeps recompile.
+    if budget is None:
+        import os
+        budget = float(os.environ.get("SDT_CONV_BUDGET", "1.25e6"))
     for th in (32, 16, 8, 4, 2, 1):
         if H % th == 0 and H >= th + 2 and th * W * Co * 4 <= budget:
             return th
@@ -532,7 +534,6 @@ def _fallback(x, w, b, pre_scale, pre_shift, act, residual):
     return out.astype(x.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("act", "interpret"))
 def conv3x3(x, w, b=None, pre_scale=None, pre_shift=None, act=None,
             residual=None, *, interpret: bool = False):
     """residual + conv3x3_SAME(act(x*pre_scale + pre_shift), w) + b.
@@ -542,16 +543,32 @@ def conv3x3(x, w, b=None, pre_scale=None, pre_shift=None, act=None,
     group_norm_ref's fast path); act: None|'silu'; residual: [B,H,W,Co].
     f32 accumulation, output in x.dtype. Falls back to the equivalent
     lax.conv composition for unsupported shapes (callers should gate on
-    supports())."""
+    supports()).
+
+    The SDT_CONV_PADCOLS / SDT_CONV_NOFIX env switches are read HERE (not
+    inside the jit) so flipping them in-process selects a different compiled
+    kernel instead of silently reusing a stale cache entry."""
+    import os
+    return _conv3x3_jit(
+        x, w, b, pre_scale, pre_shift, act, residual, interpret=interpret,
+        pad_cols=os.environ.get("SDT_CONV_PADCOLS", "0") == "1",
+        nofix=os.environ.get("SDT_CONV_NOFIX") == "1",
+        tile_budget=float(os.environ.get("SDT_CONV_BUDGET", "1.25e6")))
+
+
+@functools.partial(jax.jit, static_argnames=("act", "interpret", "pad_cols",
+                                             "nofix", "tile_budget"))
+def _conv3x3_jit(x, w, b=None, pre_scale=None, pre_shift=None, act=None,
+                 residual=None, *, interpret: bool = False,
+                 pad_cols: bool = False, nofix: bool = False,
+                 tile_budget: float = 1.25e6):
     B, H, W, Ci = x.shape
     Co = w.shape[-1]
     if not supports(x.shape, Ci, Co):
         return _fallback(x, w, b, pre_scale, pre_shift, act, residual)
 
-    import os
-    pad_cols = os.environ.get("SDT_CONV_PADCOLS", "0") == "1"
     Wp = W + 16 if pad_cols else W
-    tile_h = _pick_tile_h(H, Wp, Co)
+    tile_h = _pick_tile_h(H, Wp, Co, budget=tile_budget)
     has_pre = pre_scale is not None
     has_res = residual is not None
     w9 = w.reshape(9, Ci, Co)
@@ -583,7 +600,7 @@ def conv3x3(x, w, b=None, pre_scale=None, pre_shift=None, act=None,
     return pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, H=H, W=W, Ci=Ci, Co=Co,
                           has_pre=has_pre, act=act, has_res=has_res,
-                          pad_cols=pad_cols),
+                          pad_cols=pad_cols, nofix=nofix),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile_h, W, Co),

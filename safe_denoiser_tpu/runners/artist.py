@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 import time
 
+from ..data import shard_cases
 from ..pipeline.diffusion import ERASE_SPECS
 from ..utils.logging import Logger
 from .common import (base_parser, build_pipeline, build_repellency,
@@ -50,7 +51,11 @@ def main(task: str, argv=None):
         else args.guidance_scale
     logger.log(f"Seed: {seed}, target prompt: {spec['prompt']}")
 
-    for i in range(args.num_samples):
+    # Fleet mode: round-robin the sample indices like the CSV runners
+    # round-robin their cases (sample i -> shard i % num_shards); filenames
+    # keep the global index so shard outputs merge into one directory.
+    for i in shard_cases(iter(range(args.num_samples)), args.num_shards,
+                         args.shard_id):
         start = time.time()
         imgs = pipe(
             spec["prompt"],

@@ -152,6 +152,13 @@ def export_pipeline(pipe, batch_size: int, num_inference_steps: int = 50,
         "max_length": int(max_length),
         "vae_scaling_factor": float(pipe.vae.config.scaling_factor),
         "refs_none": refs is None,
+        # the BAKED statics: the exported sampling program runs THESE
+        # regardless of what the serving process is configured with —
+        # recorded so serve.py can refuse a mismatched --task_config /
+        # --erase_id instead of silently serving the export-time behavior
+        "erase_spec": dataclasses.asdict(erase_spec),
+        "repellency_cfg": (None if repellency_cfg is None
+                           else dataclasses.asdict(repellency_cfg)),
         "platform": jax.devices()[0].platform,
         "jax_version": jax.__version__,
     }

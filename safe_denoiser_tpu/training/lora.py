@@ -174,18 +174,9 @@ def merge_lora_into(params: Any, path: str,
         raise ValueError(
             "load_lora after enable_int8: the adapter applies to float "
             "kernels. Load the adapter first, then enable_int8().")
-    # strict-validate OUTSIDE jit so a bad file raises before compiling
-    leaf_paths = set()
-    jax.tree_util.tree_map_with_path(
-        lambda p, l: leaf_paths.add(_path_str(p)), params)
-    missing = sorted(set(lora) - leaf_paths)
-    if missing:
-        raise ValueError(
-            f"LoRA adapter has {len(missing)} entries matching no param "
-            f"leaf (wrong model family or path layout?): "
-            f"{missing[:5]}{'...' if len(missing) > 5 else ''}")
-    return jax.jit(lambda p, l: apply_lora(p, l, scale, strict=False))(
-        params, lora)
+    # apply_lora's strict check is trace-time Python, so a path-mismatched
+    # file raises while TRACING — before any compile work is spent
+    return jax.jit(lambda p, l: apply_lora(p, l, scale))(params, lora)
 
 
 def make_lora_esd_train_step(apply_fn: Callable,

@@ -90,6 +90,12 @@ def test_aot_with_repellency_bank(pipe, tmp_path):
     path = str(tmp_path / "rep.sdt")
     save_bundle(bundle, path)
     loaded = load_bundle(path)
+    # the baked statics are recorded in meta (and JSON round-trip exactly)
+    # so serve.py can refuse a mismatched serving config instead of
+    # silently running the export-time values
+    import dataclasses
+    assert loaded.meta["repellency_cfg"] == dataclasses.asdict(cfg)
+    assert loaded.meta["erase_spec"] == dataclasses.asdict(spec)
     imgs = loaded.generate(pipe.unet_params, pipe.vae_params,
                            pipe.text_params, pipe.tokenizer,
                            ["a cat"], [7], [7.5], refs=refs)

@@ -88,6 +88,51 @@ def test_fused_prologue_epilogue(shape, co, with_res):
     _check(got, _ref(x, w, b, pre=(a_c, b_c), act="silu", residual=res))
 
 
+@pytest.mark.parametrize("shape,co", [
+    ((2, 16, 16, 128), 128),    # edge bands exercise the pad-column zeros
+    ((1, 48, 16, 128), 128),    # interior bands
+    ((1, 8, 32, 256), 256),     # wider W, Ci != Co
+])
+def test_pad_cols_form_matches_lax_conv(shape, co, monkeypatch):
+    """SDT_CONV_PADCOLS=1 kernel form (16 zero pad columns in the scratch,
+    no edge fix-up dots): edge-column numerics vs lax.conv. The env flip
+    must also select a different compiled kernel in-process (pad_cols is a
+    static jit arg, not a trace-time env read — review finding r3s13)."""
+    x, w, b = _rand_case(shape, co, seed=7)
+    want = _ref(x, w, b)
+    monkeypatch.setenv("SDT_CONV_PADCOLS", "1")
+    _check(conv3x3(x, w, b, interpret=True), want)
+    # fused prologue/epilogue under pad_cols too
+    rng = np.random.RandomState(11)
+    bsz, ci = shape[0], shape[-1]
+    a_c = jnp.asarray(rng.rand(bsz, ci) * 0.5 + 0.75, jnp.float32)
+    b_c = jnp.asarray(rng.randn(bsz, ci) * 0.2, jnp.float32)
+    res = jnp.asarray(rng.randn(bsz, shape[1], shape[2], co),
+                      jnp.float32).astype(jnp.bfloat16)
+    got = conv3x3(x, w, b, a_c, b_c, act="silu", residual=res,
+                  interpret=True)
+    _check(got, _ref(x, w, b, pre=(a_c, b_c), act="silu", residual=res))
+
+
+def test_conv_env_flips_recompile_in_process(monkeypatch):
+    """Flipping SDT_CONV_PADCOLS / SDT_CONV_NOFIX in-process must not reuse
+    a stale compiled kernel: NOFIX=1 is wrong at the image edge columns by
+    design, so same-buffer results must CHANGE when the flag flips."""
+    x, w, b = _rand_case((1, 16, 16, 128), 128, seed=5)
+    monkeypatch.delenv("SDT_CONV_PADCOLS", raising=False)
+    monkeypatch.delenv("SDT_CONV_NOFIX", raising=False)
+    good = np.asarray(conv3x3(x, w, b, interpret=True), np.float32)
+    monkeypatch.setenv("SDT_CONV_NOFIX", "1")
+    nofix = np.asarray(conv3x3(x, w, b, interpret=True), np.float32)
+    # interior identical, edge columns differ (the fix-up dots are skipped)
+    np.testing.assert_allclose(nofix[:, :, 1:-1], good[:, :, 1:-1],
+                               atol=1e-5)
+    assert np.abs(nofix[:, :, 0] - good[:, :, 0]).max() > 1e-3
+    monkeypatch.delenv("SDT_CONV_NOFIX", raising=False)
+    again = np.asarray(conv3x3(x, w, b, interpret=True), np.float32)
+    np.testing.assert_allclose(again, good, atol=1e-6)
+
+
 def test_no_bias_and_f32_kernel():
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(1, 16, 16, 128), jnp.float32)

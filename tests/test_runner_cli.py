@@ -169,6 +169,33 @@ def test_run_artist_cli(tmp_path):
     assert json.loads((save_dir / "detect_dict.json").read_text()) == {}
 
 
+def test_run_artist_cli_fleet_shards_samples(tmp_path):
+    """Fleet mode on the artist runners: the sample-index loop round-robins
+    across shards (disjoint + covering, global filenames) instead of every
+    shard regenerating all samples (review finding r3s13)."""
+    tok = _tiny_tokenizer()
+    ckpt = _write_checkpoint(tmp_path, tok)
+    from safe_denoiser_tpu.runners.artist import main
+    got = {}
+    for k in (0, 1):
+        save_dir = tmp_path / f"out_shard{k}"
+        main("munch", ["--save-dir", str(save_dir), "--erase_id", "std",
+                       "--model_dir", str(ckpt), "--num-samples", "3",
+                       "--num_inference_steps", "2", "--image_length", "32",
+                       "--num_shards", "2", "--shard_id", str(k)])
+        got[k] = {p.name for p in (save_dir / "all").glob("*.png")}
+    assert got[0] == {"0.png", "2.png"}
+    assert got[1] == {"1.png"}
+    # out-of-range shard ids are rejected loudly, like the CSV runners
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="shard_id"):
+        main("munch", ["--save-dir", str(tmp_path / "bad"),
+                       "--erase_id", "std", "--model_dir", str(ckpt),
+                       "--num-samples", "1", "--num_inference_steps", "2",
+                       "--image_length", "32",
+                       "--num_shards", "2", "--shard_id", "5"])
+
+
 def test_scheduler_config_loaded_from_checkpoint(tmp_path):
     import json as _json
 

@@ -3,8 +3,9 @@
 Stage 1 (kernel): per-layer-shape timing of _self_attention_bhsd with
 quant_i8 False/True (whole-loop wall ending in a scalar reduction — per-op
 block_until_ready lies through the tunnel) + numerics check on-device.
-Stage 2 (headline): SDT_INT8_ATTN=1 50-step scan ABA (control, int8-attn,
-control) via the shared harness in tools_ab_env.py if invoked with 'scan'.
+Stage 2 (headline): `python tools_ab_i8attn.py scan [leg]` dispatches to the
+shared ABA harness in tools_ab_env.py (control, int8-attn, control on the
+50-step scan; leg defaults to sd14, 'sd3' selects the MMDiT leg).
 
 Reference target: the attention the reference runs through diffusers
 Transformer2D blocks (reference models/unet_2d_blocks.py, head_dim 40/80).
@@ -75,4 +76,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "scan":
+        # Stage 2: whole-scan ABA via the shared harness (the only readout
+        # CLAUDE.md trusts through the tunnel)
+        import tools_ab_env
+        leg = sys.argv[2] if len(sys.argv) > 2 else "sd14"
+        tools_ab_env.main(["SDT_INT8_ATTN", "0", "1", leg])
+    else:
+        main()
