@@ -227,6 +227,114 @@ class SafeDiffusion3Pipeline:
 
         return run
 
+    @functools.cached_property
+    def _jitted_sample_batch_fn(self):
+        """Serving-mode runner: per-sample ``seeds``/``guidance_scales`` are
+        traced inputs (same convention as SafeDiffusionPipeline's run —
+        latents from fold_in(key, 0), scan stream from fold_in(key, 1)), so
+        the DynamicBatcher's padded partial batches reuse one XLA program
+        and each row reproduces its own single-row run."""
+        @functools.partial(
+            jax.jit,
+            static_argnames=("steps", "repellency", "window", "height",
+                             "width", "rep_bank"))
+        def run(transformer_params, text_embeds, pooled, refs, seeds,
+                guidance_scales, steps, repellency, window, height, width,
+                rep_bank=None):
+            c = self.transformer.config.in_channels
+            single = (height // self.vae_scale_factor,
+                      width // self.vae_scale_factor, c)
+            keys = jax.vmap(jax.random.PRNGKey)(seeds)
+            latents = jax.vmap(
+                lambda k: jax.random.normal(jax.random.fold_in(k, 0), single,
+                                            dtype=jnp.float32))(keys)
+            samp_rng = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+            latents, applied = sample_sd3(
+                lambda l, t, ctx, p: self.transformer.apply(
+                    transformer_params, l, t, ctx, p),
+                self.scheduler, text_embeds, pooled, latents, samp_rng,
+                steps, guidance_scale=guidance_scales,
+                repellency=repellency, refs_nchw=refs, window=window,
+                rep_bank=rep_bank)
+            return latents, applied
+
+        return run
+
+    def generate_batch(self, prompts: Sequence[str],
+                       seeds: Sequence[int],
+                       guidance_scales: Sequence[float],
+                       num_inference_steps: int = 50,
+                       negative_prompt: Optional[str] = None,
+                       negative_prompt2: Optional[str] = None,
+                       height: int = 1024, width: int = 1024,
+                       safree: bool = False, sf_alpha: float = 0.01,
+                       repellency_processor=None,
+                       window: RepellencyWindow = RepellencyWindow(
+                           1000.0, 780.0)):
+        """Batched multi-prompt SD3 generation — the throughput mode behind
+        ``serve.py --sd3`` (the reference's SD3 loop is batch 1). Each row
+        keeps its own seed and guidance scale as traced inputs; SAFREE
+        projection is computed per prompt, then stacked.
+
+        Returns a list of uint8 [H, W, 3] images, one per prompt.
+        """
+        b = len(prompts)
+        assert len(seeds) == b and len(guidance_scales) == b
+        if negative_prompt is None:
+            negative_prompt = SD3_NUDITY_NEGATIVE_PROMPT
+        per = [self.encode_prompt(p, negative_prompt) for p in prompts]
+        embeds = jnp.concatenate([e for e, _ in per], axis=1)   # [2, B, L, D]
+        pooled = jnp.concatenate([pl for _, pl in per], axis=1)
+
+        if safree:
+            neg_space = negative_prompt2 or SD3_NUDITY_NEGATIVE_PROMPT
+            neg_embeds = self._neg_space_embeds_t5(
+                [p.strip() for p in neg_space.split(",")])
+            concept_proj = projection_matrix(neg_embeds.T)
+            rows = []
+            for j, p in enumerate(prompts):
+                masked = self._masked_encode_prompt_t5(p)
+                masked_proj = projection_matrix(masked.T)
+                pair = jnp.stack([embeds[0, j], embeds[1, j]])
+                rescaled, n_removed, _ = safree_projection(
+                    pair, masked, masked_proj, concept_proj, alpha=sf_alpha,
+                    max_length=pair.shape[1])
+                if self.logger is not None:
+                    self.logger.log(
+                        f"Among {masked.shape[0]} tokens, we remove "
+                        f"{int(n_removed)}.")
+                rows.append(rescaled)
+            embeds = jnp.stack(rows, axis=1)                    # [2, B, L, D]
+
+        repellency_cfg = None
+        refs = None
+        if repellency_processor is not None:
+            # fast_sdv3 parity statics — same substitutions as __call__
+            repellency_cfg = dataclasses.replace(
+                repellency_processor.config(),
+                sigma=1.0, normalize_x=True, use_beta_gate=False)
+            refs = self._maybe_shard_refs(repellency_processor.get_proj_ref())
+
+        latents, applied = self._jitted_sample_batch_fn(
+            self.transformer_params, embeds, pooled, refs,
+            jnp.asarray(list(seeds), dtype=jnp.uint32),
+            jnp.asarray(list(guidance_scales), dtype=jnp.float32),
+            num_inference_steps, repellency_cfg, window, height, width,
+            rep_bank=self._rep_bank)
+
+        if self.logger is not None:
+            ts, _ = self.scheduler.timesteps_and_sigmas(num_inference_steps)
+            for i in np.nonzero(np.asarray(applied).any(axis=-1))[0]:
+                self.logger.log(
+                    "-" * 10 + f" Repellency applied at timestep {ts[i]} "
+                    + "-" * 10)
+
+        z = latents / self.vae.config.scaling_factor \
+            + self.vae.config.shift_factor
+        image = self._vae_decode_jit(self.vae_params, z)
+        image = np.asarray((image / 2 + 0.5).clip(0, 1))
+        return [(img * 255).round().astype(np.uint8) for img in image]
+
     def load_lora(self, path: str, scale: Optional[float] = None) -> None:
         """Merge a LoRA adapter (training/lora.py) into the MMDiT weights.
         Same contract as ``SafeDiffusionPipeline.load_lora``: adapters apply

@@ -266,6 +266,12 @@ def sample_sd3(transformer_apply: Callable[..., jax.Array],
     (σ₊ = σ − δ with δ = σ − σ_next); outside, the plain Euler step.
 
     text_embeds: [2, B, S, D] (uncond, cond); pooled: [2, B, P].
+
+    ``rng`` may be one key (the reference convention) or [B] raw keys for
+    per-sample noise streams; ``guidance_scale`` a scalar or [B] per-sample
+    values — both batched forms serve the DynamicBatcher (generate_batch),
+    where each padded row must reproduce its own single-row run. The
+    scalar/single-key paths are byte-identical to before.
     """
     timesteps_np, sigmas_np = scheduler.timesteps_and_sigmas(num_inference_steps)
     timesteps = jnp.asarray(timesteps_np)
@@ -273,17 +279,24 @@ def sample_sd3(transformer_apply: Callable[..., jax.Array],
     b = latents.shape[0]
     ctx = text_embeds.reshape(2 * b, *text_embeds.shape[2:])
     pooled = pooled_embeds.reshape(2 * b, *pooled_embeds.shape[2:])
+    per_sample_rng = hasattr(rng, "ndim") and rng.ndim == 2
+    gs = jnp.asarray(guidance_scale)
+    if gs.ndim == 1:                         # [B] -> broadcast over NHWC
+        gs = gs[:, None, None, None]
 
     def body(carry, scan_in):
         latents = carry
         i, t, sigma, sigma_next = scan_in
-        step_rng = jax.random.fold_in(rng, i)
+        if per_sample_rng:
+            step_rng = jax.vmap(lambda k: jax.random.fold_in(k, i))(rng)
+        else:
+            step_rng = jax.random.fold_in(rng, i)
 
         latent_in = jnp.concatenate([latents] * 2, axis=0)
         v = transformer_apply(latent_in, jnp.broadcast_to(t, (2 * b,)), ctx,
                               pooled)
         v_uncond, v_text = v[:b], v[b:]
-        v = v_uncond + guidance_scale * (v_text - v_uncond)
+        v = v_uncond + gs * (v_text - v_uncond)
 
         euler = latents + (sigma_next - sigma) * v
 
@@ -300,8 +313,13 @@ def sample_sd3(transformer_apply: Callable[..., jax.Array],
                 x0_rep, is_neg = apply_repellency(x0_nchw, refs_nchw,
                                                   repellency, bank=rep_bank)
                 x0_rep = jnp.transpose(x0_rep, (0, 2, 3, 1))
-                eps = jax.random.normal(jax.random.fold_in(step_rng, 1),
-                                        lat.shape, dtype=jnp.float32)
+                if per_sample_rng:
+                    eps = jax.vmap(lambda k: jax.random.normal(
+                        jax.random.fold_in(k, 1), lat.shape[1:],
+                        dtype=jnp.float32))(step_rng)
+                else:
+                    eps = jax.random.normal(jax.random.fold_in(step_rng, 1),
+                                            lat.shape, dtype=jnp.float32)
                 noise = (jnp.sqrt(sigma_next) * x1
                          + jnp.sqrt(1.0 - sigma_next) * eps)
                 renoised = x0_rep + sigma_next * (noise - x0_rep)

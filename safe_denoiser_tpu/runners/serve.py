@@ -58,6 +58,14 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "tracing: programs come from the artifact, weights "
                         "from --model_dir ('none'-text-method erase ids "
                         "only)")
+    p.add_argument("--sd3", action="store_true", default=g("sd3", False),
+                   help="serve the SD3 (MMDiT flow-matching) family: "
+                        "--model_dir is an HF-layout SD3 checkpoint; "
+                        "erase ids std (vanilla) / std_rep (repellency) / "
+                        "safree[_rep] map onto the SD3 pipeline")
+    p.add_argument("--int8", action="store_true", default=g("int8", False),
+                   help="W8A8 int8 for the wide transformer matmuls "
+                        "(UNet level-2/mid on SD-v1, MMDiT blocks on SD3)")
     return p.parse_args(argv)
 
 
@@ -104,9 +112,24 @@ def build_aot_generate_fn(args, pipe, repellency_processor, erase_spec,
                 f"--aot_bundle was exported with {key}="
                 f"{bundle.meta[key]} but the server is configured for "
                 f"{want} — re-export or match the flags")
+    # The erase window and repellency statics are BAKED into the exported
+    # sampling program — the refs-shape check alone cannot catch a serve
+    # config whose static values differ (same bank shape, different
+    # sigma/scale/window would silently run the export-time values).
+    import dataclasses
     refs = None
+    live_cfg = None
     if repellency_processor is not None and erase_spec.repellency:
         refs = repellency_processor.get_proj_ref()
+        live_cfg = dataclasses.asdict(repellency_processor.config())
+    for key, want in (("erase_spec", dataclasses.asdict(erase_spec)),
+                      ("repellency_cfg", live_cfg)):
+        if bundle.meta.get(key) != want:
+            raise SystemExit(
+                f"--aot_bundle baked {key}={bundle.meta.get(key)} at export "
+                f"time but the server is configured for {want} — the "
+                "exported program would silently run the baked statics; "
+                "re-export with this config or match the flags")
     logger.log(f"AOT bundle: {args.aot_bundle} "
                f"(exported on jax {bundle.meta.get('jax_version')}, "
                f"platform {bundle.meta.get('platform')})")
@@ -122,11 +145,48 @@ def build_aot_generate_fn(args, pipe, repellency_processor, erase_spec,
     return run_batch
 
 
+def build_sd3_generate_fn(args, erase_spec, logger):
+    """-> run_batch over ``SafeDiffusion3Pipeline.generate_batch``. The SD3
+    family has no SLD/ESD variants in the reference; erase ids map as
+    std → vanilla, *_rep → flow-renoise repellency (window from the spec),
+    safree* → T5 SAFREE projection."""
+    from ..pipeline.diffusion_sd3 import SafeDiffusion3Pipeline
+    from .common import maybe_enable_bank_sharding
+    from .sdv3 import build_sd3_repellency
+
+    if erase_spec.text_method == "sld":
+        raise SystemExit(
+            f"--sd3 has no SLD pipeline (the reference's SD3 family is "
+            f"vanilla/safree/safe-denoiser) — got --erase_id {args.erase_id!r}")
+    pipe = SafeDiffusion3Pipeline.from_pretrained(args.model_dir,
+                                                  logger=logger)
+    if args.int8:
+        pipe.enable_int8()
+        logger.log("int8: MMDiT block matmuls quantized (W8A8)")
+    maybe_enable_bank_sharding(args, pipe, logger)
+    repellency_processor = None
+    if erase_spec.repellency and args.task_config:
+        repellency_processor, _ = build_sd3_repellency(args, pipe, logger)
+
+    def run_batch(reqs):
+        return pipe.generate_batch(
+            prompts=[r.prompt for r in reqs],
+            seeds=[r.seed for r in reqs],
+            guidance_scales=[r.guidance_scale for r in reqs],
+            num_inference_steps=args.num_inference_steps,
+            negative_prompt=args.negative_prompt,
+            height=args.image_length, width=args.image_length,
+            safree=erase_spec.text_method == "safree",
+            repellency_processor=repellency_processor,
+            window=erase_spec.window)
+
+    return run_batch
+
+
 def main(argv=None):
     args = parse_args(argv)
 
     from ..pipeline.diffusion import ERASE_SPECS
-    from ..serving import DynamicBatcher, make_server
     from .common import build_pipeline, build_repellency
 
     os.makedirs(args.save_dir, exist_ok=True)
@@ -135,6 +195,14 @@ def main(argv=None):
         logger.log(f"{arg}: {getattr(args, arg)}")
 
     erase_spec = ERASE_SPECS[args.erase_id]
+    if args.sd3:
+        if args.export_aot or args.aot_bundle:
+            raise SystemExit(
+                "--sd3 with --export_aot/--aot_bundle is not supported yet "
+                "(the AOT bundle format carries the SD-v1 program set)")
+        run_batch = build_sd3_generate_fn(args, erase_spec, logger)
+        _serve_loop(args, run_batch, logger)
+        return
     pipe = build_pipeline(args, logger)
     repellency_processor, _ = build_repellency(args, pipe, logger)
 
@@ -163,11 +231,18 @@ def main(argv=None):
     else:
         run_batch = build_generate_fn(args, pipe, repellency_processor,
                                       erase_spec, logger)
+    _serve_loop(args, run_batch, logger)
+
+
+def _serve_loop(args, run_batch, logger):
+    """Batcher + HTTP front-end around a compiled ``run_batch`` (shared by
+    the SD-v1 live/AOT paths and the SD3 path)."""
+    from ..serving import DynamicBatcher, GenRequest, make_server
+
     batcher = DynamicBatcher(run_batch, args.batch_size,
                              max_delay_s=args.max_delay_ms / 1000.0)
 
     # warm the compile cache before accepting traffic: one padded batch
-    from ..serving import GenRequest
     logger.log("warmup: compiling the sampling program...")
     run_batch([GenRequest(prompt="warmup")] * args.batch_size)
     logger.log("warmup done")

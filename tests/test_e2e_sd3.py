@@ -110,3 +110,50 @@ def test_sd3_safree_repellency(sd3_pipe):
     assert any("we remove" in l for l in Log.lines)
     # flow timesteps start near 1000 -> window fires on early steps
     assert any("Repellency applied" in l for l in Log.lines)
+
+
+def test_sd3_generate_batch_rows_reproduce_single_runs(sd3_pipe):
+    """Serving mode (serve.py --sd3): per-sample seeds/guidance are traced,
+    and each batched row must equal its own single-row run (the
+    DynamicBatcher pads partial groups by replicating a request, so row
+    independence is what makes padding harmless)."""
+    sd3_pipe.logger = None
+    kw = dict(num_inference_steps=4, height=16, width=16)
+    batch = sd3_pipe.generate_batch(["a cat", "a dog"], seeds=[3, 9],
+                                    guidance_scales=[7.0, 4.0], **kw)
+    assert len(batch) == 2 and batch[0].shape == (16, 16, 3)
+    solo0 = sd3_pipe.generate_batch(["a cat", "a cat"], seeds=[3, 3],
+                                    guidance_scales=[7.0, 7.0], **kw)
+    np.testing.assert_array_equal(batch[0], solo0[0])
+    np.testing.assert_array_equal(solo0[0], solo0[1])
+    # different seed/guidance rows differ
+    assert not np.array_equal(batch[0], batch[1])
+
+
+def test_sd3_generate_batch_repellency_and_safree(sd3_pipe):
+    """The batched path supports SAFREE (per-prompt projection, stacked) and
+    the flow-renoise repellency window like __call__."""
+    class Log:
+        lines = []
+        def log(self, s): self.lines.append(s)
+    sd3_pipe.logger = Log()
+    ref_imgs = np.random.RandomState(1).randn(4, 3, 16, 16).astype(np.float32)
+
+    def embed_fn(x):
+        nhwc = jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))
+        z = sd3_pipe.vae.apply(sd3_pipe.vae_params, nhwc,
+                               jax.random.PRNGKey(0),
+                               method=AutoencoderKL.sample_latent)
+        return jnp.transpose(z, (0, 3, 1, 2)) * 1.5305
+
+    rep = get_repellency_method("kernel_fast", ref_data=ref_imgs,
+                                embed_fn=embed_fn, n_embed=4, sigma=2.75,
+                                scale=0.03, beta_threshold=0.5)
+    imgs = sd3_pipe.generate_batch(
+        ["a cat dog", "a dog"], seeds=[2, 5], guidance_scales=[7.0, 7.0],
+        num_inference_steps=4, height=16, width=16, safree=True,
+        repellency_processor=rep)
+    sd3_pipe.logger = None
+    assert len(imgs) == 2 and imgs[0].shape == (16, 16, 3)
+    assert any("we remove" in l for l in Log.lines)
+    assert any("Repellency applied" in l for l in Log.lines)

@@ -98,12 +98,11 @@ def _write_t5(dirpath, tok, d_model):
         "relative_attention_max_distance": 20}))
 
 
-def test_sd3_from_pretrained_and_generate(tmp_path):
-    tok = _tiny_tokenizer()
+def write_sd3_checkpoint(root, tok, t5_fast_tokenizer=False,
+                         scheduler_cfg=None):
+    """Fabricate a full tiny HF-layout SD3 checkpoint dir (shared by the
+    from_pretrained / runner-CLI / serve --sd3 tests)."""
     joint = 48
-    root = tmp_path / "sd3"
-
-    # transformer
     mmdit_cfg = MMDiTConfig(sample_size=8, patch_size=2, in_channels=4,
                             out_channels=4, num_layers=2, num_heads=4,
                             head_dim=8, joint_attention_dim=joint,
@@ -124,7 +123,6 @@ def test_sd3_from_pretrained_and_generate(tmp_path):
         "caption_projection_dim": 32, "pooled_projection_dim": 40,
         "pos_embed_max_size": 8}))
 
-    # vae
     vae_cfg = VAEConfig(latent_channels=4, block_out_channels=(8, 16),
                         layers_per_block=1, norm_num_groups=4,
                         scaling_factor=1.5305, shift_factor=0.0609,
@@ -148,14 +146,27 @@ def test_sd3_from_pretrained_and_generate(tmp_path):
     _write_t5(root / "text_encoder_3", tok, d_model=joint)
     _write_tokenizer(root / "tokenizer", tok, 8)
     _write_tokenizer(root / "tokenizer_2", tok, 8)
-    _write_t5_fast_tokenizer(root / "tokenizer_3", max_vocab=len(tok.vocab))
+    if t5_fast_tokenizer:
+        _write_t5_fast_tokenizer(root / "tokenizer_3",
+                                 max_vocab=len(tok.vocab))
+    else:
+        _write_tokenizer(root / "tokenizer_3", tok, 12)
+    if scheduler_cfg:
+        sdir = root / "scheduler"
+        sdir.mkdir()
+        (sdir / "scheduler_config.json").write_text(json.dumps(scheduler_cfg))
+    return root
 
+
+def test_sd3_from_pretrained_and_generate(tmp_path):
+    tok = _tiny_tokenizer()
+    joint = 48
+    root = tmp_path / "sd3"
     # the checkpoint's scheduler config must be honored, not the defaults
-    sdir = root / "scheduler"
-    sdir.mkdir()
-    (sdir / "scheduler_config.json").write_text(json.dumps({
-        "_class_name": "FlowMatchEulerDiscreteScheduler",
-        "num_train_timesteps": 1000, "shift": 1.75}))
+    write_sd3_checkpoint(root, tok, t5_fast_tokenizer=True,
+                         scheduler_cfg={
+                             "_class_name": "FlowMatchEulerDiscreteScheduler",
+                             "num_train_timesteps": 1000, "shift": 1.75})
 
     pipe = SafeDiffusion3Pipeline.from_pretrained(str(root))
     assert pipe.scheduler.config.shift == 1.75
@@ -184,49 +195,7 @@ def test_run_nudity_sdv3_cli(tmp_path):
 
     tok = _tiny_tokenizer()
     root = tmp_path / "sd3ckpt"
-    # reuse the fabrication from the test above
-    import tests.test_sd3_from_pretrained as me
-    joint = 48
-    mmdit_cfg = MMDiTConfig(sample_size=8, patch_size=2, in_channels=4,
-                            out_channels=4, num_layers=2, num_heads=4,
-                            head_dim=8, joint_attention_dim=joint,
-                            caption_projection_dim=32,
-                            pooled_projection_dim=40, pos_embed_max_size=8)
-    tf = MMDiT(mmdit_cfg)
-    tf_params = tf.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
-                        jnp.asarray(500.0), jnp.zeros((1, 20, joint)),
-                        jnp.zeros((1, 40)))
-    tdir = root / "transformer"
-    tdir.mkdir(parents=True)
-    save_file(invert_mmdit(tf_params["params"], mmdit_cfg),
-              str(tdir / "model.safetensors"))
-    (tdir / "config.json").write_text(json.dumps({
-        "sample_size": 8, "patch_size": 2, "in_channels": 4,
-        "out_channels": 4, "num_layers": 2, "num_attention_heads": 4,
-        "attention_head_dim": 8, "joint_attention_dim": joint,
-        "caption_projection_dim": 32, "pooled_projection_dim": 40,
-        "pos_embed_max_size": 8}))
-    vae_cfg = VAEConfig(latent_channels=4, block_out_channels=(8, 16),
-                        layers_per_block=1, norm_num_groups=4,
-                        scaling_factor=1.5305, shift_factor=0.0609,
-                        sample_size=16)
-    vae = AutoencoderKL(vae_cfg)
-    vae_params = vae.init({"params": jax.random.PRNGKey(0)},
-                          jnp.zeros((1, 16, 16, 3)), jax.random.PRNGKey(0))
-    vdir = root / "vae"
-    vdir.mkdir()
-    save_file(invert_vae(vae_params["params"], vae_cfg),
-              str(vdir / "model.safetensors"))
-    (vdir / "config.json").write_text(json.dumps({
-        "latent_channels": 4, "block_out_channels": [8, 16],
-        "layers_per_block": 1, "norm_num_groups": 4,
-        "scaling_factor": 1.5305, "shift_factor": 0.0609, "sample_size": 16}))
-    _write_clip_text(root / "text_encoder", tok, hidden=16, heads=4, proj=16)
-    _write_clip_text(root / "text_encoder_2", tok, hidden=16, heads=2, proj=24)
-    _write_t5(root / "text_encoder_3", tok, d_model=joint)
-    _write_tokenizer(root / "tokenizer", tok, 8)
-    _write_tokenizer(root / "tokenizer_2", tok, 8)
-    _write_tokenizer(root / "tokenizer_3", tok, 12)
+    write_sd3_checkpoint(root, tok)
 
     # negative bank + task yaml
     from PIL import Image

@@ -270,3 +270,49 @@ def test_serve_runner_aot_bundle_end_to_end(tmp_path):
     with pytest.raises(SystemExit, match="none"):
         build_aot_generate_fn(args, pipe, None, ERASE_SPECS["safree"],
                               logger)
+
+
+def test_serve_runner_sd3_end_to_end(tmp_path):
+    """--sd3 wiring: fabricated tiny SD3 checkpoint -> build_sd3_generate_fn
+    -> batcher -> HTTP server -> PNG; plus the SLD/AOT guards."""
+    from PIL import Image
+
+    from tests.test_e2e_pipeline import _tiny_tokenizer
+    from tests.test_sd3_from_pretrained import write_sd3_checkpoint
+
+    from safe_denoiser_tpu.pipeline.diffusion import ERASE_SPECS
+    from safe_denoiser_tpu.runners.serve import (build_sd3_generate_fn, main,
+                                                 parse_args)
+    from safe_denoiser_tpu.utils.logging import Logger
+
+    ckpt = write_sd3_checkpoint(tmp_path / "sd3ckpt", _tiny_tokenizer())
+    args = parse_args(["--model_dir", str(ckpt), "--sd3",
+                       "--batch_size", "2", "--num_inference_steps", "2",
+                       "--image_length", "16",
+                       "--save-dir", str(tmp_path / "serve")])
+    logger = Logger(str(tmp_path / "serve_logs.txt"))
+    run_batch = build_sd3_generate_fn(args, ERASE_SPECS["std"], logger)
+    b = DynamicBatcher(run_batch, args.batch_size, max_delay_s=0.02)
+    srv = make_server(b, port=0, logger=logger)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        status, data = _http(port, "POST", "/generate",
+                             {"prompt": "a cat", "seed": 5,
+                              "guidance_scale": 7.0})
+        assert status == 200, data
+        img = Image.open(io.BytesIO(
+            base64.b64decode(data["image_png_base64"])))
+        assert np.asarray(img).shape == (16, 16, 3)
+    finally:
+        srv.shutdown()
+        b.close()
+
+    # the SD3 family has no SLD pipeline — refuse loudly
+    with pytest.raises(SystemExit, match="no SLD"):
+        build_sd3_generate_fn(args, ERASE_SPECS["sld"], logger)
+    # AOT bundles carry the SD-v1 program set — refuse --sd3 with them
+    with pytest.raises(SystemExit, match="not supported"):
+        main(["--model_dir", str(ckpt), "--sd3", "--save-dir",
+              str(tmp_path / "serve2"), "--aot_bundle", "x.sdt"])
