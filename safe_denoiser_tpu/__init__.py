@@ -22,3 +22,17 @@ Design (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even when a plugin backend (axon TPU) would override
+# the env var (the same workaround tests/conftest.py applies): a CPU smoke
+# run of any CLI must not silently initialize — and then hang on — a wedged
+# TPU tunnel. No-op when the env var is unset or jax is already configured.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover — never block import on this
+        pass

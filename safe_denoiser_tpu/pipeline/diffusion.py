@@ -256,11 +256,19 @@ class SafeDiffusionPipeline:
                              max_length=max_length)
         ids = jnp.asarray(enc["input_ids"])
         cond = self._encode(ids)[0]
-        un = self.tokenizer([negative_prompt or ""], padding="max_length",
-                            max_length=max_length)
-        uncond = self._encode(jnp.asarray(un["input_ids"]))[0]
+        # the uncond row repeats across a serving batch / CSV sweep — memo
+        # one entry so generate_batch doesn't re-run the text tower B times
+        key = (negative_prompt or "", max_length)
+        if self._uncond_memo is None or self._uncond_memo[0] != key:
+            un = self.tokenizer([negative_prompt or ""], padding="max_length",
+                                max_length=max_length)
+            self._uncond_memo = (key, self._encode(jnp.asarray(
+                un["input_ids"]))[0])
+        uncond = self._uncond_memo[1]
         return (jnp.stack([uncond, cond]), ids,
                 jnp.asarray(enc["attention_mask"]))
+
+    _uncond_memo = None
 
     def _encode_pooled(self, prompts: Sequence[str],
                        max_length: Optional[int] = None):

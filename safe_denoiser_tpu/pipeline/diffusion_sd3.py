@@ -157,31 +157,33 @@ class SafeDiffusion3Pipeline:
                                truncation=True)
         return np.asarray(out["input_ids"])
 
+    def _encode_one(self, text: str):
+        """Single-text triple-tower joint embedding: CLIP-L + CLIP-bigG
+        penultimate states (zero-padded to the joint dim) concatenated with
+        T5 states along seq; pooled = concat of the two CLIP projections."""
+        clip_len = self.tokenizer.model_max_length
+        ids_l = jnp.asarray(self.tokenizer([text], padding="max_length",
+                                           max_length=clip_len)["input_ids"])
+        ids_g = jnp.asarray(self.tokenizer_2([text], padding="max_length",
+                                             max_length=clip_len)["input_ids"])
+        _, pen_l, _, proj_l = self._enc_l(ids_l)
+        _, pen_g, _, proj_g = self._enc_g(ids_g)
+        clip_embed = jnp.concatenate([pen_l, pen_g], axis=-1)
+        clip_embed = jnp.pad(
+            clip_embed,
+            ((0, 0), (0, 0), (0, self.joint_dim - clip_embed.shape[-1])))
+        t5_embed = self._enc_t5(jnp.asarray(self._t5_ids([text])))
+        embeds = jnp.concatenate(
+            [clip_embed, t5_embed.astype(clip_embed.dtype)], axis=1)
+        pooled = jnp.concatenate([proj_l, proj_g], axis=-1)
+        return embeds, pooled
+
     def encode_prompt(self, prompt: str, negative_prompt: str = ""):
         """Triple-tower joint embedding (reference sdv3_pipeline.py:401-520).
 
         Returns (prompt_embeds [2, 1, L_clip+S_t5, joint], pooled [2, 1, 2048])."""
-        clip_len = self.tokenizer.model_max_length
-
-        def encode_one(text: str):
-            ids_l = jnp.asarray(self.tokenizer([text], padding="max_length",
-                                               max_length=clip_len)["input_ids"])
-            ids_g = jnp.asarray(self.tokenizer_2([text], padding="max_length",
-                                                 max_length=clip_len)["input_ids"])
-            _, pen_l, _, proj_l = self._enc_l(ids_l)
-            _, pen_g, _, proj_g = self._enc_g(ids_g)
-            clip_embed = jnp.concatenate([pen_l, pen_g], axis=-1)
-            clip_embed = jnp.pad(
-                clip_embed,
-                ((0, 0), (0, 0), (0, self.joint_dim - clip_embed.shape[-1])))
-            t5_embed = self._enc_t5(jnp.asarray(self._t5_ids([text])))
-            embeds = jnp.concatenate(
-                [clip_embed, t5_embed.astype(clip_embed.dtype)], axis=1)
-            pooled = jnp.concatenate([proj_l, proj_g], axis=-1)
-            return embeds, pooled
-
-        cond, pooled_c = encode_one(prompt)
-        uncond, pooled_u = encode_one(negative_prompt or "")
+        cond, pooled_c = self._encode_one(prompt)
+        uncond, pooled_u = self._encode_one(negative_prompt or "")
         return (jnp.stack([uncond, cond]), jnp.stack([pooled_u, pooled_c]))
 
     def _masked_encode_prompt_t5(self, prompt: str):
@@ -282,9 +284,16 @@ class SafeDiffusion3Pipeline:
         assert len(seeds) == b and len(guidance_scales) == b
         if negative_prompt is None:
             negative_prompt = SD3_NUDITY_NEGATIVE_PROMPT
-        per = [self.encode_prompt(p, negative_prompt) for p in prompts]
-        embeds = jnp.concatenate([e for e, _ in per], axis=1)   # [2, B, L, D]
-        pooled = jnp.concatenate([pl for _, pl in per], axis=1)
+        # the uncond row is the same string for every request: encode the
+        # triple tower once and broadcast, instead of B redundant
+        # CLIP-L/CLIP-bigG/T5 forwards on the serving-latency path
+        uncond, pooled_u = self._encode_one(negative_prompt or "")
+        per = [self._encode_one(p) for p in prompts]
+        cond = jnp.concatenate([e for e, _ in per], axis=0)     # [B, L, D]
+        pooled_c = jnp.concatenate([pl for _, pl in per], axis=0)
+        embeds = jnp.stack([jnp.broadcast_to(uncond[0], cond.shape), cond])
+        pooled = jnp.stack(
+            [jnp.broadcast_to(pooled_u[0], pooled_c.shape), pooled_c])
 
         if safree:
             neg_space = negative_prompt2 or SD3_NUDITY_NEGATIVE_PROMPT

@@ -38,7 +38,14 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "partial batch launches")
     p.add_argument("--num_inference_steps", type=int,
                    default=g("num_inference_steps", 50))
-    p.add_argument("--image_length", type=int, default=g("image_length", 512))
+    p.add_argument("--image_length", type=int,
+                   default=g("image_length", None),
+                   help="square image size (default: 512, or 1024 with "
+                        "--sd3 — the SD3 family default)")
+    p.add_argument("--guidance_scale", type=float,
+                   default=g("guidance_scale", None),
+                   help="default guidance for requests that omit it "
+                        "(default: 7.5, or 2.5 with --sd3)")
     p.add_argument("--erase_id", type=str, default=g("erase_id", "std"))
     p.add_argument("--erase_concept_checkpoint", type=str,
                    default=g("erase_concept_checkpoint", None))
@@ -66,7 +73,14 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--int8", action="store_true", default=g("int8", False),
                    help="W8A8 int8 for the wide transformer matmuls "
                         "(UNet level-2/mid on SD-v1, MMDiT blocks on SD3)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    # per-family defaults: the SD3 checkpoints are trained for 1024² /
+    # low guidance (runners/sdv3.py _sd3_parser uses the same values)
+    if args.image_length is None:
+        args.image_length = 1024 if args.sd3 else 512
+    if args.guidance_scale is None:
+        args.guidance_scale = 2.5 if args.sd3 else 7.5
+    return args
 
 
 def build_generate_fn(args, pipe, repellency_processor, erase_spec, logger):
@@ -112,6 +126,13 @@ def build_aot_generate_fn(args, pipe, repellency_processor, erase_spec,
                 f"--aot_bundle was exported with {key}="
                 f"{bundle.meta[key]} but the server is configured for "
                 f"{want} — re-export or match the flags")
+    if bool(bundle.meta.get("int8")) != bool(args.int8):
+        raise SystemExit(
+            f"--aot_bundle was exported with int8="
+            f"{bool(bundle.meta.get('int8'))} but the server is configured "
+            f"for int8={bool(args.int8)} — the exported program's param "
+            "tree would not match the live weights; re-export or match "
+            "the --int8 flag")
     # The erase window and repellency statics are BAKED into the exported
     # sampling program — the refs-shape check alone cannot catch a serve
     # config whose static values differ (same bank shape, different
@@ -158,6 +179,17 @@ def build_sd3_generate_fn(args, erase_spec, logger):
         raise SystemExit(
             f"--sd3 has no SLD pipeline (the reference's SD3 family is "
             f"vanilla/safree/safe-denoiser) — got --erase_id {args.erase_id!r}")
+    if args.erase_concept_checkpoint:
+        raise SystemExit(
+            "--sd3 does not take --erase_concept_checkpoint: the SD3 family "
+            "has no UNet-swap erase ids — point --model_dir at an HF-layout "
+            "checkpoint carrying the fine-tuned transformer (training/"
+            "flow.py + models/weights_export.invert_mmdit) instead of "
+            "serving base weights under an erased id")
+    if args.model_dir is None:
+        raise SystemExit(
+            "--model_dir with a local HF-layout SD3 checkpoint is required "
+            "(no network egress for hub downloads)")
     pipe = SafeDiffusion3Pipeline.from_pretrained(args.model_dir,
                                                   logger=logger)
     if args.int8:
@@ -195,6 +227,12 @@ def main(argv=None):
         logger.log(f"{arg}: {getattr(args, arg)}")
 
     erase_spec = ERASE_SPECS[args.erase_id]
+    if erase_spec.repellency and not args.task_config:
+        raise SystemExit(
+            f"--erase_id {args.erase_id!r} includes repellency but no "
+            "--task_config was given — the server would silently generate "
+            "WITHOUT repellency under an erased id; pass the repellency "
+            "task YAML or use a non-_rep erase id")
     if args.sd3:
         if args.export_aot or args.aot_bundle:
             raise SystemExit(
@@ -248,7 +286,8 @@ def _serve_loop(args, run_batch, logger):
     logger.log("warmup done")
 
     server = make_server(batcher, host=args.host, port=args.port,
-                         logger=logger)
+                         logger=logger,
+                         default_guidance=args.guidance_scale)
     logger.log(f"serving on http://{args.host}:{args.port} "
                f"(batch_size={args.batch_size})")
     try:

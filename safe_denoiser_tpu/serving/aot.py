@@ -152,6 +152,11 @@ def export_pipeline(pipe, batch_size: int, num_inference_steps: int = 50,
         "max_length": int(max_length),
         "vae_scaling_factor": float(pipe.vae.config.scaling_factor),
         "refs_none": refs is None,
+        # int8 changes the exported sample program's param-tree aval set
+        # ({'params','quant'} vs {'params'}): recorded so serve.py refuses
+        # a flag-mismatched load instead of a cryptic pytree error
+        "int8": "quant" in pipe.unet_params,
+        "int8_min_dim": getattr(pipe, "_int8_min_dim", None),
         # the BAKED statics: the exported sampling program runs THESE
         # regardless of what the serving process is configured with —
         # recorded so serve.py can refuse a mismatched --task_config /

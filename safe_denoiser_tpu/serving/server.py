@@ -32,7 +32,8 @@ def _png_bytes(img_uint8) -> bytes:
 
 def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                 port: int = 8000, request_timeout_s: float = 600.0,
-                logger=None) -> ThreadingHTTPServer:
+                logger=None,
+                default_guidance: float = 7.5) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; call ``serve_forever()`` on it.
 
     Kept separate from serve-loop startup so tests can drive it on an
@@ -73,7 +74,8 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
             gen = GenRequest(prompt=str(prompt),
                              seed=int(req.get("seed", 42)),
                              guidance_scale=float(
-                                 req.get("guidance_scale", 7.5)))
+                                 req.get("guidance_scale",
+                                         default_guidance)))
             try:
                 img = batcher.submit(gen).result(timeout=request_timeout_s)
             except Exception as e:  # noqa: BLE001 — report, keep serving

@@ -128,6 +128,11 @@ def test_sd3_generate_batch_rows_reproduce_single_runs(sd3_pipe):
     np.testing.assert_array_equal(solo0[0], solo0[1])
     # different seed/guidance rows differ
     assert not np.array_equal(batch[0], batch[1])
+    # a TRUE B=1 run (its own compiled program) must also reproduce the
+    # batched row — catches any dependence on the compiled batch size
+    solo1 = sd3_pipe.generate_batch(["a dog"], seeds=[9],
+                                    guidance_scales=[4.0], **kw)
+    np.testing.assert_array_equal(batch[1], solo1[0])
 
 
 def test_sd3_generate_batch_repellency_and_safree(sd3_pipe):

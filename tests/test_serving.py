@@ -270,6 +270,16 @@ def test_serve_runner_aot_bundle_end_to_end(tmp_path):
     with pytest.raises(SystemExit, match="none"):
         build_aot_generate_fn(args, pipe, None, ERASE_SPECS["safree"],
                               logger)
+    # int8 flag-mismatch guard: the bundle was exported float — serving it
+    # with --int8 would feed a {'params','quant'} tree to a float program
+    args_i8 = parse_args(["--model_dir", str(ckpt), "--batch_size", "2",
+                          "--num_inference_steps", "2",
+                          "--image_length", "16",
+                          "--save-dir", str(tmp_path / "serve"),
+                          "--aot_bundle", bundle_path, "--int8"])
+    with pytest.raises(SystemExit, match="int8"):
+        build_aot_generate_fn(args_i8, pipe, None, ERASE_SPECS["std"],
+                              logger)
 
 
 def test_serve_runner_sd3_end_to_end(tmp_path):
@@ -316,3 +326,43 @@ def test_serve_runner_sd3_end_to_end(tmp_path):
     with pytest.raises(SystemExit, match="not supported"):
         main(["--model_dir", str(ckpt), "--sd3", "--save-dir",
               str(tmp_path / "serve2"), "--aot_bundle", "x.sdt"])
+
+
+def test_serve_config_guards(tmp_path):
+    """Safety-relevant misconfiguration refuses loudly instead of silently
+    serving the wrong thing (review findings, round-3 session 14)."""
+    from safe_denoiser_tpu.runners.serve import main, parse_args
+
+    sd = str(tmp_path / "serve")
+    # a *_rep erase id without --task_config would silently serve WITHOUT
+    # repellency under an erased id — refuse (both families)
+    with pytest.raises(SystemExit, match="task_config"):
+        main(["--model_dir", "x", "--erase_id", "std_rep",
+              "--save-dir", sd])
+    with pytest.raises(SystemExit, match="task_config"):
+        main(["--sd3", "--model_dir", "x", "--erase_id", "std_rep",
+              "--save-dir", sd])
+    # --sd3 without --model_dir: clean SystemExit, not a TypeError in
+    # os.path.join(None, ...)
+    with pytest.raises(SystemExit, match="model_dir"):
+        main(["--sd3", "--save-dir", sd])
+    # --sd3 never loads --erase_concept_checkpoint — refuse instead of
+    # serving base weights under an erased id
+    with pytest.raises(SystemExit, match="erase_concept_checkpoint"):
+        main(["--sd3", "--model_dir", "x", "--erase_id", "esd",
+              "--erase_concept_checkpoint", "e.safetensors",
+              "--save-dir", sd])
+
+
+def test_serve_per_family_defaults():
+    """--sd3 flips the serving defaults to the SD3 family's (1024², low
+    guidance) — matching runners/sdv3.py's _sd3_parser."""
+    from safe_denoiser_tpu.runners.serve import parse_args
+
+    a = parse_args(["--sd3", "--model_dir", "x"])
+    assert a.image_length == 1024 and a.guidance_scale == 2.5
+    a = parse_args(["--model_dir", "x"])
+    assert a.image_length == 512 and a.guidance_scale == 7.5
+    a = parse_args(["--sd3", "--model_dir", "x", "--image_length", "256",
+                    "--guidance_scale", "5.0"])
+    assert a.image_length == 256 and a.guidance_scale == 5.0
