@@ -10,6 +10,10 @@ JSON lines in the default run:
   * sd14_bank3k        — config #4: CoPro's 3,000-image kernel_fast bank
   * sd3_50step         — config #5: SD3-medium MMDiT flow-matching scan with
                          the fast_sdv3 repellency renoising
+  * sd3_e2e            — informational: SD3 full pipeline (triple text
+                         encode incl. T5-XXL + 50-step scan + 1024² VAE
+                         decode), staged timings summed (HBM can't hold
+                         T5-XXL and MMDiT at once)
   * sd3_int8_50step    — informational beyond-parity config: #5 with W8A8
                          int8 MMDiT block dots (ops/quant.py, +16.3% ABA)
   * sd14_int8_50step   — informational beyond-parity config: the headline
@@ -24,8 +28,10 @@ JSON lines in the default run:
 
 The driver records the tail and parses the LAST JSON line, so the headline
 prints last. BENCH_ONLY=sd14|sd14_10|sd14_e2e|sd14_sparse|sd14_bank3k|sd3|
-sd3_int8|sd14_int8 runs a single config; BENCH_FAST=1 skips everything but
-the headline.
+sd3_e2e|sd3_int8|sd14_int8 runs a single config; BENCH_FAST=1 skips
+everything but the headline. Every line carries ``mfu`` — analytic
+matmul+conv model FLOPs (utils/flops.py) against the v5e 197-TFLOP/s bf16
+peak.
 """
 
 from __future__ import annotations
@@ -52,10 +58,31 @@ BANK_M = int(os.environ.get("BENCH_BANK_M", "515"))  # i2p_sexual bank
 # BENCH_BANK_M=3000 for BASELINE config 4
 
 
-def _emit(metric, value, baseline):
-    print(json.dumps({"metric": metric, "value": round(value, 4),
-                      "unit": "images/sec/chip",
-                      "vs_baseline": round(value / baseline, 4)}), flush=True)
+def _emit(metric, result, baseline):
+    """``result``: img/s, or (img/s, flops_per_img) to also report MFU
+    against the v5e 197-TFLOP/s bf16 peak (utils/flops.py — analytic
+    matmul+conv model FLOPs, so the number is auditable)."""
+    value, mfu = result if isinstance(result, tuple) else (result, None)
+    line = {"metric": metric, "value": round(value, 4),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(value / baseline, 4)}
+    if mfu is not None:
+        line["mfu"] = round(mfu, 4)
+    print(json.dumps(line), flush=True)
+
+
+def _safe_mfu(img_per_sec, flops_fn):
+    """MFU from an analytic per-image FLOP count; never kills the leg."""
+    try:
+        from safe_denoiser_tpu.utils.flops import mfu
+        return mfu(img_per_sec, flops_fn())
+    except Exception:
+        import sys
+        import traceback
+        print("[bench] mfu computation failed (leg value unaffected):",
+              file=sys.stderr)
+        traceback.print_exc()
+        return None
 
 
 def _sd14_setup():
@@ -162,7 +189,17 @@ def bench_sd14(steps=STEPS, scheduler_kind="ddpm", rep=None):
         return lat, jnp.sum(applied)
 
     dt, n = _time_run(run, (params, latents, text, refs))
-    return (n * BATCH) / dt
+    ips = (n * BATCH) / dt
+
+    def _flops_per_img():
+        from safe_denoiser_tpu.utils.flops import model_flops
+        latent_in = jnp.concatenate([latents] * 2, axis=0)
+        ctx = text.reshape(2 * BATCH, *text.shape[2:])
+        per_step = model_flops(unet_apply, params, latent_in,
+                               jnp.asarray(500), ctx)
+        return steps * per_step / BATCH
+
+    return ips, _safe_mfu(ips, _flops_per_img)
 
 
 def _e2e_setup():
@@ -285,17 +322,38 @@ def bench_sd14_e2e():
         pending = img
     np.asarray(pending)
     dt = time.perf_counter() - t0
-    return (n_rounds * BATCH) / dt
+    ips = (n_rounds * BATCH) / dt
+
+    def _flops_per_img():
+        from safe_denoiser_tpu.models import SD14_VAE
+        from safe_denoiser_tpu.utils.flops import model_flops
+        ids = jax.ShapeDtypeStruct((2 * BATCH, 77), jnp.int32)
+        enc = model_flops(_encode, clip_params, ids)
+        # per-step UNet at the CFG-folded batch, × 50 steps
+        text_s = jax.ShapeDtypeStruct((2, BATCH, 77, 768), jnp.float32)
+        lat_s = jax.ShapeDtypeStruct((2 * BATCH, 64, 64, 4), jnp.float32)
+
+        def _unet_step(p, lat, t, ctx):
+            from safe_denoiser_tpu.models import SD14_UNET, UNet2DCondition
+            return UNet2DCondition(SD14_UNET, dtype=jnp.bfloat16).apply(
+                p, lat, t, ctx)
+
+        ctx_s = jax.ShapeDtypeStruct((2 * BATCH, 77, 768), jnp.float32)
+        step = model_flops(_unet_step, unet_params, lat_s,
+                           jnp.asarray(500), ctx_s)
+        dec = model_flops(_decode, vae_params,
+                          jax.ShapeDtypeStruct((BATCH, 64, 64, 4),
+                                               jnp.float32))
+        del text_s
+        return (enc + STEPS * step + dec) / BATCH
+
+    return ips, _safe_mfu(ips, _flops_per_img)
 
 
-def bench_sd3(steps=STEPS):
-    """SD3-medium MMDiT 50-step flow-matching scan with fast_sdv3
-    repellency (channel-normalized x), 1024x1024 latents, CFG pair."""
+def _sd3_setup():
+    """MMDiT model + fabricated real-size params + scan inputs (shared by
+    the sd3 scan leg and the sd3_e2e stage timings)."""
     from safe_denoiser_tpu.models import SD3_MEDIUM, MMDiT
-    from safe_denoiser_tpu.pipeline import RepellencyWindow
-    from safe_denoiser_tpu.pipeline.sampler import sample_sd3
-    from safe_denoiser_tpu.repellency import RepellencyConfig
-    from safe_denoiser_tpu.schedulers import FlowMatchEulerScheduler
 
     b = int(os.environ.get("BENCH_SD3_BATCH", "1"))
     rng = jax.random.PRNGKey(0)
@@ -315,6 +373,13 @@ def bench_sd3(steps=STEPS):
                            jnp.bfloat16 if (s.dtype == jnp.float32
                                             and len(s.shape) > 1) else s.dtype),
         shapes)
+    return model, params, latents, text, pooled, refs, b
+
+
+def bench_sd3(steps=STEPS):
+    """SD3-medium MMDiT 50-step flow-matching scan with fast_sdv3
+    repellency (channel-normalized x), 1024x1024 latents, CFG pair."""
+    model, params, latents, text, pooled, refs, b = _sd3_setup()
 
     if os.environ.get("SDT_INT8") == "1":
         # Opt-in W8A8 int8 for the MMDiT block dots (ops/quant.py): weights
@@ -324,6 +389,25 @@ def bench_sd3(steps=STEPS):
         from safe_denoiser_tpu.ops.quant import quantize_mmdit_params
         pq, qt = jax.jit(quantize_mmdit_params)(params["params"])
         params = {"params": pq, "quant": qt}
+
+    run, tf_apply = _sd3_scan_run(model, steps)
+    dt, n = _time_run(run, (params, latents, text, pooled, refs))
+    ips = (n * b) / dt
+
+    def _flops_per_img():
+        return _sd3_step_flops(tf_apply, params, latents, text,
+                               pooled) * steps / b
+
+    return ips, _safe_mfu(ips, _flops_per_img)
+
+
+def _sd3_scan_run(model, steps):
+    """The jitted SD3 sampling-scan program — single-sourced so the sd3 and
+    sd3_e2e legs measure the identical scan. Returns (run, tf_apply)."""
+    from safe_denoiser_tpu.pipeline import RepellencyWindow
+    from safe_denoiser_tpu.pipeline.sampler import sample_sd3
+    from safe_denoiser_tpu.repellency import RepellencyConfig
+    from safe_denoiser_tpu.schedulers import FlowMatchEulerScheduler
 
     def tf_apply(params, lat, t, ctx, pool):
         return model.apply(params, lat, t, ctx, pool)
@@ -343,8 +427,111 @@ def bench_sd3(steps=STEPS):
             window=RepellencyWindow(1000.0, 780.0))
         return lat, jnp.sum(applied)
 
-    dt, n = _time_run(run, (params, latents, text, pooled, refs))
-    return (n * b) / dt
+    return run, tf_apply
+
+
+def _sd3_step_flops(tf_apply, params, latents, text, pooled):
+    """Analytic matmul+conv FLOPs of ONE CFG-folded MMDiT denoise step."""
+    from safe_denoiser_tpu.utils.flops import model_flops
+    b = latents.shape[0]
+    latent_in = jnp.concatenate([latents] * 2, axis=0)
+    return model_flops(
+        tf_apply, params, latent_in, jnp.zeros((2 * b,)),
+        text.reshape(2 * b, *text.shape[2:]),
+        pooled.reshape(2 * b, *pooled.shape[2:]))
+
+
+def bench_sd3_e2e():
+    """Whole SD3 pipeline wall-clock (informational leg): triple text encode
+    (CLIP-L + CLIP-bigG penultimate states padded to the joint dim, T5-XXL
+    — the reference's encode, diffusion_sd3.py::_encode_one) + the 50-step
+    MMDiT scan + the 1024² 16-channel VAE decode.
+
+    STAGED: the three programs are timed separately and the per-batch times
+    summed. The full fabricated tower set (T5-XXL ~9.4 GB bf16 + MMDiT
+    ~4.2 GB + CLIP-G/L + VAE) cannot co-reside in 16 GB HBM, so the encode
+    towers are freed before the scan — which matches the reference's serial
+    stage order anyway (run_nudity_sdv3.py:351-360); on one chip there is
+    no encode/scan overlap to lose, only the ~once-per-batch dispatch gap.
+    """
+    import gc
+
+    from safe_denoiser_tpu.models import (
+        CLIP_BIG_G, CLIP_VIT_L_14, SD3_VAE, T5_XXL, AutoencoderKL,
+        CLIPTextModel, T5Encoder)
+    from safe_denoiser_tpu.utils.flops import model_flops
+
+    b = int(os.environ.get("BENCH_SD3_BATCH", "1"))
+    rng = jax.random.PRNGKey(0)
+
+    def _fab(module, *init_args):
+        shapes = jax.eval_shape(lambda: module.init(rng, *init_args))
+        return jax.tree_util.tree_map(
+            lambda s: jnp.full(s.shape, 0.02,
+                               jnp.bfloat16 if (s.dtype == jnp.float32
+                                                and len(s.shape) > 1)
+                               else s.dtype), shapes)
+
+    # ---- stage 1: triple text encode (then FREE the towers) ---------------
+    clip_l = CLIPTextModel(CLIP_VIT_L_14)
+    clip_g = CLIPTextModel(CLIP_BIG_G)
+    t5 = T5Encoder(T5_XXL, dtype=jnp.bfloat16)
+    p_l = _fab(clip_l, jnp.zeros((1, 77), jnp.int32))
+    p_g = _fab(clip_g, jnp.zeros((1, 77), jnp.int32))
+    p_t5 = _fab(t5, jnp.zeros((1, 256), jnp.int32))
+
+    joint = 4096
+
+    def _encode(p_l, p_g, p_t5, ids_l, ids_g, ids_t):
+        _, pen_l, _, proj_l = clip_l.apply(p_l, ids_l)
+        _, pen_g, _, proj_g = clip_g.apply(p_g, ids_g)
+        clip_embed = jnp.concatenate([pen_l, pen_g], axis=-1)
+        clip_embed = jnp.pad(
+            clip_embed,
+            ((0, 0), (0, 0), (0, joint - clip_embed.shape[-1])))
+        t5_embed = t5.apply(p_t5, ids_t)
+        emb = jnp.concatenate([clip_embed, t5_embed.astype(clip_embed.dtype)],
+                              axis=1)
+        return emb, jnp.concatenate([proj_l, proj_g], axis=-1)
+
+    import numpy as np
+    rs = np.random.RandomState(0)
+    ids_l = jnp.asarray(rs.randint(0, 49408, (2 * b, 77)), jnp.int32)
+    ids_g = jnp.asarray(rs.randint(0, 49408, (2 * b, 77)), jnp.int32)
+    ids_t = jnp.asarray(rs.randint(0, 32128, (2 * b, 256)), jnp.int32)
+
+    enc = jax.jit(_encode)
+    dt_enc, n_enc = _time_run(
+        lambda *a: enc(*a[:-1]), (p_l, p_g, p_t5, ids_l, ids_g, ids_t))
+    t_enc = dt_enc / n_enc
+    enc_flops = model_flops(_encode, p_l, p_g, p_t5, ids_l, ids_g, ids_t)
+    del p_l, p_g, p_t5, enc
+    gc.collect()
+
+    # ---- stage 2: the 50-step scan (identical program to the sd3 leg) -----
+    model, params, latents, text, pooled, refs, _ = _sd3_setup()
+    run, tf_apply = _sd3_scan_run(model, STEPS)
+    dt_scan, n_scan = _time_run(run, (params, latents, text, pooled, refs))
+    t_scan = dt_scan / n_scan
+    step_flops = _sd3_step_flops(tf_apply, params, latents, text, pooled)
+
+    # ---- stage 3: 1024² VAE decode ----------------------------------------
+    vae = AutoencoderKL(SD3_VAE, dtype=jnp.bfloat16)
+    p_vae = _fab(vae, jnp.zeros((1, 256, 256, 3)), rng)
+
+    def _decode(p, z):
+        img = vae.apply(p, z / SD3_VAE.scaling_factor, method=vae.decode)
+        img = jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+        return jnp.round(img * 255).astype(jnp.uint8)
+
+    dec = jax.jit(_decode)
+    dec_flops = model_flops(_decode, p_vae, latents)
+    dt_dec, n_dec = _time_run(lambda p, z, rng: dec(p, z), (p_vae, latents))
+    t_dec = dt_dec / n_dec
+
+    ips = b / (t_enc + t_scan + t_dec)
+    flops_per_img = (enc_flops + STEPS * step_flops + dec_flops) / b
+    return ips, _safe_mfu(ips, lambda: flops_per_img)
 
 
 def main():
@@ -416,6 +603,11 @@ def main():
                  BASELINE_IMG_PER_SEC)
         if only in (None, "sd3"):
             _try("sd3_50step_safe_denoiser_throughput", bench_sd3,
+                 BASELINE_SD3)
+        if only in (None, "sd3_e2e"):
+            # informational: the biggest model's full pipeline cost (triple
+            # text encode incl. T5-XXL + scan + 1024² VAE decode), staged
+            _try("sd3_50step_e2e_pipeline_throughput", bench_sd3_e2e,
                  BASELINE_SD3)
         if only in (None, "sd3_int8"):
             # informational beyond-parity config: W8A8 int8 MMDiT block
@@ -497,12 +689,12 @@ def _supervise():
     def _headline_lines():
         return [l for l in lines if "sd14_50step_safe_denoiser" in l]
 
-    # 7 legs ran in ~1,830 s warm-cache (2026-08-19); the 8th (sd14_int8)
-    # compiles its own HLO (int8 dtypes + quant collection — NOT a cache hit
-    # on the headline program). 4,200 leaves headroom for a cold compile
-    # cache without letting a wedged tunnel eat the round
+    # 7 legs ran in ~1,830 s warm-cache (2026-08-19); sd14_int8 and sd3_e2e
+    # compile their own HLO (int8 dtypes / T5-XXL + CLIP-G towers — NOT
+    # cache hits on the headline program). 4,800 leaves headroom for a cold
+    # compile cache without letting a wedged tunnel eat the round
     rc = _run_child({}, timeout_s=int(os.environ.get("BENCH_TIMEOUT",
-                                                     "4200")))
+                                                     "4800")))
     if os.environ.get("BENCH_ONLY") not in (None, "sd14"):
         return rc   # headline not expected under this BENCH_ONLY
     attempts = 0

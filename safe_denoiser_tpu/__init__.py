@@ -34,5 +34,14 @@ if _os.environ.get("JAX_PLATFORMS"):
         import jax as _jax
 
         _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
-    except Exception:  # pragma: no cover — never block import on this
-        pass
+    except Exception as _e:  # pragma: no cover — never block import on this
+        # If jax backends were already initialized before this import, the
+        # env var is NOT honored — a "CPU smoke run" may actually be on the
+        # TPU tunnel. Warn so that is diagnosable instead of silent.
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"JAX_PLATFORMS={_os.environ['JAX_PLATFORMS']!r} could not be "
+            f"applied ({type(_e).__name__}: {_e}) — jax was likely already "
+            "initialized with a different backend; this process may not run "
+            "on the requested platform", RuntimeWarning, stacklevel=2)

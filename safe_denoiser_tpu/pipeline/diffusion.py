@@ -270,6 +270,18 @@ class SafeDiffusionPipeline:
 
     _uncond_memo = None
 
+    # text_params swaps (a text-encoder LoRA, a params dtype cast) must drop
+    # the uncond memo — it is keyed only by (negative_prompt, max_length), so
+    # a stale entry would silently serve embeddings from the OLD tower.
+    @property
+    def text_params(self):
+        return self._text_params
+
+    @text_params.setter
+    def text_params(self, value):
+        self._text_params = value
+        self._uncond_memo = None
+
     def _encode_pooled(self, prompts: Sequence[str],
                        max_length: Optional[int] = None):
         enc = self.tokenizer(list(prompts), padding="max_length",

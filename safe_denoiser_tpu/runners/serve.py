@@ -133,6 +133,20 @@ def build_aot_generate_fn(args, pipe, repellency_processor, erase_spec,
             f"for int8={bool(args.int8)} — the exported program's param "
             "tree would not match the live weights; re-export or match "
             "the --int8 flag")
+    if bool(args.int8):
+        # min_dim decides WHICH kernels carry scales: a mismatch between the
+        # export-time gate and the serve-side quantization changes the
+        # 'quant' tree structure and would otherwise surface as a cryptic
+        # pytree/aval mismatch deep in Exported.call
+        live_min_dim = getattr(pipe, "_int8_min_dim",
+                               int(os.environ.get("SDT_INT8_MIN_DIM", 1280)))
+        baked = bundle.meta.get("int8_min_dim")
+        if baked is not None and int(baked) != int(live_min_dim):
+            raise SystemExit(
+                f"--aot_bundle was exported with int8_min_dim={baked} but "
+                f"the server quantized with min_dim={live_min_dim} — the "
+                "quantized kernel sets differ; re-export or set "
+                "SDT_INT8_MIN_DIM to match")
     # The erase window and repellency statics are BAKED into the exported
     # sampling program — the refs-shape check alone cannot catch a serve
     # config whose static values differ (same bank shape, different
