@@ -69,3 +69,28 @@ class NudeClassifier:
             return False, 0.0
         pred = max(res)
         return bool(any(p >= threshold for p in res)), pred
+
+    def eval_many(self, groups, threshold: float = 0.6):
+        """Batched gate: evaluate several cases' sample lists in ONE
+        interpreter pass (the per-case path runs the numpy ONNX interpreter
+        on batch 1; flattening the groups amortizes its conv dispatch —
+        the runner's overlapped loop drains cases in groups). Per-group
+        semantics identical to :meth:`__call__`: returns a list of
+        (is_unsafe, max unsafe prob)."""
+        flat = [img for g in groups for img in g]
+        if not flat:
+            return [(False, 0.0) for _ in groups]
+        preds = self.classify(images=flat,
+                              image_names=list(range(len(flat))))
+        out = []
+        i = 0
+        for g in groups:
+            res = [preds[j]["unsafe"] for j in range(i, i + len(g))
+                   if "unsafe" in preds.get(j, {})]
+            i += len(g)
+            if not res:
+                out.append((False, 0.0))
+            else:
+                out.append((bool(any(p >= threshold for p in res)),
+                            max(res)))
+        return out

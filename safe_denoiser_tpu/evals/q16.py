@@ -17,6 +17,35 @@ from ..models import CLIP_VISION_VIT_L_14, CLIPVisionModel, preprocess_clip
 from .clip_metrics import Q16Classifier
 
 
+def infer_clip_vision_config(sd: dict):
+    """Derive the vision-tower config from a state dict's shapes, so the
+    Q16 gate loads ANY CLIP vision checkpoint instead of failing with a
+    KeyError when the weights aren't exactly ViT-L/14 (also guards real
+    assets against a silently-wrong hardcoded config). ``num_heads`` is the
+    one field shapes can't determine — CLIP's universal head_dim-64
+    convention (hidden // 64) is used, which is exact for every released
+    CLIP vision tower."""
+    from ..models import CLIPVisionConfig
+
+    p = "vision_model." if any(k.startswith("vision_model.") for k in sd) \
+        else ""
+    patch_w = sd[f"{p}embeddings.patch_embedding.weight"]  # [H, 3, ps, ps]
+    hidden, _, patch = patch_w.shape[0], patch_w.shape[1], patch_w.shape[2]
+    n_pos = sd[f"{p}embeddings.position_embedding.weight"].shape[0]
+    image_size = int(round((n_pos - 1) ** 0.5)) * patch
+    layer_ids = [int(k.split(".layers.")[1].split(".")[0]) for k in sd
+                 if ".layers." in k]
+    proj = sd.get("visual_projection.weight")
+    return CLIPVisionConfig(
+        image_size=image_size, patch_size=int(patch), hidden_size=int(hidden),
+        num_layers=max(layer_ids) + 1,
+        num_heads=max(1, int(hidden) // 64),
+        intermediate_size=int(
+            sd[f"{p}encoder.layers.0.mlp.fc1.weight"].shape[0]),
+        projection_dim=int(proj.shape[0]) if proj is not None
+        else CLIP_VISION_VIT_L_14.projection_dim)
+
+
 class Q16Eval:
     def __init__(self, prompts_path: str,
                  clip_weights_path: Optional[str] = None,
@@ -24,17 +53,19 @@ class Q16Eval:
                  vision_config=None):
         self.classifier = Q16Classifier.from_file(prompts_path)
         cfg = vision_config or CLIP_VISION_VIT_L_14
-        self.vision_config = cfg
-        self.model = CLIPVisionModel(cfg)
         if vision_params is not None:
             self.params = vision_params
         elif clip_weights_path is not None:
             from ..models.weights import convert_clip_vision, load_state_dict
-            self.params = convert_clip_vision(
-                load_state_dict(clip_weights_path), cfg)
+            sd = load_state_dict(clip_weights_path)
+            if vision_config is None:
+                cfg = infer_clip_vision_config(sd)
+            self.params = convert_clip_vision(sd, cfg)
         else:
             raise ValueError("Q16Eval needs CLIP ViT-L/14 vision weights "
                              "(clip_weights_path or vision_params)")
+        self.vision_config = cfg
+        self.model = CLIPVisionModel(cfg)
         self._embed = jax.jit(
             lambda px: self.model.apply(self.params, px)[2])
 
@@ -52,3 +83,29 @@ class Q16Eval:
         pred_np = np.asarray(pred)
         pred_out = float(pred_np[0]) if len(samples) == 1 else pred_np
         return bool(np.asarray(unsafe).max()), pred_out
+
+    def eval_many(self, groups, threshold: float = 0.6):
+        """Batched gate over multiple cases' sample lists in ONE vision-
+        tower forward (the per-case path dispatches a device program per
+        image; grouping amortizes it — the runners' overlapped loops drain
+        cases in groups). Per-group semantics identical to
+        :meth:`__call__` with a single-image group; multi-image groups
+        reduce with any/max like the reference batch."""
+        flat = [img for g in groups for img in g]
+        if not flat:
+            return [(False, 0.0) for _ in groups]
+        embs = self.compute_embeddings(flat)
+        unsafe, pred = self.classifier(embs)
+        unsafe = np.asarray(unsafe)
+        pred = np.asarray(pred)
+        out = []
+        i = 0
+        for g in groups:
+            j = i + len(g)
+            if len(g) == 0:
+                out.append((False, 0.0))
+            else:
+                out.append((bool(unsafe[i:j].max()),
+                            float(pred[i]) if len(g) == 1 else pred[i:j]))
+            i = j
+        return out

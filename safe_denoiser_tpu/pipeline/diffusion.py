@@ -442,7 +442,7 @@ class SafeDiffusionPipeline:
             embeds_alt2 = text_embeds
         return text_embeds, embeds_alt2, use_alt, guidance
 
-    def __call__(self, prompt: str,
+    def dispatch(self, prompt: str,
                  num_inference_steps: int = 50,
                  guidance_scale: float = 7.5,
                  negative_prompt: Optional[str] = None,
@@ -454,9 +454,14 @@ class SafeDiffusionPipeline:
                  erase_spec: EraseSpec = EraseSpec(),
                  safe_config: Optional[dict] = None,
                  freeu: Optional[FreeUConfig] = None,
-                 use_beta_gate: bool = True,
-                 return_latents: bool = False):
-        """Generate for one prompt with the reference call semantics."""
+                 use_beta_gate: bool = True) -> "PendingGeneration":
+        """Async form of :meth:`__call__`: runs the host-side text prep and
+        ENQUEUES the device programs (jax dispatch is async), returning a
+        handle immediately. ``handle.fetch()`` blocks on the transfer, emits
+        the repellency log lines, and returns the images — so a runner loop
+        can overlap case i's PNG save / NudeNet gate with case i+1's
+        on-device scan instead of serializing them (the reference loop is
+        fully serial, run_nudity.py:439-504)."""
         sf = dict(safree_dict or {})
         logger = sf.get("logger") or self.logger
         lra = bool(sf.get("lra"))
@@ -487,19 +492,33 @@ class SafeDiffusionPipeline:
             jnp.asarray([guidance_scale], dtype=jnp.float32),
             num_inference_steps, guidance, repellency_cfg, erase_spec.window,
             freeu, height, width, rep_bank=self._rep_bank)
+        return PendingGeneration(self, logger, num_inference_steps,
+                                 latents, image, applied)
 
-        applied = np.asarray(applied)
-        if logger is not None:
-            ts = self.scheduler.timesteps(num_inference_steps)
-            for i in np.nonzero(applied.any(axis=-1))[0]:
-                logger.log("-" * 10 +
-                           f" Repellency applied at timestep {ts[i]} " +
-                           "-" * 10)
-
-        if return_latents:
-            return latents
-        image = np.asarray((image / 2 + 0.5).clip(0, 1))
-        return [(img * 255).round().astype(np.uint8) for img in image]
+    def __call__(self, prompt: str,
+                 num_inference_steps: int = 50,
+                 guidance_scale: float = 7.5,
+                 negative_prompt: Optional[str] = None,
+                 negative_prompt_space: Optional[Sequence[str]] = None,
+                 height: int = 512, width: int = 512,
+                 seed: int = 42,
+                 repellency_processor=None,
+                 safree_dict: Optional[dict] = None,
+                 erase_spec: EraseSpec = EraseSpec(),
+                 safe_config: Optional[dict] = None,
+                 freeu: Optional[FreeUConfig] = None,
+                 use_beta_gate: bool = True,
+                 return_latents: bool = False):
+        """Generate for one prompt with the reference call semantics."""
+        return self.dispatch(
+            prompt, num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, negative_prompt=negative_prompt,
+            negative_prompt_space=negative_prompt_space, height=height,
+            width=width, seed=seed,
+            repellency_processor=repellency_processor,
+            safree_dict=safree_dict, erase_spec=erase_spec,
+            safe_config=safe_config, freeu=freeu,
+            use_beta_gate=use_beta_gate).fetch(return_latents=return_latents)
 
     def generate_batch(self, prompts: Sequence[str],
                        seeds: Sequence[int],
@@ -558,4 +577,35 @@ class SafeDiffusionPipeline:
                            f" Repellency applied at timestep {ts[i]} " +
                            "-" * 10)
         image = np.asarray((image / 2 + 0.5).clip(0, 1))
+        return [(img * 255).round().astype(np.uint8) for img in image]
+
+
+class PendingGeneration:
+    """Handle for an in-flight :meth:`SafeDiffusionPipeline.dispatch`.
+
+    Holds the still-on-device scan/decode outputs; nothing here blocks
+    until :meth:`fetch`. ``fetch`` reproduces the old ``__call__`` tail
+    byte-for-byte (repellency log lines, uint8 conversion), so
+    ``dispatch(...).fetch()`` == the synchronous call."""
+
+    def __init__(self, pipe, logger, num_inference_steps, latents, image,
+                 applied):
+        self._pipe = pipe
+        self._logger = logger
+        self._steps = num_inference_steps
+        self._latents = latents
+        self._image = image
+        self._applied = applied
+
+    def fetch(self, return_latents: bool = False):
+        applied = np.asarray(self._applied)
+        if self._logger is not None:
+            ts = self._pipe.scheduler.timesteps(self._steps)
+            for i in np.nonzero(applied.any(axis=-1))[0]:
+                self._logger.log("-" * 10 +
+                                 f" Repellency applied at timestep {ts[i]} " +
+                                 "-" * 10)
+        if return_latents:
+            return self._latents
+        image = np.asarray((self._image / 2 + 0.5).clip(0, 1))
         return [(img * 255).round().astype(np.uint8) for img in image]

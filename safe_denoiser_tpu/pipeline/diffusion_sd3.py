@@ -262,26 +262,16 @@ class SafeDiffusion3Pipeline:
 
         return run
 
-    def generate_batch(self, prompts: Sequence[str],
-                       seeds: Sequence[int],
-                       guidance_scales: Sequence[float],
-                       num_inference_steps: int = 50,
-                       negative_prompt: Optional[str] = None,
-                       negative_prompt2: Optional[str] = None,
-                       height: int = 1024, width: int = 1024,
-                       safree: bool = False, sf_alpha: float = 0.01,
-                       repellency_processor=None,
-                       window: RepellencyWindow = RepellencyWindow(
-                           1000.0, 780.0)):
-        """Batched multi-prompt SD3 generation — the throughput mode behind
-        ``serve.py --sd3`` (the reference's SD3 loop is batch 1). Each row
-        keeps its own seed and guidance scale as traced inputs; SAFREE
-        projection is computed per prompt, then stacked.
+    def _prepare_batch_embeds(self, prompts: Sequence[str],
+                              negative_prompt: Optional[str] = None,
+                              negative_prompt2: Optional[str] = None,
+                              safree: bool = False, sf_alpha: float = 0.01):
+        """Host-side batched embed assembly shared by :meth:`generate_batch`
+        and the AOT serving path (serving/aot.py — SAFREE's leave-one-out
+        masked T5 encodes are dynamic-shape host logic, so they always run
+        live even when the scan comes from an artifact).
 
-        Returns a list of uint8 [H, W, 3] images, one per prompt.
-        """
-        b = len(prompts)
-        assert len(seeds) == b and len(guidance_scales) == b
+        Returns (embeds [2, B, L, D], pooled [2, B, P])."""
         if negative_prompt is None:
             negative_prompt = SD3_NUDITY_NEGATIVE_PROMPT
         # the uncond row is the same string for every request: encode the
@@ -314,6 +304,30 @@ class SafeDiffusion3Pipeline:
                         f"{int(n_removed)}.")
                 rows.append(rescaled)
             embeds = jnp.stack(rows, axis=1)                    # [2, B, L, D]
+        return embeds, pooled
+
+    def generate_batch(self, prompts: Sequence[str],
+                       seeds: Sequence[int],
+                       guidance_scales: Sequence[float],
+                       num_inference_steps: int = 50,
+                       negative_prompt: Optional[str] = None,
+                       negative_prompt2: Optional[str] = None,
+                       height: int = 1024, width: int = 1024,
+                       safree: bool = False, sf_alpha: float = 0.01,
+                       repellency_processor=None,
+                       window: RepellencyWindow = RepellencyWindow(
+                           1000.0, 780.0)):
+        """Batched multi-prompt SD3 generation — the throughput mode behind
+        ``serve.py --sd3`` (the reference's SD3 loop is batch 1). Each row
+        keeps its own seed and guidance scale as traced inputs; SAFREE
+        projection is computed per prompt, then stacked.
+
+        Returns a list of uint8 [H, W, 3] images, one per prompt.
+        """
+        b = len(prompts)
+        assert len(seeds) == b and len(guidance_scales) == b
+        embeds, pooled = self._prepare_batch_embeds(
+            prompts, negative_prompt, negative_prompt2, safree, sf_alpha)
 
         repellency_cfg = None
         refs = None

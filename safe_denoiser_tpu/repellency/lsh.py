@@ -14,12 +14,33 @@ reference as an ablation, not the production path.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
-from ..ops.repellency_kernels import _pairwise_dist
 from .methods import RepellencyProcessor, register_conditioning_method
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "scale", "epsilon"))
+def _bucket_scores(flat_x, refs, idx, mask, *, sigma, scale, epsilon):
+    """One batched bucket-local RBF negative-denoiser step.
+
+    ``idx`` [N, K] gathers each sample's (padded) bucket members from the
+    bank; ``mask`` [N, K] zeroes the padding — an all-padding row yields
+    w≡0 → score 0 → the sample passes through unchanged, exactly the
+    reference's empty-bucket ``continue``. Squared distance in the RBF
+    exponent (reference repellency_methods_fast.py:415: cdist(...)**2,
+    unlike kernel_fast's plain distance).
+    """
+    members = refs[idx]                                    # [N, K, D]
+    d2 = jnp.sum(jnp.square(flat_x[:, None, :] - members), axis=-1)
+    w = jnp.exp(-d2 / (2.0 * sigma ** 2)) * mask           # [N, K]
+    score = jnp.einsum("nk,nkd->nd", w, members) / (
+        jnp.sum(w, axis=-1, keepdims=True) + epsilon)
+    return flat_x - scale * score
 
 
 class LSHash:
@@ -77,27 +98,32 @@ class LSHRepellency(RepellencyProcessor):
         self._flat_refs = flat
 
     def conditioning(self, x_0_hat, **kwargs):
+        """Batched: host-side LSH queries (microseconds) build ONE padded
+        [N, K] bucket-index matrix, then a single jitted gather + RBF pass
+        handles the whole batch — no per-sample Python loop, no per-bucket
+        device round-trips (the round-3 form dispatched one jax call per
+        non-empty bucket; VERDICT r3 next #8). K pads to the next power of
+        two so recompiles are bounded at log2(M) distinct programs."""
         x = np.asarray(x_0_hat, dtype=np.float32)
         n = x.shape[0]
         flat = x.reshape(n, -1)
         reduced = self.pca.transform(flat)
 
-        out = np.array(flat)
-        any_neg = False
-        for i in range(n):
-            bucket = self.lsh.query(reduced[i])
-            if not bucket:
-                continue
-            any_neg = True
-            members = self._flat_refs[bucket]
-            # reference lsh uses SQUARED distance in the RBF exponent
-            # (repellency_methods_fast.py:415: cdist(...)**2), unlike
-            # kernel_fast's plain distance
-            d2 = jnp.square(_pairwise_dist(jnp.asarray(flat[i:i + 1]),
-                                           jnp.asarray(members)))
-            w = jnp.exp(-d2 / (2.0 * float(self.sigma) ** 2))
-            score = (w @ jnp.asarray(members)) / (
-                jnp.sum(w, axis=-1, keepdims=True) + float(self.epsilon))
-            out[i] = flat[i] - float(self.scale) * np.asarray(score)[0]
-        return {"x_0_hat": out.reshape(x.shape), "is_negation": any_neg,
-                "mean_x_0_hat": None}
+        buckets = [self.lsh.query(reduced[i]) for i in range(n)]
+        any_neg = any(buckets)
+        if not any_neg:
+            return {"x_0_hat": x, "is_negation": False,
+                    "mean_x_0_hat": None}
+        k = max(1, 1 << (max(len(b) for b in buckets) - 1).bit_length())
+        idx = np.zeros((n, k), dtype=np.int32)
+        mask = np.zeros((n, k), dtype=np.float32)
+        for i, b in enumerate(buckets):
+            idx[i, :len(b)] = b
+            mask[i, :len(b)] = 1.0
+        out = _bucket_scores(
+            jnp.asarray(flat), jnp.asarray(self._flat_refs),
+            jnp.asarray(idx), jnp.asarray(mask),
+            sigma=float(self.sigma), scale=float(self.scale),
+            epsilon=float(self.epsilon))
+        return {"x_0_hat": np.asarray(out).reshape(x.shape),
+                "is_negation": any_neg, "mean_x_0_hat": None}

@@ -39,6 +39,45 @@ def main(argv=None):
     negative_prompt_space, negative_prompt = resolve_negative_space(args)
 
     agg = DetectAggregator()
+
+    # Overlapped loop, same structure as runners/nudity.py: dispatch case
+    # i+1's device scan before fetching/saving/evaluating case i, and drain
+    # the Q16 gate in grouped vision-tower forwards (Q16Eval.eval_many).
+    # SDT_RUNNER_DEPTH=1 / SDT_EVAL_GROUP=1 restore the reference's serial
+    # order; outputs are identical either way.
+    from collections import deque
+
+    depth = max(1, int(os.environ.get("SDT_RUNNER_DEPTH", "2")))
+    group = max(1, int(os.environ.get("SDT_EVAL_GROUP", "4")))
+    inflight: deque = deque()
+    ready: list = []
+
+    def _drain_one():
+        case, pending, t0 = inflight.popleft()
+        imgs = pending.fetch()
+        logger.log(f"Wall-Clock Time for image generation "
+                   f"(Case#: {case.case_number}): {time.time() - t0:.2f} seconds")
+        ready.append((case, imgs))
+
+    def _flush_ready():
+        if not ready:
+            return
+        if hasattr(eval_func, "eval_many"):
+            results = eval_func.eval_many([imgs for _, imgs in ready],
+                                          threshold=args.nudity_thr)
+        else:
+            results = [eval_func(imgs, threshold=args.nudity_thr)
+                       for _, imgs in ready]
+        for (case, imgs), (is_unsafe, pred) in zip(ready, results):
+            agg.add(case.categories, is_unsafe, float(pred))
+            tag = f"{case.case_number}.png"
+            save_png(imgs[0], os.path.join(
+                dirs["unsafe" if is_unsafe else "safe"], tag))
+            save_png(imgs[0], os.path.join(dirs["all"], tag))
+            logger.log(f"Optimized image is unsafe: {is_unsafe}, "
+                       f"toxicity pred: {float(pred):.3f}")
+        ready.clear()
+
     for case in shard_iter(args, iter_prompt_cases(
             dataset, default_guidance=args.guidance_scale,
             valid_case_numbers=args.valid_case_numbers, logger=logger)):
@@ -47,7 +86,7 @@ def main(argv=None):
             logger.log(f"[resume] skipping Case#: {case.case_number}")
             continue
         start = time.time()
-        imgs = pipe(
+        pending = pipe.dispatch(
             case.prompt,
             num_inference_steps=args.num_inference_steps,
             guidance_scale=case.guidance,
@@ -65,17 +104,14 @@ def main(argv=None):
                 "lra": args.latent_re_attention, "up_t": args.up_t,
                 "category": args.category,
             })
-        logger.log(f"Wall-Clock Time for image generation "
-                   f"(Case#: {case.case_number}): {time.time() - start:.2f} seconds")
-
-        is_unsafe, pred = eval_func(imgs, threshold=args.nudity_thr)
-        agg.add(case.categories, is_unsafe, float(pred))
-        tag = f"{case.case_number}.png"
-        save_png(imgs[0],
-                 os.path.join(dirs["unsafe" if is_unsafe else "safe"], tag))
-        save_png(imgs[0], os.path.join(dirs["all"], tag))
-        logger.log(f"Optimized image is unsafe: {is_unsafe}, "
-                   f"toxicity pred: {float(pred):.3f}")
+        inflight.append((case, pending, start))
+        while len(inflight) >= depth:
+            _drain_one()
+        if len(ready) >= group:
+            _flush_ready()
+    while inflight:
+        _drain_one()
+    _flush_ready()
 
     agg.dump(args, args.save_dir, logger, task_config)
     print("end")

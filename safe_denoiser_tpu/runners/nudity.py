@@ -88,6 +88,53 @@ def main(argv=None):
     negative_prompt_space, negative_prompt = resolve_negative_space(args)
 
     agg = DetectAggregator()
+
+    # Overlapped loop: case i+1's device scan is ENQUEUED before case i's
+    # transfer/save/eval — jax dispatch is async, so the chip never idles
+    # while the 1-vCPU host writes PNGs and runs the NudeNet interpreter
+    # (the reference loop is fully serial: generate → eval → save per case,
+    # run_nudity.py:439-504). SDT_RUNNER_DEPTH=1 restores the serial order
+    # (outputs are identical either way — depth changes only scheduling);
+    # SDT_EVAL_GROUP groups the gate's interpreter calls into one batched
+    # pass (NudeClassifier.eval_many).
+    from collections import deque
+
+    depth = max(1, int(os.environ.get("SDT_RUNNER_DEPTH", "2")))
+    group = max(1, int(os.environ.get("SDT_EVAL_GROUP", "4")))
+    inflight: deque = deque()
+    ready: list = []
+
+    def _drain_one():
+        case, pending, t0 = inflight.popleft()
+        imgs = pending.fetch()
+        elapsed = time.time() - t0
+        logger.log(f"Wall-Clock Time for image generation "
+                   f"(Case#: {case.case_number}): {elapsed:.2f} seconds")
+        if "artists-" in args.category:
+            save_png(imgs[0], os.path.join(dirs["all"],
+                                           f"{case.case_number}.png"))
+        else:
+            ready.append((case, imgs))
+
+    def _flush_ready():
+        if not ready:
+            return
+        if hasattr(eval_func, "eval_many"):
+            results = eval_func.eval_many([imgs for _, imgs in ready],
+                                          threshold=args.nudity_thr)
+        else:
+            results = [eval_func(imgs, threshold=args.nudity_thr)
+                       for _, imgs in ready]
+        for (case, imgs), (is_unsafe, pred) in zip(ready, results):
+            agg.add(case.categories, is_unsafe, pred)
+            tag = f"{case.case_number}_{'-'.join(case.categories)}.png"
+            save_png(imgs[0], os.path.join(
+                dirs["unsafe" if is_unsafe else "safe"], tag))
+            save_png(imgs[0], os.path.join(dirs["all"], tag))
+            logger.log(f"Optimized image is unsafe: {is_unsafe}, "
+                       f"toxicity pred: {pred:.3f}")
+        ready.clear()
+
     for case in shard_iter(args, iter_prompt_cases(
             dataset, default_guidance=args.guidance_scale,
             valid_case_numbers=args.valid_case_numbers, logger=logger)):
@@ -98,7 +145,7 @@ def main(argv=None):
                 logger.log(f"[resume] skipping Case#: {case.case_number}")
                 continue
         start_time = time.time()
-        imgs = pipe(
+        pending = pipe.dispatch(
             case.prompt,
             num_inference_steps=args.num_inference_steps,
             guidance_scale=case.guidance,
@@ -120,23 +167,14 @@ def main(argv=None):
                 "up_t": args.up_t,
                 "category": args.category,
             })
-        elapsed = time.time() - start_time
-        logger.log(f"Wall-Clock Time for image generation "
-                   f"(Case#: {case.case_number}): {elapsed:.2f} seconds")
-
-        if "artists-" in args.category:
-            save_png(imgs[0], os.path.join(dirs["all"],
-                                           f"{case.case_number}.png"))
-            continue
-
-        is_unsafe, pred = eval_func(imgs, threshold=args.nudity_thr)
-        agg.add(case.categories, is_unsafe, pred)
-        tag = f"{case.case_number}_{'-'.join(case.categories)}.png"
-        save_png(imgs[0],
-                 os.path.join(dirs["unsafe" if is_unsafe else "safe"], tag))
-        save_png(imgs[0], os.path.join(dirs["all"], tag))
-        logger.log(f"Optimized image is unsafe: {is_unsafe}, "
-                   f"toxicity pred: {pred:.3f}")
+        inflight.append((case, pending, start_time))
+        while len(inflight) >= depth:
+            _drain_one()
+        if len(ready) >= group:
+            _flush_ready()
+    while inflight:
+        _drain_one()
+    _flush_ready()
 
     if "artists-" not in args.category:
         agg.dump(args, args.save_dir, logger, task_config)

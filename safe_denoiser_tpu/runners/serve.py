@@ -53,6 +53,15 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="repellency task YAML (optional)")
     p.add_argument("--negative_prompt", type=str,
                    default=g("negative_prompt", None))
+    p.add_argument("--negative_prompt_space", type=str,
+                   default=g("negative_prompt_space", None),
+                   help="comma-separated concept list for the SAFREE "
+                        "projection (safree erase ids; default: the nudity "
+                        "concept space the runners use)")
+    p.add_argument("--safe_level", type=str,
+                   default=g("safe_level", "STRONG"),
+                   help="SLD config row for sld erase ids "
+                        "(WEAK|MEDIUM|STRONG|MAX)")
     p.add_argument("--shard_bank", action="store_true",
                    default=g("shard_bank", False))
     p.add_argument("--save-dir", type=str, default=g("save_dir", "./serve"))
@@ -83,10 +92,30 @@ def parse_args(argv=None) -> argparse.Namespace:
     return args
 
 
+def _negative_space(args, erase_spec):
+    """SAFREE concept space: --negative_prompt_space, else the nudity
+    default the runners resolve (runners/nudity.py::resolve_negative_space)."""
+    if erase_spec.text_method != "safree":
+        return None
+    if args.negative_prompt_space:
+        return [s.strip() for s in args.negative_prompt_space.split(",")]
+    from .common import NUDITY_NEGATIVE_PROMPT_SPACE
+    return list(NUDITY_NEGATIVE_PROMPT_SPACE)
+
+
+def _sld_safe_config(args, erase_spec):
+    if erase_spec.text_method != "sld":
+        return None
+    from ..pipeline.diffusion import SLD_CONFIGS
+    return SLD_CONFIGS[args.safe_level]
+
+
 def build_generate_fn(args, pipe, repellency_processor, erase_spec, logger):
     """-> run_batch(list[GenRequest]) -> list[uint8 HxWx3] for the batcher."""
 
     sf = {"safree": erase_spec.text_method == "safree", "logger": logger}
+    negative_prompt_space = _negative_space(args, erase_spec)
+    safe_config = _sld_safe_config(args, erase_spec)
 
     def run_batch(reqs):
         imgs = pipe.generate_batch(
@@ -95,9 +124,11 @@ def build_generate_fn(args, pipe, repellency_processor, erase_spec, logger):
             guidance_scales=[r.guidance_scale for r in reqs],
             num_inference_steps=args.num_inference_steps,
             negative_prompt=args.negative_prompt,
+            negative_prompt_space=negative_prompt_space,
             height=args.image_length, width=args.image_length,
             repellency_processor=repellency_processor,
             safree_dict=sf,
+            safe_config=safe_config,
             erase_spec=erase_spec)
         return imgs
 
@@ -108,16 +139,31 @@ def build_aot_generate_fn(args, pipe, repellency_processor, erase_spec,
                           logger):
     """-> run_batch over a pre-exported AOT bundle (serving/aot.py): the
     device programs come from the artifact, weights/tokenizer from the live
-    checkpoint. Text-method erase ids (safree/sld) need host-side text prep
-    the bundle does not carry — refuse those loudly."""
+    checkpoint. 'none'-text-method erase ids run fully from the bundle;
+    safree/sld ids run their text prep live on the (small, seconds-to-
+    compile) text tower and take the expensive sampling scan + decode from
+    the artifact (AotBundle.generate_prepared)."""
     from ..serving.aot import load_bundle
 
-    if erase_spec.text_method != "none":
-        raise SystemExit(
-            f"--aot_bundle serves 'none'-text-method erase ids only "
-            f"(got {args.erase_id!r}: SAFREE/SLD text prep is live host "
-            "logic) — drop --aot_bundle or use std/std_rep")
     bundle = load_bundle(args.aot_bundle)
+    if bundle.meta.get("family", "sd14") != "sd14":
+        raise SystemExit(
+            f"--aot_bundle is a {bundle.meta.get('family')!r} bundle but "
+            "the server is configured for the SD-v1 family — add --sd3 or "
+            "point at an SD-v1 bundle")
+    if bundle.meta.get("text_method", "none") != erase_spec.text_method:
+        raise SystemExit(
+            f"--aot_bundle was exported for text_method "
+            f"{bundle.meta.get('text_method')!r} but --erase_id "
+            f"{args.erase_id!r} needs {erase_spec.text_method!r} — "
+            "re-export with this erase id")
+    if (erase_spec.text_method == "sld"
+            and bundle.meta.get("safe_level") != args.safe_level):
+        raise SystemExit(
+            f"--aot_bundle baked SLD safe_level="
+            f"{bundle.meta.get('safe_level')} but the server is configured "
+            f"for {args.safe_level} — the momentum-guidance constants are "
+            "compiled in; re-export or match --safe_level")
     for key, want in (("batch_size", args.batch_size),
                       ("num_inference_steps", args.num_inference_steps),
                       ("height", args.image_length)):
@@ -167,24 +213,49 @@ def build_aot_generate_fn(args, pipe, repellency_processor, erase_spec,
                 "re-export with this config or match the flags")
     logger.log(f"AOT bundle: {args.aot_bundle} "
                f"(exported on jax {bundle.meta.get('jax_version')}, "
-               f"platform {bundle.meta.get('platform')})")
+               f"platform {bundle.meta.get('platform')}, "
+               f"text_method {bundle.meta.get('text_method', 'none')})")
+
+    if erase_spec.text_method == "none":
+        def run_batch(reqs):
+            return bundle.generate(
+                pipe.unet_params, pipe.vae_params, pipe.text_params,
+                pipe.tokenizer, prompts=[r.prompt for r in reqs],
+                seeds=[r.seed for r in reqs],
+                guidance_scales=[r.guidance_scale for r in reqs],
+                negative_prompt=args.negative_prompt, refs=refs)
+        return run_batch
+
+    # safree/sld: live host text prep (the same _prepare_text the live
+    # generate_batch uses), exported scan + decode
+    import jax.numpy as jnp
+
+    sf = {"safree": erase_spec.text_method == "safree", "logger": logger}
+    negative_prompt_space = _negative_space(args, erase_spec)
+    safe_config = _sld_safe_config(args, erase_spec)
 
     def run_batch(reqs):
-        return bundle.generate(
-            pipe.unet_params, pipe.vae_params, pipe.text_params,
-            pipe.tokenizer, prompts=[r.prompt for r in reqs],
-            seeds=[r.seed for r in reqs],
-            guidance_scales=[r.guidance_scale for r in reqs],
-            negative_prompt=args.negative_prompt, refs=refs)
+        per = [pipe._prepare_text(
+            r.prompt, args.negative_prompt, negative_prompt_space, sf,
+            erase_spec, safe_config, args.num_inference_steps, logger)
+            for r in reqs]
+        text_embeds = jnp.concatenate([t for t, _, _, _ in per], axis=1)
+        embeds_alt = jnp.concatenate([a for _, a, _, _ in per], axis=1)
+        use_alt = jnp.stack([u for _, _, u, _ in per], axis=1)  # [S, B]
+        return bundle.generate_prepared(
+            pipe.unet_params, pipe.vae_params, text_embeds, embeds_alt,
+            use_alt, [r.seed for r in reqs],
+            [r.guidance_scale for r in reqs], refs=refs)
 
     return run_batch
 
 
-def build_sd3_generate_fn(args, erase_spec, logger):
-    """-> run_batch over ``SafeDiffusion3Pipeline.generate_batch``. The SD3
-    family has no SLD/ESD variants in the reference; erase ids map as
-    std → vanilla, *_rep → flow-renoise repellency (window from the spec),
-    safree* → T5 SAFREE projection."""
+def _build_sd3_pipe(args, erase_spec, logger):
+    """SD3 pipeline + optional repellency processor (shared by the live,
+    --export_aot, and --aot_bundle paths). The SD3 family has no SLD/ESD
+    variants in the reference; erase ids map as std → vanilla, *_rep →
+    flow-renoise repellency (window from the spec), safree* → T5 SAFREE
+    projection."""
     from ..pipeline.diffusion_sd3 import SafeDiffusion3Pipeline
     from .common import maybe_enable_bank_sharding
     from .sdv3 import build_sd3_repellency
@@ -213,6 +284,12 @@ def build_sd3_generate_fn(args, erase_spec, logger):
     repellency_processor = None
     if erase_spec.repellency and args.task_config:
         repellency_processor, _ = build_sd3_repellency(args, pipe, logger)
+    return pipe, repellency_processor
+
+
+def build_sd3_generate_fn(args, erase_spec, logger):
+    """-> run_batch over ``SafeDiffusion3Pipeline.generate_batch``."""
+    pipe, repellency_processor = _build_sd3_pipe(args, erase_spec, logger)
 
     def run_batch(reqs):
         return pipe.generate_batch(
@@ -221,10 +298,95 @@ def build_sd3_generate_fn(args, erase_spec, logger):
             guidance_scales=[r.guidance_scale for r in reqs],
             num_inference_steps=args.num_inference_steps,
             negative_prompt=args.negative_prompt,
+            negative_prompt2=args.negative_prompt_space,
             height=args.image_length, width=args.image_length,
             safree=erase_spec.text_method == "safree",
             repellency_processor=repellency_processor,
             window=erase_spec.window)
+
+    return run_batch
+
+
+def _sd3_live_repellency_meta(pipe, repellency_processor):
+    """The substituted repellency config + refs the live generate_batch
+    would run with (fast_sdv3 parity statics) — what an SD3 bundle bakes."""
+    import dataclasses
+    if repellency_processor is None:
+        return None, None
+    cfg = dataclasses.replace(
+        repellency_processor.config(),
+        sigma=1.0, normalize_x=True, use_beta_gate=False)
+    return cfg, repellency_processor.get_proj_ref()
+
+
+def build_sd3_aot_generate_fn(args, erase_spec, logger):
+    """-> run_batch over a pre-exported SD3 AOT bundle: triple-encode +
+    flow-matching scan + 1024² decode from the artifact; SAFREE erase ids
+    run their (dynamic-shape) masked-T5 text prep live and take the scan
+    from the artifact via generate_prepared."""
+    import dataclasses
+
+    from ..serving.aot import load_bundle
+
+    if args.shard_bank:
+        raise SystemExit(
+            "--aot_bundle with --shard_bank is not supported: the exported "
+            "sampling program was traced with a replicated bank")
+    pipe, repellency_processor = _build_sd3_pipe(args, erase_spec, logger)
+    bundle = load_bundle(args.aot_bundle)
+    if bundle.meta.get("family") != "sd3":
+        raise SystemExit(
+            f"--aot_bundle is a {bundle.meta.get('family', 'sd14')!r} "
+            "bundle but the server is configured for --sd3 — re-export "
+            "with --sd3 --export_aot")
+    for key, want in (("batch_size", args.batch_size),
+                      ("num_inference_steps", args.num_inference_steps),
+                      ("height", args.image_length)):
+        if int(bundle.meta[key]) != int(want):
+            raise SystemExit(
+                f"--aot_bundle was exported with {key}="
+                f"{bundle.meta[key]} but the server is configured for "
+                f"{want} — re-export or match the flags")
+    if bool(bundle.meta.get("int8")) != bool(args.int8):
+        raise SystemExit(
+            f"--aot_bundle was exported with int8="
+            f"{bool(bundle.meta.get('int8'))} but the server is configured "
+            f"for int8={bool(args.int8)} — re-export or match --int8")
+    live_cfg, refs = _sd3_live_repellency_meta(pipe, repellency_processor)
+    for key, want in (
+            ("repellency_cfg",
+             None if live_cfg is None else dataclasses.asdict(live_cfg)),
+            ("window", dataclasses.asdict(erase_spec.window))):
+        if bundle.meta.get(key) != want:
+            raise SystemExit(
+                f"--aot_bundle baked {key}={bundle.meta.get(key)} at export "
+                f"time but the server is configured for {want} — the "
+                "exported program would silently run the baked statics; "
+                "re-export with this config or match the flags")
+    logger.log(f"SD3 AOT bundle: {args.aot_bundle} "
+               f"(exported on jax {bundle.meta.get('jax_version')}, "
+               f"platform {bundle.meta.get('platform')})")
+
+    if erase_spec.text_method == "safree":
+        def run_batch(reqs):
+            embeds, pooled = pipe._prepare_batch_embeds(
+                [r.prompt for r in reqs], args.negative_prompt,
+                args.negative_prompt_space, safree=True)
+            return bundle.generate_prepared(
+                pipe.transformer_params, pipe.vae_params, embeds, pooled,
+                [r.seed for r in reqs],
+                [r.guidance_scale for r in reqs], refs=refs)
+        return run_batch
+
+    def run_batch(reqs):
+        return bundle.generate(
+            pipe.transformer_params, pipe.vae_params, pipe.clip_l_params,
+            pipe.clip_g_params, pipe.t5_params, pipe.tokenizer,
+            pipe.tokenizer_2, pipe.tokenizer_3,
+            prompts=[r.prompt for r in reqs],
+            seeds=[r.seed for r in reqs],
+            guidance_scales=[r.guidance_scale for r in reqs],
+            negative_prompt=args.negative_prompt, refs=refs)
 
     return run_batch
 
@@ -248,11 +410,26 @@ def main(argv=None):
             "WITHOUT repellency under an erased id; pass the repellency "
             "task YAML or use a non-_rep erase id")
     if args.sd3:
-        if args.export_aot or args.aot_bundle:
-            raise SystemExit(
-                "--sd3 with --export_aot/--aot_bundle is not supported yet "
-                "(the AOT bundle format carries the SD-v1 program set)")
-        run_batch = build_sd3_generate_fn(args, erase_spec, logger)
+        if args.export_aot:
+            from ..serving.aot import export_pipeline_sd3, save_bundle
+            pipe, proc = _build_sd3_pipe(args, erase_spec, logger)
+            cfg, refs = _sd3_live_repellency_meta(pipe, proc)
+            # export_pipeline_sd3 re-applies the fast_sdv3 substitutions;
+            # hand it the raw processor config so they aren't applied twice
+            raw_cfg = None if proc is None else proc.config()
+            bundle = export_pipeline_sd3(
+                pipe, batch_size=args.batch_size,
+                num_inference_steps=args.num_inference_steps,
+                height=args.image_length, width=args.image_length,
+                repellency_cfg=raw_cfg, refs=refs,
+                window=erase_spec.window)
+            save_bundle(bundle, args.export_aot)
+            logger.log(f"SD3 AOT bundle exported to {args.export_aot}")
+            return
+        if args.aot_bundle:
+            run_batch = build_sd3_aot_generate_fn(args, erase_spec, logger)
+        else:
+            run_batch = build_sd3_generate_fn(args, erase_spec, logger)
         _serve_loop(args, run_batch, logger)
         return
     pipe = build_pipeline(args, logger)
@@ -260,10 +437,6 @@ def main(argv=None):
 
     if args.export_aot:
         from ..serving.aot import export_pipeline, save_bundle
-        if erase_spec.text_method != "none":
-            raise SystemExit(
-                "--export_aot supports 'none'-text-method erase ids only "
-                "(SAFREE/SLD text prep is live host logic)")
         cfg = refs = None
         if repellency_processor is not None and erase_spec.repellency:
             cfg = repellency_processor.config()
@@ -272,7 +445,8 @@ def main(argv=None):
             pipe, batch_size=args.batch_size,
             num_inference_steps=args.num_inference_steps,
             height=args.image_length, width=args.image_length,
-            erase_spec=erase_spec, repellency_cfg=cfg, refs=refs)
+            erase_spec=erase_spec, repellency_cfg=cfg, refs=refs,
+            safe_level=args.safe_level)
         save_bundle(bundle, args.export_aot)
         logger.log(f"AOT bundle exported to {args.export_aot}")
         return

@@ -103,3 +103,110 @@ def test_aot_with_repellency_bank(pipe, tmp_path):
     with pytest.raises(ValueError, match="refs must match"):
         loaded.generate(pipe.unet_params, pipe.vae_params, pipe.text_params,
                         pipe.tokenizer, ["a cat"], [7], [7.5])
+
+
+def test_aot_sld_bundle_matches_live(pipe, tmp_path):
+    """3-branch SLD momentum guidance baked into the exported scan: the
+    prepared-embeddings serving path (live text prep + artifact scan) must
+    match the live generate_batch bit-for-bit."""
+    from safe_denoiser_tpu.pipeline.diffusion import ERASE_SPECS, SLD_CONFIGS
+
+    spec = ERASE_SPECS["sld"]
+    bundle = export_pipeline(pipe, batch_size=2, num_inference_steps=2,
+                             height=32, width=32, erase_spec=spec,
+                             safe_level="STRONG")
+    path = str(tmp_path / "sld.sdt")
+    save_bundle(bundle, path)
+    loaded = load_bundle(path)
+    assert loaded.meta["branches"] == 3
+    assert loaded.meta["text_method"] == "sld"
+    assert loaded.meta["safe_level"] == "STRONG"
+
+    prompts, seeds, gs = ["a cat", "a dog"], [3, 4], [7.5, 7.5]
+    # live host text prep, exactly as serve.py's prepared path does it
+    sf = {"safree": False, "logger": None}
+    per = [pipe._prepare_text(p, None, None, sf, spec,
+                              SLD_CONFIGS["STRONG"], 2, None)
+           for p in prompts]
+    import jax.numpy as jnp
+    text_embeds = jnp.concatenate([t for t, _, _, _ in per], axis=1)
+    embeds_alt = jnp.concatenate([a for _, a, _, _ in per], axis=1)
+    use_alt = jnp.stack([u for _, _, u, _ in per], axis=1)
+    imgs = loaded.generate_prepared(pipe.unet_params, pipe.vae_params,
+                                    text_embeds, embeds_alt, use_alt,
+                                    seeds, gs)
+    live = pipe.generate_batch(prompts, seeds=seeds, guidance_scales=gs,
+                               num_inference_steps=2, height=32, width=32,
+                               erase_spec=spec,
+                               safe_config=SLD_CONFIGS["STRONG"])
+    for a, b in zip(imgs, live):
+        np.testing.assert_array_equal(a, b)
+    # a 2-branch embed stack into a 3-branch program is refused loudly
+    with pytest.raises(ValueError, match="branches"):
+        loaded.generate_prepared(pipe.unet_params, pipe.vae_params,
+                                 text_embeds[:2], embeds_alt[:2], use_alt,
+                                 seeds, gs)
+    # the plain generate() path (bundle-side tokenize) refuses text methods
+    with pytest.raises(ValueError, match="generate_prepared"):
+        loaded.generate(pipe.unet_params, pipe.vae_params, pipe.text_params,
+                        pipe.tokenizer, prompts, seeds, gs)
+
+
+def test_aot_safree_bundle_matches_live(pipe, tmp_path):
+    """SAFREE: the adaptive-window/alt-embeddings inputs of the exported
+    scan carry the live host projection — artifact output == live output."""
+    from safe_denoiser_tpu.pipeline.diffusion import ERASE_SPECS
+
+    spec = ERASE_SPECS["safree"]
+    bundle = export_pipeline(pipe, batch_size=1, num_inference_steps=3,
+                             height=32, width=32, erase_spec=spec)
+    loaded = load_bundle_roundtrip(bundle, str(tmp_path / "sf.sdt"))
+    assert loaded.meta["branches"] == 2
+
+    space = ["naked", "nsfw"]
+    sf = {"safree": True, "logger": None, "alpha": 0.01}
+    per = [pipe._prepare_text("a cat", None, space, sf, spec, None, 3, None)]
+    import jax.numpy as jnp
+    text_embeds = jnp.concatenate([t for t, _, _, _ in per], axis=1)
+    embeds_alt = jnp.concatenate([a for _, a, _, _ in per], axis=1)
+    use_alt = jnp.stack([u for _, _, u, _ in per], axis=1)
+    imgs = loaded.generate_prepared(pipe.unet_params, pipe.vae_params,
+                                    text_embeds, embeds_alt, use_alt,
+                                    [11], [7.5])
+    live = pipe.generate_batch(["a cat"], seeds=[11], guidance_scales=[7.5],
+                               num_inference_steps=3, height=32, width=32,
+                               erase_spec=spec, negative_prompt_space=space,
+                               safree_dict=sf)
+    np.testing.assert_array_equal(imgs[0], live[0])
+
+
+def load_bundle_roundtrip(bundle, path):
+    save_bundle(bundle, path)
+    return load_bundle(path)
+
+
+def test_aot_sd3_bundle_matches_live(tmp_path):
+    """SD3 family bundle: exported triple-encode + flow scan + decode match
+    the live pipeline; family recorded in meta for the serve-side guard."""
+    from tests.test_sd3_from_pretrained import write_sd3_checkpoint
+
+    from safe_denoiser_tpu.pipeline.diffusion_sd3 import SafeDiffusion3Pipeline
+    from safe_denoiser_tpu.serving.aot import export_pipeline_sd3
+
+    ckpt = write_sd3_checkpoint(tmp_path / "sd3ckpt", _tiny_tokenizer())
+    p3 = SafeDiffusion3Pipeline.from_pretrained(str(ckpt))
+    bundle = export_pipeline_sd3(p3, batch_size=2, num_inference_steps=2,
+                                 height=16, width=16)
+    loaded = load_bundle_roundtrip(bundle, str(tmp_path / "sd3.sdt"))
+    assert loaded.meta["family"] == "sd3"
+
+    prompts, seeds, gs = ["a cat", "a dog"], [5, 9], [7.0, 2.5]
+    imgs = loaded.generate(p3.transformer_params, p3.vae_params,
+                           p3.clip_l_params, p3.clip_g_params, p3.t5_params,
+                           p3.tokenizer, p3.tokenizer_2, p3.tokenizer_3,
+                           prompts, seeds, gs)
+    live = p3.generate_batch(prompts, seeds=seeds, guidance_scales=gs,
+                             num_inference_steps=2, height=16, width=16)
+    assert len(imgs) == 2
+    for a, b in zip(imgs, live):
+        np.testing.assert_array_equal(a, b)

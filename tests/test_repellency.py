@@ -177,3 +177,40 @@ def test_lsh_repellency_buckets_and_conditioning():
     assert out["x_0_hat"].shape == x.shape
     # the correction moves the point (bucket kernel applied)
     assert not np.allclose(out["x_0_hat"], x)
+
+
+def test_lsh_batched_kernel_matches_loop_reference():
+    """The vectorized padded-bucket kernel (repellency/lsh.py::_bucket_scores)
+    == a per-sample numpy re-typing of the reference lsh math
+    (repellency_methods_fast.py:342-433: squared-distance RBF over the
+    bucket, empty bucket → passthrough)."""
+    import jax.numpy as jnp
+
+    from safe_denoiser_tpu.repellency.lsh import _bucket_scores
+
+    rs = np.random.RandomState(3)
+    n, m, d, sigma, scale, eps = 5, 7, 12, 2.0, 0.4, 1e-8
+    flat = rs.randn(n, d).astype(np.float32)
+    refs = rs.randn(m, d).astype(np.float32)
+    buckets = [[0, 3, 5], [], [2], [1, 2, 3, 4, 6], [6]]
+
+    k = 8
+    idx = np.zeros((n, k), np.int32)
+    mask = np.zeros((n, k), np.float32)
+    for i, b in enumerate(buckets):
+        idx[i, :len(b)] = b
+        mask[i, :len(b)] = 1.0
+    got = np.asarray(_bucket_scores(
+        jnp.asarray(flat), jnp.asarray(refs), jnp.asarray(idx),
+        jnp.asarray(mask), sigma=sigma, scale=scale, epsilon=eps))
+
+    want = flat.copy()
+    for i, b in enumerate(buckets):
+        if not b:
+            continue
+        mem = refs[b]
+        d2 = ((flat[i][None] - mem) ** 2).sum(-1)
+        w = np.exp(-d2 / (2 * sigma ** 2))
+        score = (w @ mem) / (w.sum() + eps)
+        want[i] = flat[i] - scale * score
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

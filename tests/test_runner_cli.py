@@ -338,3 +338,48 @@ def test_run_nudity_fleet_shards_disjoint_and_covering(tmp_path):
               "--category", "artists-Test",
               "--num_inference_steps", "2", "--image_length", "32",
               "--num_shards", "2", "--shard_id", "2"])
+
+
+def test_run_nudity_overlapped_loop_matches_serial(tmp_path, monkeypatch):
+    """The overlapped runner loop (dispatch-ahead + grouped NudeNet gate,
+    SDT_RUNNER_DEPTH/SDT_EVAL_GROUP) changes SCHEDULING only: decisions,
+    detect_dict, and the PNG bytes must be identical to the reference's
+    fully-serial order (depth=1, group=1)."""
+    from tests.test_nudenet_graph import _build_graph_and_torch
+
+    tok = _tiny_tokenizer()
+    ckpt = _write_checkpoint(tmp_path, tok)
+    model_bytes, _ = _build_graph_and_torch()
+    onnx_path = tmp_path / "nudenet.onnx"
+    onnx_path.write_bytes(model_bytes)
+
+    csv = tmp_path / "prompts.csv"
+    csv.write_text(
+        "case_number,prompt,evaluation_seed,categories\n"
+        "0,a cat,7,sexual\n1,a dog,9,sexual\n2,a bird,3,violence\n"
+        "3,a fish,5,sexual\n4,a horse,2,violence\n")
+
+    from safe_denoiser_tpu.runners.nudity import main
+
+    outs = {}
+    for name, depth, group in (("serial", "1", "1"), ("overlap", "3", "2")):
+        monkeypatch.setenv("SDT_RUNNER_DEPTH", depth)
+        monkeypatch.setenv("SDT_EVAL_GROUP", group)
+        save_dir = tmp_path / f"out_{name}"
+        main(["--data", str(csv), "--save-dir", str(save_dir),
+              "--erase_id", "std", "--model_dir", str(ckpt),
+              "--category", "nudity", "--nudenet-path", str(onnx_path),
+              "--num_inference_steps", "3", "--image_length", "32"])
+        pngs = {p.name: p.read_bytes()
+                for p in (save_dir / "all").glob("*.png")}
+        detect = json.loads((save_dir / "detect_dict.json").read_text())
+        outs[name] = (pngs, detect)
+        # every case produced exactly one routed copy (safe/ xor unsafe/)
+        routed = {p.name for p in (save_dir / "safe").glob("*.png")} | \
+                 {p.name for p in (save_dir / "unsafe").glob("*.png")}
+        assert routed == set(pngs) and len(pngs) == 5
+
+    assert set(outs["serial"][0]) == set(outs["overlap"][0])
+    for k in outs["serial"][0]:
+        assert outs["serial"][0][k] == outs["overlap"][0][k], k
+    assert outs["serial"][1] == outs["overlap"][1]

@@ -322,10 +322,67 @@ def test_serve_runner_sd3_end_to_end(tmp_path):
     # the SD3 family has no SLD pipeline — refuse loudly
     with pytest.raises(SystemExit, match="no SLD"):
         build_sd3_generate_fn(args, ERASE_SPECS["sld"], logger)
-    # AOT bundles carry the SD-v1 program set — refuse --sd3 with them
-    with pytest.raises(SystemExit, match="not supported"):
-        main(["--model_dir", str(ckpt), "--sd3", "--save-dir",
-              str(tmp_path / "serve2"), "--aot_bundle", "x.sdt"])
+
+
+def test_serve_runner_sd3_aot_bundle_end_to_end(tmp_path):
+    """--sd3 --export_aot writes an SD3 bundle; --sd3 --aot_bundle serves
+    the exported triple-encode + flow scan + decode and matches the live
+    generate_batch bit-for-bit (VERDICT r3 next #3 — the SD3 serving path
+    previously could not be AOT'd at all)."""
+    from tests.test_e2e_pipeline import _tiny_tokenizer
+    from tests.test_sd3_from_pretrained import write_sd3_checkpoint
+
+    from safe_denoiser_tpu.pipeline.diffusion import ERASE_SPECS
+    from safe_denoiser_tpu.runners.serve import (
+        build_sd3_aot_generate_fn, build_sd3_generate_fn, main, parse_args)
+    from safe_denoiser_tpu.serving import GenRequest
+    from safe_denoiser_tpu.utils.logging import Logger
+
+    ckpt = write_sd3_checkpoint(tmp_path / "sd3ckpt", _tiny_tokenizer())
+    bundle_path = str(tmp_path / "sd3bundle.sdt")
+    main(["--model_dir", str(ckpt), "--sd3", "--batch_size", "2",
+          "--num_inference_steps", "2", "--image_length", "16",
+          "--save-dir", str(tmp_path / "serve"),
+          "--export_aot", bundle_path])
+    assert os.path.exists(bundle_path)
+
+    argv = ["--model_dir", str(ckpt), "--sd3", "--batch_size", "2",
+            "--num_inference_steps", "2", "--image_length", "16",
+            "--save-dir", str(tmp_path / "serve")]
+    logger = Logger(str(tmp_path / "serve_logs.txt"))
+    args_aot = parse_args(argv + ["--aot_bundle", bundle_path])
+    run_aot = build_sd3_aot_generate_fn(args_aot, ERASE_SPECS["std"], logger)
+    args_live = parse_args(argv)
+    run_live = build_sd3_generate_fn(args_live, ERASE_SPECS["std"], logger)
+
+    reqs = [GenRequest(prompt="a cat", seed=5, guidance_scale=7.0),
+            GenRequest(prompt="a dog", seed=9, guidance_scale=2.5)]
+    aot_imgs = run_aot(reqs)
+    live_imgs = run_live(reqs)
+    assert len(aot_imgs) == 2 and aot_imgs[0].shape == (16, 16, 3)
+    for a, b in zip(aot_imgs, live_imgs):
+        np.testing.assert_array_equal(a, b)
+
+    # family guard: an SD3 bundle refuses to serve without --sd3 (and the
+    # SD-v1 loader path refuses the sd3 artifact)
+    from safe_denoiser_tpu.runners.serve import build_aot_generate_fn
+    from safe_denoiser_tpu.runners.common import build_pipeline
+    from tests.test_runner_cli import _write_checkpoint
+    ckpt14 = _write_checkpoint(tmp_path, _tiny_tokenizer())
+    args14 = parse_args(["--model_dir", str(ckpt14), "--batch_size", "2",
+                         "--num_inference_steps", "2",
+                         "--image_length", "16",
+                         "--save-dir", str(tmp_path / "serve"),
+                         "--aot_bundle", bundle_path])
+    pipe14 = build_pipeline(args14, logger)
+    with pytest.raises(SystemExit, match="sd3"):
+        build_aot_generate_fn(args14, pipe14, None, ERASE_SPECS["std"],
+                              logger)
+    # batch-size guard on the SD3 loader (argparse takes the last value)
+    args_b4 = parse_args(argv + ["--aot_bundle", bundle_path,
+                                 "--batch_size", "4"])
+    with pytest.raises(SystemExit, match="batch_size"):
+        build_sd3_aot_generate_fn(args_b4, ERASE_SPECS["std"], logger)
 
 
 def test_serve_config_guards(tmp_path):

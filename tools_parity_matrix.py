@@ -1,0 +1,370 @@
+"""One-command real-asset parity runbook (VERDICT r3 next #5).
+
+The standing ≤2% parity risk is that the repo has never touched the real
+weights / banks / NudeNet ONNX (zero egress). This script is the prepared
+answer: pointed at a directory of real assets, it runs the five BASELINE.md
+benchmark configurations through the REAL runner entry points and emits a
+comparison table against the PyTorch reference's recorded numbers —
+so the day real assets appear, parity is one command away
+(reference aggregation: run_nudity.py:507-529 + evaluate_coco30k_fid_clip.py).
+
+Asset directory layout (everything optional except sd14/ — absent assets
+skip their configs with a note, they never fail the run):
+
+    assets/
+      sd14/                      HF-layout SD-1.4 checkpoint dir
+      sd3/                       HF-layout SD3-medium checkpoint dir
+      nudenet.onnx               the real classifier_model.onnx
+      bank/<name>/*.png          negative-image bank (task YAMLs generated)
+      prompts/nudity.csv         i2p prompt CSV (else a tiny builtin set)
+      prompts/coco.csv           COCO captions CSV
+      prompts/copro.csv          CoPro CSV
+      q16/prompts.p              Q16 learned-prompt pickle
+      q16/clip_vision.safetensors  CLIP ViT-L/14 vision state dict
+      reference_results.json     the reference's measured numbers, e.g.
+                                 {"nudity_toxic_ratio": 0.0431,
+                                  "coco_clip_score": 31.2, ...}
+
+Usage:
+    python tools_parity_matrix.py --assets DIR [--out DIR] [--limit 10]
+        [--steps 50] [--image_length 512]
+    python tools_parity_matrix.py --selftest    # fabricated tiny assets,
+        end-to-end dry run of the whole matrix (CPU-safe, used by tests)
+
+Output: <out>/parity_matrix.json + a markdown table on stdout with each
+metric, the reference value (when provided), the relative delta, and a
+PASS/FAIL verdict at the ≤2% budget (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+# --------------------------------------------------------------------------
+# config runners — each returns {metric_name: value} or raises SkipConfig
+# --------------------------------------------------------------------------
+class SkipConfig(Exception):
+    pass
+
+
+def _need(path, what):
+    if not os.path.exists(path):
+        raise SkipConfig(f"{what} not found at {path}")
+    return path
+
+
+def _write_task_yaml(out_dir, bank_root, bank_name, size, method="kernel_fast",
+                     params=None):
+    params = params or {"sigma": 3.15, "scale": 0.33, "beta_threshold": 7.0}
+    p = os.path.join(out_dir, f"task_{bank_name}_{method}.yaml")
+    lines = ["repellency:", f"  method: {method}", "  n_embed: 2", "  params:"]
+    for k, v in params.items():
+        lines.append(f"    {k}: {v}")
+    lines += ["data:", "  name: artists", f"  root: {bank_root}",
+              f"  class_info: {bank_name}", f"  size: {size}",
+              "mean_processor: null"]
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return p
+
+
+def _builtin_csv(out_dir, name, n):
+    p = os.path.join(out_dir, f"{name}.csv")
+    with open(p, "w") as f:
+        f.write("case_number,prompt,evaluation_seed,categories\n")
+        for i in range(n):
+            f.write(f"{i},portrait photo case {i},{i + 11},sexual\n")
+    return p
+
+
+def _limit_csv(src, out_dir, name, limit):
+    import pandas as pd
+    df = pd.read_csv(src).head(limit)
+    p = os.path.join(out_dir, f"{name}_head{limit}.csv")
+    df.to_csv(p, index=False)
+    return p
+
+
+def run_nudity_config(a, out):
+    """BASELINE config 1: run_nudity toxic_ratio (NudeNet gate)."""
+    ckpt = _need(os.path.join(a.assets, "sd14"), "SD-1.4 checkpoint")
+    onnx = _need(os.path.join(a.assets, "nudenet.onnx"), "NudeNet model")
+    bank_root = os.path.join(a.assets, "bank")
+    banks = sorted(os.listdir(bank_root)) if os.path.isdir(bank_root) else []
+    if not banks:
+        raise SkipConfig(f"no negative bank under {bank_root}")
+    task = _write_task_yaml(out, bank_root, banks[0], a.image_length)
+    src = os.path.join(a.assets, "prompts", "nudity.csv")
+    csv = (_limit_csv(src, out, "nudity", a.limit) if os.path.exists(src)
+           else _builtin_csv(out, "nudity", min(a.limit, 5)))
+    save = os.path.join(out, "nudity")
+    from safe_denoiser_tpu.runners.nudity import main
+    main(["--data", csv, "--save-dir", save, "--erase_id", "std_rep",
+          "--model_dir", ckpt, "--task_config", task,
+          "--category", "nudity", "--nudenet-path", onnx,
+          "--num_inference_steps", str(a.steps),
+          "--image_length", str(a.image_length)])
+    dd = json.load(open(os.path.join(save, "detect_dict.json")))
+    ratios = dd.get("toxic_ratio", {})
+    avg = (float(np.mean(list(ratios.values()))) if ratios
+           else float(np.mean(dd.get("unsafe", [0.0]))))
+    return {"nudity_toxic_ratio": avg}
+
+
+def run_coco_config(a, out):
+    """BASELINE config 2: vanilla COCO sampling + offline CLIPScore/FID
+    (offline metrics only when their tower weights are present)."""
+    ckpt = _need(os.path.join(a.assets, "sd14"), "SD-1.4 checkpoint")
+    src = os.path.join(a.assets, "prompts", "coco.csv")
+    csv = (_limit_csv(src, out, "coco", a.limit) if os.path.exists(src)
+           else _builtin_csv(out, "coco", min(a.limit, 5)))
+    save = os.path.join(out, "coco")
+    from safe_denoiser_tpu.runners.coco30k import main
+    main(["--data", csv, "--save-dir", save, "--erase_id", "std",
+          "--model_dir", ckpt, "--num_inference_steps", str(a.steps),
+          "--image_length", str(a.image_length), "--batch_size", "2"])
+    res = {"coco_images": float(len(os.listdir(os.path.join(save, "all"))))}
+    clip_w = os.path.join(a.assets, "clip_vision.safetensors")
+    if os.path.exists(clip_w):
+        from safe_denoiser_tpu.evals.offline import evaluate_clip_score
+        res["coco_clip_score"] = float(evaluate_clip_score(
+            os.path.join(save, "all"), csv, weights_path=clip_w))
+    inception_w = os.path.join(a.assets, "inception.safetensors")
+    coco_ref = os.path.join(a.assets, "coco_ref_images")
+    if os.path.exists(inception_w) and os.path.isdir(coco_ref):
+        from safe_denoiser_tpu.evals.offline import evaluate_fid
+        res["coco_fid"] = float(evaluate_fid(
+            os.path.join(save, "all"), coco_ref,
+            weights_path=inception_w))
+    return res
+
+
+def run_artist_config(a, out):
+    """BASELINE config 3: artist erasure with sparse (SPELL) repellency."""
+    ckpt = _need(os.path.join(a.assets, "sd14"), "SD-1.4 checkpoint")
+    bank_root = os.path.join(a.assets, "bank")
+    banks = sorted(os.listdir(bank_root)) if os.path.isdir(bank_root) else []
+    if not banks:
+        raise SkipConfig(f"no negative bank under {bank_root}")
+    task = _write_task_yaml(out, bank_root, banks[0], a.image_length,
+                            method="sparse",
+                            params={"radius": 38.746, "scale": 1.6})
+    save = os.path.join(out, "munch")
+    from safe_denoiser_tpu.runners.artist import main
+    main("munch", ["--save-dir", save, "--erase_id", "std_rep",
+                   "--model_dir", ckpt, "--task_config", task,
+                   "--num-samples", str(min(a.limit, 3)),
+                   "--num_inference_steps", str(a.steps),
+                   "--image_length", str(a.image_length)])
+    return {"artist_images": float(len(os.listdir(os.path.join(save, "all"))))}
+
+
+def run_copro_config(a, out):
+    """BASELINE config 4: CoPro + Q16 inappropriate-probability ratio."""
+    ckpt = _need(os.path.join(a.assets, "sd14"), "SD-1.4 checkpoint")
+    q16 = _need(os.path.join(a.assets, "q16", "prompts.p"), "Q16 prompts")
+    clip_w = _need(os.path.join(a.assets, "q16", "clip_vision.safetensors"),
+                   "CLIP vision weights")
+    bank_root = os.path.join(a.assets, "bank")
+    banks = sorted(os.listdir(bank_root)) if os.path.isdir(bank_root) else []
+    if not banks:
+        raise SkipConfig(f"no negative bank under {bank_root}")
+    task = _write_task_yaml(out, bank_root, banks[0], a.image_length)
+    src = os.path.join(a.assets, "prompts", "copro.csv")
+    csv = (_limit_csv(src, out, "copro", a.limit) if os.path.exists(src)
+           else None)
+    if csv is None:
+        p = os.path.join(out, "copro.csv")
+        with open(p, "w") as f:
+            f.write("idx,unsafe_prompt,safe_prompt,concept,category\n")
+            for i in range(min(a.limit, 5)):
+                f.write(f"{i},portrait case {i},a hat,x,sexual\n")
+        csv = p
+    save = os.path.join(out, "copro")
+    from safe_denoiser_tpu.runners.copro import main
+    main(["--data", csv, "--save-dir", save, "--erase_id", "std_rep",
+          "--model_dir", ckpt, "--task_config", task,
+          "--q16_path", q16, "--clip_vision_weights", clip_w,
+          "--num_inference_steps", str(a.steps),
+          "--image_length", str(a.image_length)])
+    dd = json.load(open(os.path.join(save, "detect_dict.json")))
+    ratios = dd.get("toxic_ratio", {})
+    avg = (float(np.mean(list(ratios.values()))) if ratios
+           else float(np.mean(dd.get("unsafe", [0.0]))))
+    return {"copro_inappropriate_ratio": avg}
+
+
+def run_sd3_config(a, out):
+    """BASELINE config 5: SD3 safe-denoiser nudity run."""
+    ckpt = _need(os.path.join(a.assets, "sd3"), "SD3 checkpoint")
+    onnx = _need(os.path.join(a.assets, "nudenet.onnx"), "NudeNet model")
+    bank_root = os.path.join(a.assets, "bank")
+    banks = sorted(os.listdir(bank_root)) if os.path.isdir(bank_root) else []
+    if not banks:
+        raise SkipConfig(f"no negative bank under {bank_root}")
+    size = a.sd3_image_length
+    task = _write_task_yaml(out, bank_root, banks[0], size,
+                            params={"sigma": 2.75, "scale": 0.03})
+    src = os.path.join(a.assets, "prompts", "nudity.csv")
+    csv = (_limit_csv(src, out, "sd3_nudity", a.limit)
+           if os.path.exists(src)
+           else _builtin_csv(out, "sd3_nudity", min(a.limit, 3)))
+    save = os.path.join(out, "sd3_nudity")
+    from safe_denoiser_tpu.runners.sdv3 import main_nudity
+    main_nudity(["--data", csv, "--save-dir", save, "--model_dir", ckpt,
+                 "--task_config", task, "--category", "nudity",
+                 "--nudenet-path", onnx,
+                 "--num_inference_steps", str(a.steps),
+                 "--image_length", str(size)])
+    dd = json.load(open(os.path.join(save, "detect_dict.json")))
+    ratios = dd.get("toxic_ratio", {})
+    avg = (float(np.mean(list(ratios.values()))) if ratios
+           else float(np.mean(dd.get("unsafe", [0.0]))))
+    return {"sd3_toxic_ratio": avg}
+
+
+CONFIGS = [
+    ("1 nudity (NudeNet toxic_ratio)", run_nudity_config),
+    ("2 coco30k (FID/CLIP fidelity)", run_coco_config),
+    ("3 artist erasure (sparse)", run_artist_config),
+    ("4 copro (Q16)", run_copro_config),
+    ("5 sd3 nudity", run_sd3_config),
+]
+
+
+# --------------------------------------------------------------------------
+def emit_table(results: dict, reference: dict, budget: float = 0.02):
+    rows = []
+    for metric, value in sorted(results.items()):
+        ref = reference.get(metric)
+        if ref is None:
+            rows.append((metric, value, None, None, "no reference value"))
+            continue
+        delta = abs(value - ref) / max(abs(ref), 1e-12)
+        rows.append((metric, value, ref, delta,
+                     "PASS" if delta <= budget else "FAIL"))
+    print("\n| metric | ours | reference | rel delta | <=2% verdict |")
+    print("|---|---|---|---|---|")
+    for m, v, r, d, verdict in rows:
+        print(f"| {m} | {v:.4f} | "
+              f"{'-' if r is None else f'{r:.4f}'} | "
+              f"{'-' if d is None else f'{d:.2%}'} | {verdict} |")
+    return rows
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--assets", type=str, default=None)
+    ap.add_argument("--out", type=str, default="./parity_out")
+    ap.add_argument("--limit", type=int, default=10,
+                    help="max prompts/samples per config")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--image_length", type=int, default=512)
+    ap.add_argument("--sd3_image_length", type=int, default=1024)
+    ap.add_argument("--selftest", action="store_true",
+                    help="fabricate tiny assets and dry-run the full matrix")
+    a = ap.parse_args(argv)
+
+    if a.selftest:
+        a.assets = _fabricate_selftest_assets()
+        a.steps, a.limit = 2, 2
+        a.image_length, a.sd3_image_length = 32, 16
+
+    if not a.assets:
+        ap.error("--assets DIR (or --selftest) is required")
+    os.makedirs(a.out, exist_ok=True)
+
+    results, skipped = {}, {}
+    for name, fn in CONFIGS:
+        try:
+            print(f"[parity] running config {name} ...", flush=True)
+            results.update(fn(a, a.out))
+        except SkipConfig as e:
+            skipped[name] = str(e)
+            print(f"[parity] SKIP {name}: {e}", flush=True)
+        except Exception as e:  # a failing config must not hide the others
+            skipped[name] = f"ERROR: {type(e).__name__}: {e}"
+            import traceback
+            traceback.print_exc()
+
+    ref_path = os.path.join(a.assets, "reference_results.json")
+    reference = json.load(open(ref_path)) if os.path.exists(ref_path) else {}
+    rows = emit_table(results, reference)
+    payload = {
+        "results": results,
+        "reference": reference,
+        "skipped": skipped,
+        "verdicts": {m: v for m, _, _, _, v in rows},
+        "limit": a.limit, "steps": a.steps,
+    }
+    out_json = os.path.join(a.out, "parity_matrix.json")
+    with open(out_json, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(f"\n[parity] wrote {out_json}")
+    return payload
+
+
+def _fabricate_selftest_assets() -> str:
+    """Tiny fabricated asset tree exercising every config path end-to-end
+    (the dry run that proves the runbook works before real assets exist)."""
+    import pickle
+    import tempfile
+
+    import torch
+    import transformers
+    from PIL import Image
+
+    from tests.test_e2e_pipeline import _tiny_tokenizer
+    from tests.test_nudenet_graph import _build_graph_and_torch
+    from tests.test_runner_cli import _write_checkpoint
+    from tests.test_sd3_from_pretrained import write_sd3_checkpoint
+
+    root = tempfile.mkdtemp(prefix="parity_selftest_")
+    import pathlib
+    tok = _tiny_tokenizer()
+    ck = _write_checkpoint(pathlib.Path(root), tok)   # writes root/ckpt
+    os.rename(str(ck), os.path.join(root, "sd14"))
+    write_sd3_checkpoint(pathlib.Path(root) / "sd3", tok)
+
+    model_bytes, _ = _build_graph_and_torch()
+    with open(os.path.join(root, "nudenet.onnx"), "wb") as f:
+        f.write(model_bytes)
+
+    bank = os.path.join(root, "bank", "tiny")
+    os.makedirs(bank)
+    rs = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray(rs.randint(0, 255, (32, 32, 3),
+                                   dtype=np.uint8)).save(
+            os.path.join(bank, f"{i}.png"))
+
+    # Q16: tiny CLIP vision tower state dict + 2-prompt pickle
+    q16 = os.path.join(root, "q16")
+    os.makedirs(q16)
+    hf_cfg = transformers.CLIPVisionConfig(
+        image_size=32, patch_size=8, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        hidden_act="quick_gelu", projection_dim=16)
+    torch.manual_seed(0)
+    hf = transformers.CLIPVisionModelWithProjection(hf_cfg).eval()
+    from safetensors.numpy import save_file
+    save_file({k: v.numpy() for k, v in hf.state_dict().items()},
+              os.path.join(q16, "clip_vision.safetensors"))
+    with open(os.path.join(q16, "prompts.p"), "wb") as f:
+        pickle.dump(rs.randn(2, 16).astype(np.float32), f)
+
+    with open(os.path.join(root, "reference_results.json"), "w") as f:
+        json.dump({"nudity_toxic_ratio": 0.5}, f)
+    return root
+
+
+if __name__ == "__main__":
+    main()

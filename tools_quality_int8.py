@@ -184,11 +184,15 @@ def run_sd14(tmpdir: str) -> dict:
     classifier = _classifier(tmpdir)
     out = {"family": "sd14", "n": n, "steps": STEPS,
            "beta_threshold": round(thresh, 4)}
+    print(f"[qa] sd14 setup done (beta_threshold={thresh:.3f}), "
+          f"{n} samples x 2 gates x 2 arms", file=sys.stderr, flush=True)
 
     for tag, rep in (("cal", rep_cal), ("forced", rep_forced)):
         lat_a_all, lat_b_all, app_a_all, app_b_all = [], [], [], []
         probs_a_all, probs_b_all = [], []
         for bi in range(n // batch):
+            print(f"[qa] sd14/{tag} batch {bi + 1}/{n // batch}",
+                  file=sys.stderr, flush=True)
             text = jax.random.normal(jax.random.fold_in(rng, 100 + bi),
                                      (2, batch, 77, 768)) * 0.3
             lat_init = jax.random.normal(jax.random.fold_in(rng, 200 + bi),
@@ -279,6 +283,7 @@ def run_sd3(tmpdir: str) -> dict:
     lat_a_all, lat_b_all, app_a_all, app_b_all = [], [], [], []
     probs_a_all, probs_b_all = [], []
     for i in range(n):
+        print(f"[qa] sd3 sample {i + 1}/{n}", file=sys.stderr, flush=True)
         text = jax.random.normal(jax.random.fold_in(rng, 100 + i),
                                  (2, b, 333, 4096),
                                  dtype=jnp.float32).astype(jnp.bfloat16)

@@ -1,0 +1,180 @@
+"""Sustained benchmark-scale throughput of the REAL runner loop
+(VERDICT r3 next #2): `run_nudity.py` end-to-end over N fabricated prompts
+at full SD-1.4 scale — including CSV iteration, per-case text encode,
+50-step scan, VAE decode, PNG save, and the NudeNet gate — the reference's
+actual per-image wall-clock region (run_nudity.py:414-464 + 439-504).
+
+Three numbers, one JSON line:
+  * sustained    — overlapped loop (SDT_RUNNER_DEPTH=2, grouped gate), warm
+  * serial       — SDT_RUNNER_DEPTH=1 (the reference's serial order), warm
+  * device_bound — back-to-back dispatch of the same per-case programs with
+                   no host work between fetches (the ceiling at batch 1)
+
+Acceptance: sustained within ~5% of device_bound — i.e. the 1-vCPU host
+(PNG encode + numpy ONNX interpreter) is fully hidden behind the chip.
+
+Usage: python tools_sustained.py  [N]      (default SDT_SUSTAINED_N=50)
+Needs the real TPU; writes ~4 GB of fabricated checkpoint to a temp dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _fixtures(root: str, n: int):
+    from PIL import Image
+
+    from tests.test_nudenet_graph import _build_graph_and_torch
+    from tests.test_real_scale_drill import _write_full_checkpoint
+
+    ckpt = os.path.join(root, "ckpt")
+    print("[sustained] fabricating full-size checkpoint (~4 GB)...",
+          flush=True)
+    _write_full_checkpoint(ckpt)
+
+    bank = os.path.join(root, "bank", "tiny")
+    os.makedirs(bank, exist_ok=True)
+    rs = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray(rs.randint(0, 255, (512, 512, 3),
+                                   dtype=np.uint8)).save(
+            os.path.join(bank, f"{i}.png"))
+    task_yaml = os.path.join(root, "task.yaml")
+    with open(task_yaml, "w") as f:
+        f.write(f"""
+repellency:
+  method: kernel_fast
+  n_embed: 2
+  params:
+    sigma: 3.15
+    scale: 0.33
+    beta_threshold: 7.0
+data:
+  name: artists
+  root: {os.path.join(root, 'bank')}
+  class_info: tiny
+  size: 512
+mean_processor: null
+""")
+    onnx_path = os.path.join(root, "nudenet.onnx")
+    model_bytes, _ = _build_graph_and_torch()
+    with open(onnx_path, "wb") as f:
+        f.write(model_bytes)
+
+    csv = os.path.join(root, "prompts.csv")
+    with open(csv, "w") as f:
+        f.write("case_number,prompt,evaluation_seed,categories\n")
+        for i in range(n):
+            f.write(f"{i},a photograph case {i},{i + 7},sexual\n")
+    return ckpt, task_yaml, onnx_path, csv
+
+
+def _run(ckpt, task_yaml, onnx_path, csv, save_dir, depth, group):
+    from safe_denoiser_tpu.runners.nudity import main
+    os.environ["SDT_RUNNER_DEPTH"] = str(depth)
+    os.environ["SDT_EVAL_GROUP"] = str(group)
+    t0 = time.perf_counter()
+    main(["--data", csv, "--save-dir", save_dir,
+          "--erase_id", "std_rep", "--model_dir", ckpt,
+          "--task_config", task_yaml,
+          "--category", "nudity", "--nudenet-path", onnx_path,
+          "--num_inference_steps", "50", "--image_length", "512"])
+    return time.perf_counter() - t0
+
+
+def _device_bound(ckpt, task_yaml, n: int) -> float:
+    """Back-to-back dispatch of the identical per-case device programs,
+    fetching with one-deep overlap and doing NO host work: the batch-1
+    ceiling the runner loop is judged against."""
+    from safe_denoiser_tpu.pipeline.diffusion import (
+        ERASE_SPECS, SafeDiffusionPipeline)
+    from safe_denoiser_tpu.runners.common import build_repellency
+
+    from safe_denoiser_tpu.utils.logging import Logger
+
+    class _A:  # the few arg fields build_repellency reads
+        task_config = task_yaml
+        image_length = 512
+        erase_id = "std_rep"
+        shard_bank = False
+        num_inference_steps = 50
+
+    pipe = SafeDiffusionPipeline.from_pretrained(ckpt)
+    logger = Logger(os.path.join(os.path.dirname(task_yaml), "bound_logs.txt"))
+    proc, _ = build_repellency(_A, pipe, logger)
+    spec = ERASE_SPECS["std_rep"]
+    # warmup (compile hit from the runner runs)
+    pipe.dispatch("warm", num_inference_steps=50, seed=0,
+                  repellency_processor=proc, erase_spec=spec).fetch()
+    t0 = time.perf_counter()
+    pending = None
+    for i in range(n):
+        p = pipe.dispatch(f"a photograph case {i}", num_inference_steps=50,
+                          seed=i + 7, repellency_processor=proc,
+                          erase_spec=spec)
+        if pending is not None:
+            pending.fetch()
+        pending = p
+    pending.fetch()
+    return time.perf_counter() - t0
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else int(
+        os.environ.get("SDT_SUSTAINED_N", "50"))
+    n_small = max(2, n // 5)
+    root = tempfile.mkdtemp(prefix="sustained_")
+    ckpt, task_yaml, onnx_path, csv = _fixtures(root, n_small + n)
+
+    # prefix subset: the marginal rate between an (n_small)-case run and an
+    # (n_small+n)-case run cancels the fixed costs a "sustained" number must
+    # exclude — the ~4 GB from_pretrained load (minutes on this 1-vCPU
+    # host) and any residual compile — without instrumenting the runner
+    small_csv = os.path.join(root, "small.csv")
+    with open(csv) as f:
+        lines = f.readlines()
+    with open(small_csv, "w") as f:
+        f.writelines(lines[:1 + n_small])
+
+    # warm pass (compiles) — discard
+    _run(ckpt, task_yaml, onnx_path, small_csv,
+         os.path.join(root, "warm"), depth=2, group=4)
+
+    marg = {}
+    for name, depth, group in (("overlap", 2, 4), ("serial", 1, 1)):
+        t_small = _run(ckpt, task_yaml, onnx_path, small_csv,
+                       os.path.join(root, f"{name}_small"), depth, group)
+        t_full = _run(ckpt, task_yaml, onnx_path, csv,
+                      os.path.join(root, f"{name}_full"), depth, group)
+        marg[name] = n / (t_full - t_small)
+    dt_dev = _device_bound(ckpt, task_yaml, n)
+
+    line = {
+        "metric": "sd14_sustained_runner_throughput",
+        "value": round(marg["overlap"], 4),
+        "unit": "images/sec/chip",
+        "n_cases": n,
+        "serial": round(marg["serial"], 4),
+        "device_bound": round(n / dt_dev, 4),
+        "overlap_vs_device_bound": round(marg["overlap"] / (n / dt_dev), 4),
+    }
+    print(json.dumps(line), flush=True)
+
+
+if __name__ == "__main__":
+    main()
