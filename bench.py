@@ -1,11 +1,13 @@
 """Benchmarks: safe-denoiser sampling throughput per chip, one JSON line each.
 
-Covers ALL the driver's benchmark configurations (BASELINE.md 1-5), eight
+Covers ALL the driver's benchmark configurations (BASELINE.md 1-5), nine
 JSON lines in the default run:
   * sd14_10step_ddim   — config #1: 10-step DDIM nudity scan
   * sd14_e2e           — whole pipeline: tokenize → CLIP encode → 50-step
                          scan → VAE decode (the reference's per-image
-                         wall-clock region, run_nudity.py:414-464)
+                         wall-clock region, run_nudity.py:414-464); the
+                         scan runs the quality-cleared int8 wide-block path
+                         (docs/QUALITY_INT8.md; SDT_E2E_INT8=0 → bf16)
   * sd14_sparse        — config #3: artist-erasure sparse (SPELL) repellency
   * sd14_bank3k        — config #4: CoPro's 3,000-image kernel_fast bank
   * sd3_50step         — config #5: SD3-medium MMDiT flow-matching scan with

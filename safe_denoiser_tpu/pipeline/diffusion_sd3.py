@@ -406,7 +406,7 @@ class SafeDiffusion3Pipeline:
         image = self._vae_decode_jit(self.vae_params, z)
         return latents, image, applied
 
-    def __call__(self, prompt: str,
+    def dispatch(self, prompt: str,
                  negative_prompt: Optional[str] = None,
                  negative_prompt2: Optional[str] = None,
                  num_inference_steps: int = 50,
@@ -418,7 +418,11 @@ class SafeDiffusion3Pipeline:
                  repellency_processor=None,
                  window: RepellencyWindow = RepellencyWindow(1000.0, 780.0),
                  efficient: bool = False,  # CPU-offload no-op on TPU
-                 return_latents: bool = False):
+                 ) -> "Sd3PendingGeneration":
+        """Async form of :meth:`__call__` (same contract as
+        SafeDiffusionPipeline.dispatch): host text prep + enqueued device
+        programs, returning a handle immediately so the sdv3 runner loop
+        can overlap case i's PNG save / NudeNet gate with case i+1's scan."""
         # The reference SD3 pipelines rebind the CFG negative prompt to the
         # joined 17-phrase nudity string REGARDLESS of the caller's argument
         # (safe_denoiser_pipeline.py:989-996); None reproduces that default.
@@ -460,15 +464,53 @@ class SafeDiffusion3Pipeline:
             embeds, pooled, refs, jax.random.PRNGKey(seed),
             jnp.float32(guidance_scale), num_inference_steps, repellency_cfg,
             window, height, width, rep_bank=self._rep_bank)
+        return Sd3PendingGeneration(self, num_inference_steps, latents,
+                                    image, applied)
 
-        if self.logger is not None:
-            ts, _ = self.scheduler.timesteps_and_sigmas(num_inference_steps)
-            for i in np.nonzero(np.asarray(applied).any(axis=-1))[0]:
-                self.logger.log(
+    def __call__(self, prompt: str,
+                 negative_prompt: Optional[str] = None,
+                 negative_prompt2: Optional[str] = None,
+                 num_inference_steps: int = 50,
+                 guidance_scale: float = 7.0,
+                 height: int = 1024, width: int = 1024,
+                 seed: int = 42,
+                 safree: bool = False,
+                 sf_alpha: float = 0.01,
+                 repellency_processor=None,
+                 window: RepellencyWindow = RepellencyWindow(1000.0, 780.0),
+                 efficient: bool = False,  # CPU-offload no-op on TPU
+                 return_latents: bool = False):
+        return self.dispatch(
+            prompt, negative_prompt=negative_prompt,
+            negative_prompt2=negative_prompt2,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, height=height, width=width,
+            seed=seed, safree=safree, sf_alpha=sf_alpha,
+            repellency_processor=repellency_processor, window=window,
+            efficient=efficient).fetch(return_latents=return_latents)
+
+
+class Sd3PendingGeneration:
+    """Handle for an in-flight :meth:`SafeDiffusion3Pipeline.dispatch` —
+    same contract as pipeline.diffusion.PendingGeneration: nothing blocks
+    until :meth:`fetch`, which reproduces the old ``__call__`` tail
+    byte-for-byte (repellency log lines, uint8 conversion)."""
+
+    def __init__(self, pipe, num_inference_steps, latents, image, applied):
+        self._pipe = pipe
+        self._steps = num_inference_steps
+        self._latents = latents
+        self._image = image
+        self._applied = applied
+
+    def fetch(self, return_latents: bool = False):
+        if self._pipe.logger is not None:
+            ts, _ = self._pipe.scheduler.timesteps_and_sigmas(self._steps)
+            for i in np.nonzero(np.asarray(self._applied).any(axis=-1))[0]:
+                self._pipe.logger.log(
                     "-" * 10 + f" Repellency applied at timestep {ts[i]} "
                     + "-" * 10)
-
         if return_latents:
-            return latents
-        image = np.asarray((image / 2 + 0.5).clip(0, 1))
+            return self._latents
+        image = np.asarray((self._image / 2 + 0.5).clip(0, 1))
         return [(img * 255).round().astype(np.uint8) for img in image]

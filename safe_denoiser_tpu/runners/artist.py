@@ -54,10 +54,24 @@ def main(task: str, argv=None):
     # Fleet mode: round-robin the sample indices like the CSV runners
     # round-robin their cases (sample i -> shard i % num_shards); filenames
     # keep the global index so shard outputs merge into one directory.
+    # Overlapped like runners/nudity.py: sample i+1's scan is enqueued
+    # before sample i's transfer + PNG save (SDT_RUNNER_DEPTH=1 = serial).
+    from collections import deque
+
+    depth = max(1, int(os.environ.get("SDT_RUNNER_DEPTH", "2")))
+    inflight: deque = deque()
+
+    def _drain_one():
+        i, pending, t0 = inflight.popleft()
+        imgs = pending.fetch()
+        logger.log(f"Wall-Clock Time for image generation (sample {i}): "
+                   f"{time.time() - t0:.2f} seconds")
+        save_png(imgs[0], os.path.join(dirs["all"], f"{i}.png"))
+
     for i in shard_cases(iter(range(args.num_samples)), args.num_shards,
                          args.shard_id):
         start = time.time()
-        imgs = pipe(
+        pending = pipe.dispatch(
             spec["prompt"],
             num_inference_steps=args.num_inference_steps,
             guidance_scale=guidance,
@@ -74,9 +88,11 @@ def main(task: str, argv=None):
                 "lra": args.latent_re_attention, "up_t": args.up_t,
                 "category": args.category,
             })
-        logger.log(f"Wall-Clock Time for image generation (sample {i}): "
-                   f"{time.time() - start:.2f} seconds")
-        save_png(imgs[0], os.path.join(dirs["all"], f"{i}.png"))
+        inflight.append((i, pending, start))
+        while len(inflight) >= depth:
+            _drain_one()
+    while inflight:
+        _drain_one()
     # reference run_ann_graham.py:428-431 / run_munch.py equivalent: always
     # dump the merged config + (empty) detect_dict
     dump_run_artifacts(args, args.save_dir, task_config, detect_dict={})

@@ -102,6 +102,50 @@ def main_nudity(argv=None):
     window = RepellencyWindow(1000.0, 880.0 if args.efficient else 780.0)
 
     agg = DetectAggregator()
+
+    # Overlapped loop, same structure as runners/nudity.py: the SD3 scan is
+    # ~7 s/image at 1024² — dispatching case i+1 before fetching case i
+    # hides the host's PNG encode + NudeNet interpreter completely.
+    # SDT_RUNNER_DEPTH=1 / SDT_EVAL_GROUP=1 restore the serial order.
+    from collections import deque
+
+    depth = max(1, int(os.environ.get("SDT_RUNNER_DEPTH", "2")))
+    group = max(1, int(os.environ.get("SDT_EVAL_GROUP", "4")))
+    inflight: deque = deque()
+    ready: list = []
+
+    def _drain_one():
+        case, pending, t0 = inflight.popleft()
+        imgs = pending.fetch()
+        logger.log(f"Wall-Clock Time for image generation "
+                   f"(Case#: {case.case_number}): {time.time() - t0:.2f} seconds")
+        if "artists-" in args.category:
+            # reference run_nudity_sdv3.py:367-369 — artists runs save the
+            # image and skip the online gate entirely
+            save_png(imgs[0], os.path.join(dirs["all"],
+                                           f"{case.case_number}.png"))
+        else:
+            ready.append((case, imgs))
+
+    def _flush_ready():
+        if not ready:
+            return
+        if hasattr(eval_func, "eval_many"):
+            results = eval_func.eval_many([imgs for _, imgs in ready],
+                                          threshold=args.nudity_thr)
+        else:
+            results = [eval_func(imgs, threshold=args.nudity_thr)
+                       for _, imgs in ready]
+        for (case, imgs), (is_unsafe, pred) in zip(ready, results):
+            agg.add(case.categories, is_unsafe, float(pred))
+            tag = f"{case.case_number}_{'-'.join(case.categories)}.png"
+            save_png(imgs[0], os.path.join(
+                dirs["unsafe" if is_unsafe else "safe"], tag))
+            save_png(imgs[0], os.path.join(dirs["all"], tag))
+            logger.log(f"Optimized image is unsafe: {is_unsafe}, "
+                       f"toxicity pred: {float(pred):.3f}")
+        ready.clear()
+
     for case in shard_iter(args, iter_prompt_cases(
             dataset, default_guidance=args.guidance_scale,
             valid_case_numbers=args.valid_case_numbers, logger=logger)):
@@ -110,30 +154,23 @@ def main_nudity(argv=None):
         # EVERY reference SD3 pipeline (vanilla sdv3_pipeline.py:984-991 and
         # safe_denoiser_pipeline.py:989-996) rebinds the negative prompt to
         # this string regardless of the runner's "" — parity for std too.
-        imgs = pipe(case.prompt,
-                    num_inference_steps=args.num_inference_steps,
-                    guidance_scale=case.guidance,
-                    height=args.image_length, width=args.image_length,
-                    seed=case.seed, safree=args.safree,
-                    sf_alpha=args.sf_alpha,
-                    repellency_processor=repellency_processor,
-                    window=window, efficient=args.efficient)
-        logger.log(f"Wall-Clock Time for image generation "
-                   f"(Case#: {case.case_number}): {time.time() - start:.2f} seconds")
-        if "artists-" in args.category:
-            # reference run_nudity_sdv3.py:367-369 — artists runs save the
-            # image and skip the online gate entirely
-            save_png(imgs[0], os.path.join(dirs["all"],
-                                           f"{case.case_number}.png"))
-            continue
-        is_unsafe, pred = eval_func(imgs, threshold=args.nudity_thr)
-        agg.add(case.categories, is_unsafe, float(pred))
-        tag = f"{case.case_number}_{'-'.join(case.categories)}.png"
-        save_png(imgs[0],
-                 os.path.join(dirs["unsafe" if is_unsafe else "safe"], tag))
-        save_png(imgs[0], os.path.join(dirs["all"], tag))
-        logger.log(f"Optimized image is unsafe: {is_unsafe}, "
-                   f"toxicity pred: {float(pred):.3f}")
+        pending = pipe.dispatch(
+            case.prompt,
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=case.guidance,
+            height=args.image_length, width=args.image_length,
+            seed=case.seed, safree=args.safree,
+            sf_alpha=args.sf_alpha,
+            repellency_processor=repellency_processor,
+            window=window, efficient=args.efficient)
+        inflight.append((case, pending, start))
+        while len(inflight) >= depth:
+            _drain_one()
+        if len(ready) >= group:
+            _flush_ready()
+    while inflight:
+        _drain_one()
+    _flush_ready()
 
     if "artists-" not in args.category:
         agg.dump(args, args.save_dir, logger, task_config)

@@ -423,3 +423,55 @@ def test_serve_per_family_defaults():
     a = parse_args(["--sd3", "--model_dir", "x", "--image_length", "256",
                     "--guidance_scale", "5.0"])
     assert a.image_length == 256 and a.guidance_scale == 5.0
+
+
+def test_serve_runner_aot_safree_matches_live(tmp_path):
+    """serve.py safree erase id over an AOT bundle: --export_aot with
+    --erase_id safree bakes the 2-branch scan with live alt/window inputs;
+    build_aot_generate_fn routes through generate_prepared (live SAFREE
+    text prep + artifact scan) and must match the live run_batch
+    bit-for-bit (VERDICT r3 next #3: the rejection at serve.py:116-119 is
+    gone)."""
+    from tests.test_e2e_pipeline import _tiny_tokenizer
+    from tests.test_runner_cli import _write_checkpoint
+
+    from safe_denoiser_tpu.pipeline.diffusion import ERASE_SPECS
+    from safe_denoiser_tpu.runners.common import build_pipeline
+    from safe_denoiser_tpu.runners.serve import (
+        build_aot_generate_fn, build_generate_fn, main, parse_args)
+    from safe_denoiser_tpu.serving import GenRequest
+    from safe_denoiser_tpu.utils.logging import Logger
+
+    ckpt = _write_checkpoint(tmp_path, _tiny_tokenizer())
+    bundle_path = str(tmp_path / "safree.sdt")
+    main(["--model_dir", str(ckpt), "--batch_size", "2",
+          "--num_inference_steps", "3", "--image_length", "16",
+          "--erase_id", "safree",
+          "--negative_prompt_space", "naked, nsfw",
+          "--save-dir", str(tmp_path / "serve"),
+          "--export_aot", bundle_path])
+    assert os.path.exists(bundle_path)
+
+    argv = ["--model_dir", str(ckpt), "--batch_size", "2",
+            "--num_inference_steps", "3", "--image_length", "16",
+            "--erase_id", "safree",
+            "--negative_prompt_space", "naked, nsfw",
+            "--save-dir", str(tmp_path / "serve")]
+    logger = Logger(str(tmp_path / "serve_logs.txt"))
+    spec = ERASE_SPECS["safree"]
+    args_aot = parse_args(argv + ["--aot_bundle", bundle_path])
+    pipe = build_pipeline(args_aot, logger)
+    run_aot = build_aot_generate_fn(args_aot, pipe, None, spec, logger)
+    run_live = build_generate_fn(parse_args(argv), pipe, None, spec, logger)
+
+    reqs = [GenRequest(prompt="a cat", seed=3, guidance_scale=7.5),
+            GenRequest(prompt="a dog", seed=4, guidance_scale=6.0)]
+    aot_imgs = run_aot(reqs)
+    live_imgs = run_live(reqs)
+    for a, b in zip(aot_imgs, live_imgs):
+        np.testing.assert_array_equal(a, b)
+
+    # text-method mismatch guard: the safree bundle refuses a std server
+    with pytest.raises(SystemExit, match="text_method"):
+        build_aot_generate_fn(args_aot, pipe, None, ERASE_SPECS["std"],
+                              logger)

@@ -171,10 +171,24 @@ def run_sd14(tmpdir: str) -> dict:
         jnp.arange(7000, 7000 + batch, dtype=jnp.uint32))
     pre, _ = run(params, text0, lat0, None, keys0, None)
     refs = jnp.transpose(pre, (0, 3, 1, 2))                  # [M, 4, 64, 64]
-    # gate threshold at the median bank-β: mixed activations by construction
     flat = refs.reshape(refs.shape[0], -1).astype(jnp.float32)
-    _, beta = rbf_negative_score_ref(flat, flat, 3.15)
-    thresh = float(jnp.median(beta))
+    # Gate threshold from a TRAJECTORY-REGIME β probe, not the bank's own
+    # self-β (bank members include their zero self-distance — their median β
+    # sits far above anything a trajectory x̂₀ reaches, and the first run of
+    # this harness measured exactly 0 calibrated activations). One window-
+    # step x̂₀ batch (t₀, cond branch) against the bank, threshold at its
+    # median → ~half the rows sit at the gate boundary, the hard case for
+    # int8/bf16 agreement.
+    t0 = jnp.asarray(sched.timesteps(STEPS))[0]
+    lat_p = jax.random.normal(jax.random.fold_in(rng, 3),
+                              (batch, 64, 64, 4), dtype=jnp.float32)
+    eps_p = model.apply(params, lat_p, t0, text0[1])
+    x0_p = sched.pred_original_sample(eps_p, t0, lat_p)
+    if isinstance(x0_p, tuple):
+        x0_p = x0_p[0]
+    _, beta_traj = rbf_negative_score_ref(
+        x0_p.reshape(batch, -1).astype(jnp.float32), flat, 3.15)
+    thresh = float(jnp.median(beta_traj))
     rep_cal = RepellencyConfig(method="kernel_fast", sigma=3.15, scale=0.33,
                                beta_threshold=thresh, use_beta_gate=True)
     rep_forced = RepellencyConfig(method="kernel_fast", sigma=3.15,
