@@ -541,6 +541,35 @@ class SafeDiffusionPipeline:
 
         Returns a list of uint8 [H, W, 3] images, one per prompt.
         """
+        return self.dispatch_batch(
+            prompts, seeds, guidance_scales,
+            num_inference_steps=num_inference_steps,
+            negative_prompt=negative_prompt,
+            negative_prompt_space=negative_prompt_space,
+            height=height, width=width,
+            repellency_processor=repellency_processor,
+            safree_dict=safree_dict, erase_spec=erase_spec,
+            safe_config=safe_config, freeu=freeu,
+            use_beta_gate=use_beta_gate).fetch()
+
+    def dispatch_batch(self, prompts: Sequence[str],
+                       seeds: Sequence[int],
+                       guidance_scales: Sequence[float],
+                       num_inference_steps: int = 50,
+                       negative_prompt: Optional[str] = None,
+                       negative_prompt_space: Optional[Sequence[str]] = None,
+                       height: int = 512, width: int = 512,
+                       repellency_processor=None,
+                       safree_dict: Optional[dict] = None,
+                       erase_spec: EraseSpec = EraseSpec(),
+                       safe_config: Optional[dict] = None,
+                       freeu: Optional[FreeUConfig] = None,
+                       use_beta_gate: bool = True) -> "PendingGeneration":
+        """Async :meth:`generate_batch` (same contract as :meth:`dispatch`):
+        host text prep + enqueued device programs, handle returned
+        immediately so a batched runner overlaps batch i's save/score with
+        batch i+1's scan. ``generate_batch == dispatch_batch(...).fetch()``
+        byte-for-byte."""
         sf = dict(safree_dict or {})
         logger = sf.get("logger") or self.logger
         lra = bool(sf.get("lra"))
@@ -562,22 +591,14 @@ class SafeDiffusionPipeline:
                 repellency_processor.config(), use_beta_gate=use_beta_gate)
             refs = self._maybe_shard_refs(repellency_processor.get_proj_ref())
 
-        _, image, applied = self._jitted_sample(
+        latents, image, applied = self._jitted_sample(
             text_embeds, embeds_alt, use_alt, refs,
             jnp.asarray(list(seeds), dtype=jnp.uint32),
             jnp.asarray(list(guidance_scales), dtype=jnp.float32),
             num_inference_steps, guidance, repellency_cfg, erase_spec.window,
             freeu, height, width, rep_bank=self._rep_bank)
-
-        if logger is not None:
-            ts = self.scheduler.timesteps(num_inference_steps)
-            applied_np = np.asarray(applied)
-            for i in np.nonzero(applied_np.any(axis=-1))[0]:
-                logger.log("-" * 10 +
-                           f" Repellency applied at timestep {ts[i]} " +
-                           "-" * 10)
-        image = np.asarray((image / 2 + 0.5).clip(0, 1))
-        return [(img * 255).round().astype(np.uint8) for img in image]
+        return PendingGeneration(self, logger, num_inference_steps,
+                                 latents, image, applied)
 
 
 class PendingGeneration:

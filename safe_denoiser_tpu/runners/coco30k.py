@@ -87,20 +87,45 @@ def main(argv=None):
         dataset, default_guidance=args.guidance_scale,
         valid_case_numbers=args.valid_case_numbers, logger=logger)))
 
+    from collections import deque
+
+    # Overlapped like runners/nudity.py: the next batch's (or case's) scan
+    # is enqueued before the previous one's transfer + PNG save + in-loop
+    # CLIPScore (the scorer itself dispatches device work that overlaps the
+    # scan). SDT_RUNNER_DEPTH=1 restores the serial order; outputs are
+    # identical either way.
+    depth = max(1, int(os.environ.get("SDT_RUNNER_DEPTH", "2")))
+    scores = []
+
     # Batched throughput mode (--batch_size > 1): rows keep their own seeds
     # and guidance; CFG pairs fold into one UNet batch (the reference is
     # hard-coded batch 1 — SURVEY.md §2.4).
     if args.batch_size > 1:
-        scores = []
         sd = {"re_attn_t": [int(t) for t in args.re_attn_t.split(",")],
               "alpha": args.sf_alpha, "logger": logger,
               "safree": args.safree, "svf": args.self_validation_filter,
               "lra": args.latent_re_attention, "up_t": args.up_t,
               "category": args.category}
+        inflight: deque = deque()
+
+        def _drain_one():
+            chunk, pending, t0 = inflight.popleft()
+            imgs = pending.fetch()
+            logger.log(f"Wall-Clock Time for batch of {len(chunk)}: "
+                       f"{time.time() - t0:.2f} seconds")
+            for case, img in zip(chunk, imgs):
+                save_png(img, os.path.join(dirs["all"],
+                                           f"{case.case_number}.png"))
+                if scorer is not None:
+                    s = scorer(img, case.prompt)
+                    scores.append(s)
+                    logger.log(f"CLIP score (Case#: {case.case_number}): "
+                               f"{s:.4f}")
+
         for i in range(0, len(cases), args.batch_size):
             chunk = cases[i:i + args.batch_size]
             start = time.time()
-            imgs = pipe.generate_batch(
+            pending = pipe.dispatch_batch(
                 [c.prompt for c in chunk], seeds=[c.seed for c in chunk],
                 guidance_scales=[c.guidance for c in chunk],
                 num_inference_steps=args.num_inference_steps,
@@ -109,29 +134,38 @@ def main(argv=None):
                 height=args.image_length, width=args.image_length,
                 repellency_processor=repellency_processor,
                 erase_spec=erase_spec, safree_dict=sd)
-            logger.log(f"Wall-Clock Time for batch of {len(chunk)}: "
-                       f"{time.time() - start:.2f} seconds")
-            for case, img in zip(chunk, imgs):
-                save_png(img, os.path.join(dirs["all"],
-                                           f"{case.case_number}.png"))
-                if scorer is not None:
-                    s = scorer(img, case.prompt)
-                    scores.append(s)
-                    logger.log(f"CLIP score (Case#: {case.case_number}): {s:.4f}")
+            inflight.append((chunk, pending, start))
+            while len(inflight) >= depth:
+                _drain_one()
+        while inflight:
+            _drain_one()
         if scores:
             logger.log(f"mean CLIP score: {sum(scores) / len(scores):.4f} "
                        f"over {len(scores)} images")
         print("end")
         return
 
-    scores = []
+    inflight: deque = deque()
+
+    def _drain_case():
+        case, pending, t0 = inflight.popleft()
+        imgs = pending.fetch()
+        logger.log(f"Wall-Clock Time for image generation "
+                   f"(Case#: {case.case_number}): {time.time() - t0:.2f} seconds")
+        save_png(imgs[0],
+                 os.path.join(dirs["all"], f"{case.case_number}.png"))
+        if scorer is not None:
+            s = scorer(imgs[0], case.prompt)
+            scores.append(s)
+            logger.log(f"CLIP score (Case#: {case.case_number}): {s:.4f}")
+
     for case in cases:
         if args.resume and os.path.exists(
                 os.path.join(dirs["all"], f"{case.case_number}.png")):
             logger.log(f"[resume] skipping Case#: {case.case_number}")
             continue
         start = time.time()
-        imgs = pipe(
+        pending = pipe.dispatch(
             case.prompt,
             num_inference_steps=args.num_inference_steps,
             guidance_scale=case.guidance,
@@ -148,14 +182,11 @@ def main(argv=None):
                 "lra": args.latent_re_attention, "up_t": args.up_t,
                 "category": args.category,
             })
-        logger.log(f"Wall-Clock Time for image generation "
-                   f"(Case#: {case.case_number}): {time.time() - start:.2f} seconds")
-        save_png(imgs[0],
-                 os.path.join(dirs["all"], f"{case.case_number}.png"))
-        if scorer is not None:
-            s = scorer(imgs[0], case.prompt)
-            scores.append(s)
-            logger.log(f"CLIP score (Case#: {case.case_number}): {s:.4f}")
+        inflight.append((case, pending, start))
+        while len(inflight) >= depth:
+            _drain_case()
+    while inflight:
+        _drain_case()
 
     if scores:
         logger.log(f"mean CLIP score: {sum(scores) / len(scores):.4f} "

@@ -135,3 +135,68 @@ def test_inception_v3_shapes():
     pool3b, _ = model.apply(params2, x)
     np.testing.assert_allclose(np.asarray(pool3b), np.asarray(pool3),
                                atol=1e-5)
+
+
+def test_nudenet_eval_many_matches_per_case(tmp_path):
+    """NudeClassifier.eval_many (the runners' grouped-gate drain) must give
+    per-group results identical to per-case __call__."""
+    from tests.test_nudenet_graph import _build_graph_and_torch
+
+    from safe_denoiser_tpu.evals.nudenet import NudeClassifier
+
+    model_bytes, _ = _build_graph_and_torch()
+    p = tmp_path / "n.onnx"
+    p.write_bytes(model_bytes)
+    clf = NudeClassifier(str(p))
+
+    rs = np.random.RandomState(0)
+    groups = [[rs.randint(0, 255, (32, 32, 3), dtype=np.uint8)]
+              for _ in range(5)]
+    batched = clf.eval_many(groups, threshold=0.6)
+    solo = [clf(g, threshold=0.6) for g in groups]
+    assert len(batched) == 5
+    for (bu, bp), (su, sp) in zip(batched, solo):
+        assert bu == su
+        np.testing.assert_allclose(bp, sp, rtol=1e-6)
+    assert clf.eval_many([], threshold=0.6) == []
+
+
+def test_q16_eval_many_and_config_inference(tmp_path):
+    """Q16Eval.eval_many == per-case __call__; infer_clip_vision_config
+    reconstructs a non-ViT-L tower's config from state-dict shapes."""
+    import pickle
+
+    import torch
+    import transformers
+    from safetensors.numpy import save_file
+
+    from safe_denoiser_tpu.evals.q16 import Q16Eval, infer_clip_vision_config
+
+    hf_cfg = transformers.CLIPVisionConfig(
+        image_size=32, patch_size=8, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=1, intermediate_size=64,
+        hidden_act="quick_gelu", projection_dim=16)
+    torch.manual_seed(0)
+    hf = transformers.CLIPVisionModelWithProjection(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    w = tmp_path / "clip_vision.safetensors"
+    save_file(sd, str(w))
+
+    cfg = infer_clip_vision_config(sd)
+    assert (cfg.image_size, cfg.patch_size, cfg.hidden_size,
+            cfg.num_layers, cfg.intermediate_size,
+            cfg.projection_dim) == (32, 8, 32, 2, 64, 16)
+    assert cfg.num_heads == 1          # head_dim-64 convention, floor 1
+
+    rs = np.random.RandomState(1)
+    pp = tmp_path / "q16.p"
+    pp.write_bytes(pickle.dumps(rs.randn(2, 16).astype(np.float32)))
+    ev = Q16Eval(str(pp), clip_weights_path=str(w))
+
+    groups = [[rs.randint(0, 255, (32, 32, 3), dtype=np.uint8)]
+              for _ in range(4)]
+    batched = ev.eval_many(groups)
+    solo = [ev(g) for g in groups]
+    for (bu, bp), (su, sp) in zip(batched, solo):
+        assert bu == su
+        np.testing.assert_allclose(bp, sp, rtol=1e-5, atol=1e-6)
