@@ -37,15 +37,25 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _fixtures(root: str, n: int):
+    import subprocess
+
     from PIL import Image
 
     from tests.test_nudenet_graph import _build_graph_and_torch
-    from tests.test_real_scale_drill import _write_full_checkpoint
 
     ckpt = os.path.join(root, "ckpt")
     print("[sustained] fabricating full-size checkpoint (~4 GB)...",
           flush=True)
-    _write_full_checkpoint(ckpt)
+    # in a CPU-forced SUBPROCESS: the drill helper pins its tree fills to a
+    # cpu device, and under the axon TPU plugin this process has no cpu
+    # backend registered (RuntimeError: Unknown backend cpu)
+    subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, sys.argv[2]); "
+         "from tests.test_real_scale_drill import _write_full_checkpoint; "
+         "_write_full_checkpoint(sys.argv[1])",
+         ckpt, os.path.dirname(os.path.abspath(__file__))],
+        env=dict(os.environ, JAX_PLATFORMS="cpu"), check=True)
 
     bank = os.path.join(root, "bank", "tiny")
     os.makedirs(bank, exist_ok=True)
