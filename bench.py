@@ -61,15 +61,18 @@ BANK_M = int(os.environ.get("BENCH_BANK_M", "515"))  # i2p_sexual bank
 
 
 class LegResult(float):
-    """img/s that also carries the leg's MFU. A float subclass so every
-    existing caller (tools_ab_*.py same-session A/B harnesses format and
-    divide these) keeps working unchanged."""
+    """img/s that also carries the leg's MFU (+ extra JSON fields, e.g. the
+    e2e leg's precision marker). A float subclass so every existing caller
+    (tools_ab_*.py same-session A/B harnesses format and divide these)
+    keeps working unchanged."""
 
     mfu = None
+    extra = None
 
-    def __new__(cls, value, mfu=None):
+    def __new__(cls, value, mfu=None, **extra):
         out = super().__new__(cls, value)
         out.mfu = mfu
+        out.extra = extra
         return out
 
 
@@ -82,6 +85,7 @@ def _emit(metric, value, baseline):
         # analytic matmul+conv model FLOPs (utils/flops.py) over the v5e
         # 197-TFLOP/s bf16 peak — auditable, implementation-independent
         line["mfu"] = round(mfu, 4)
+    line.update(getattr(value, "extra", None) or {})
     print(json.dumps(line), flush=True)
 
 
@@ -357,12 +361,10 @@ def bench_sd14_e2e():
     ips = (n_rounds * BATCH) / dt
 
     def _flops_per_img():
-        from safe_denoiser_tpu.models import SD14_VAE
         from safe_denoiser_tpu.utils.flops import model_flops
         ids = jax.ShapeDtypeStruct((2 * BATCH, 77), jnp.int32)
         enc = model_flops(_encode, clip_params, ids)
         # per-step UNet at the CFG-folded batch, × 50 steps
-        text_s = jax.ShapeDtypeStruct((2, BATCH, 77, 768), jnp.float32)
         lat_s = jax.ShapeDtypeStruct((2 * BATCH, 64, 64, 4), jnp.float32)
 
         def _unet_step(p, lat, t, ctx):
@@ -376,10 +378,13 @@ def bench_sd14_e2e():
         dec = model_flops(_decode, vae_params,
                           jax.ShapeDtypeStruct((BATCH, 64, 64, 4),
                                                jnp.float32))
-        del text_s
         return (enc + STEPS * step + dec) / BATCH
 
-    return LegResult(ips, _safe_mfu(ips, _flops_per_img))
+    # the precision marker keeps the recorded JSON line honest about WHICH
+    # scan this leg ran (session-12 lesson: an int8 number under a metric
+    # name readers take as the bf16 parity path is a mislabel)
+    return LegResult(ips, _safe_mfu(ips, _flops_per_img),
+                     precision="int8_w8a8_wide" if e2e_int8 else "bf16")
 
 
 def _sd3_setup():
@@ -515,16 +520,14 @@ def bench_sd3_e2e():
     joint = 4096
 
     def _encode(p_l, p_g, p_t5, ids_l, ids_g, ids_t):
+        # the joint-embed convention is single-sourced with the pipeline
+        # and the AOT export — this leg must measure the served program
+        from safe_denoiser_tpu.pipeline.diffusion_sd3 import joint_text_embed
         _, pen_l, _, proj_l = clip_l.apply(p_l, ids_l)
         _, pen_g, _, proj_g = clip_g.apply(p_g, ids_g)
-        clip_embed = jnp.concatenate([pen_l, pen_g], axis=-1)
-        clip_embed = jnp.pad(
-            clip_embed,
-            ((0, 0), (0, 0), (0, joint - clip_embed.shape[-1])))
         t5_embed = t5.apply(p_t5, ids_t)
-        emb = jnp.concatenate([clip_embed, t5_embed.astype(clip_embed.dtype)],
-                              axis=1)
-        return emb, jnp.concatenate([proj_l, proj_g], axis=-1)
+        return joint_text_embed(pen_l, proj_l, pen_g, proj_g, t5_embed,
+                                joint)
 
     import numpy as np
     rs = np.random.RandomState(0)
@@ -552,7 +555,10 @@ def bench_sd3_e2e():
     p_vae = _fab(vae, jnp.zeros((1, 256, 256, 3)), rng)
 
     def _decode(p, z):
-        img = vae.apply(p, z / SD3_VAE.scaling_factor, method=vae.decode)
+        # scaling + shift exactly as the pipeline decodes
+        # (diffusion_sd3.py generate_batch: z/scaling + shift)
+        z = z / SD3_VAE.scaling_factor + SD3_VAE.shift_factor
+        img = vae.apply(p, z, method=vae.decode)
         img = jnp.clip(img / 2 + 0.5, 0.0, 1.0)
         return jnp.round(img * 255).astype(jnp.uint8)
 

@@ -80,8 +80,12 @@ class NudeClassifier:
         flat = [img for g in groups for img in g]
         if not flat:
             return [(False, 0.0) for _ in groups]
+        # batch_size=len(flat): genuinely one interpreter pass (classify's
+        # default chunks at 4, which would cap the amortization regardless
+        # of SDT_EVAL_GROUP); group sizes are small (runner default 4)
         preds = self.classify(images=flat,
-                              image_names=list(range(len(flat))))
+                              image_names=list(range(len(flat))),
+                              batch_size=len(flat))
         out = []
         i = 0
         for g in groups:

@@ -17,14 +17,23 @@ from ..models import CLIP_VISION_VIT_L_14, CLIPVisionModel, preprocess_clip
 from .clip_metrics import Q16Classifier
 
 
+# head counts of the released CLIP vision towers, by hidden size — the one
+# config field weight shapes cannot determine. ViT-B/* (768, 12 heads,
+# d64), ViT-L/* (1024, 16, d64), ViT-H/* (1280, 16, d80 — NOT hidden//64),
+# ViT-bigG (1664, 16, d104).
+_KNOWN_VISION_HEADS = {768: 12, 1024: 16, 1280: 16, 1664: 16}
+
+
 def infer_clip_vision_config(sd: dict):
     """Derive the vision-tower config from a state dict's shapes, so the
     Q16 gate loads ANY CLIP vision checkpoint instead of failing with a
     KeyError when the weights aren't exactly ViT-L/14 (also guards real
     assets against a silently-wrong hardcoded config). ``num_heads`` is the
-    one field shapes can't determine — CLIP's universal head_dim-64
-    convention (hidden // 64) is used, which is exact for every released
-    CLIP vision tower."""
+    one field shapes can't determine: released towers resolve through a
+    known-hidden-size table (ViT-H's head_dim is 80, so a blanket
+    hidden//64 rule would silently mis-shape it); unknown hidden sizes fall
+    back to the head_dim-64 convention WITH a warning — pass an explicit
+    ``vision_config`` to Q16Eval for exotic towers."""
     from ..models import CLIPVisionConfig
 
     p = "vision_model." if any(k.startswith("vision_model.") for k in sd) \
@@ -35,11 +44,21 @@ def infer_clip_vision_config(sd: dict):
     image_size = int(round((n_pos - 1) ** 0.5)) * patch
     layer_ids = [int(k.split(".layers.")[1].split(".")[0]) for k in sd
                  if ".layers." in k]
+    num_heads = _KNOWN_VISION_HEADS.get(int(hidden))
+    if num_heads is None:
+        num_heads = max(1, int(hidden) // 64)
+        import warnings
+        warnings.warn(
+            f"infer_clip_vision_config: unknown CLIP vision hidden size "
+            f"{int(hidden)} — guessing num_heads={num_heads} by the "
+            "head_dim-64 convention; pass vision_config= explicitly if "
+            "this tower uses a different head count", RuntimeWarning,
+            stacklevel=2)
     proj = sd.get("visual_projection.weight")
     return CLIPVisionConfig(
         image_size=image_size, patch_size=int(patch), hidden_size=int(hidden),
         num_layers=max(layer_ids) + 1,
-        num_heads=max(1, int(hidden) // 64),
+        num_heads=num_heads,
         intermediate_size=int(
             sd[f"{p}encoder.layers.0.mlp.fc1.weight"].shape[0]),
         projection_dim=int(proj.shape[0]) if proj is not None

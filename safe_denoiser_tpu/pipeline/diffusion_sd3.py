@@ -50,6 +50,26 @@ SD3_NUDITY_NEGATIVE_PROMPT = (
     "Pleasure, Sexual Fantasy, Carnal Desires, Sexual Gratification")
 
 
+def joint_text_embed(pen_l, proj_l, pen_g, proj_g, t5_states, joint_dim):
+    """THE SD3 joint text-embed convention (reference
+    sdv3_pipeline.py:401-520): CLIP-L + CLIP-bigG penultimate states
+    concatenated and zero-padded to ``joint_dim``, sequence-concatenated
+    with the T5 states; pooled = [CLIP-L proj ; bigG proj]. Single-sourced
+    for :meth:`SafeDiffusion3Pipeline._encode_one`, the AOT export
+    (serving/aot.py::export_pipeline_sd3) and bench.py's sd3_e2e leg — a
+    desynchronized copy would silently measure/serve a different program.
+
+    Returns (embeds [B, L_clip + S_t5, joint_dim], pooled [B, P_l + P_g]).
+    """
+    clip_embed = jnp.concatenate([pen_l, pen_g], axis=-1)
+    clip_embed = jnp.pad(
+        clip_embed,
+        ((0, 0), (0, 0), (0, joint_dim - clip_embed.shape[-1])))
+    emb = jnp.concatenate(
+        [clip_embed, t5_states.astype(clip_embed.dtype)], axis=1)
+    return emb, jnp.concatenate([proj_l, proj_g], axis=-1)
+
+
 class SafeDiffusion3Pipeline:
     def __init__(self, transformer: MMDiT, transformer_params,
                  vae: AutoencoderKL, vae_params,
@@ -168,15 +188,9 @@ class SafeDiffusion3Pipeline:
                                              max_length=clip_len)["input_ids"])
         _, pen_l, _, proj_l = self._enc_l(ids_l)
         _, pen_g, _, proj_g = self._enc_g(ids_g)
-        clip_embed = jnp.concatenate([pen_l, pen_g], axis=-1)
-        clip_embed = jnp.pad(
-            clip_embed,
-            ((0, 0), (0, 0), (0, self.joint_dim - clip_embed.shape[-1])))
         t5_embed = self._enc_t5(jnp.asarray(self._t5_ids([text])))
-        embeds = jnp.concatenate(
-            [clip_embed, t5_embed.astype(clip_embed.dtype)], axis=1)
-        pooled = jnp.concatenate([proj_l, proj_g], axis=-1)
-        return embeds, pooled
+        return joint_text_embed(pen_l, proj_l, pen_g, proj_g, t5_embed,
+                                self.joint_dim)
 
     def encode_prompt(self, prompt: str, negative_prompt: str = ""):
         """Triple-tower joint embedding (reference sdv3_pipeline.py:401-520).

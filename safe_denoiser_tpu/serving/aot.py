@@ -323,16 +323,12 @@ def export_pipeline_sd3(pipe, batch_size: int,
     joint = pipe.joint_dim
 
     def _encode(p_l, p_g, p_t5, ids_l, ids_g, ids_t):
+        from ..pipeline.diffusion_sd3 import joint_text_embed
         _, pen_l, _, proj_l = pipe.clip_l.apply(p_l, ids_l)
         _, pen_g, _, proj_g = pipe.clip_g.apply(p_g, ids_g)
-        clip_embed = jnp.concatenate([pen_l, pen_g], axis=-1)
-        clip_embed = jnp.pad(
-            clip_embed,
-            ((0, 0), (0, 0), (0, joint - clip_embed.shape[-1])))
         t5_embed = pipe.t5.apply(p_t5, ids_t)
-        emb = jnp.concatenate(
-            [clip_embed, t5_embed.astype(clip_embed.dtype)], axis=1)
-        return emb, jnp.concatenate([proj_l, proj_g], axis=-1)
+        return joint_text_embed(pen_l, proj_l, pen_g, proj_g, t5_embed,
+                                joint)
 
     ids_l_s = jax.ShapeDtypeStruct((batch_size, clip_len), jnp.int32)
     ids_t_s = jax.ShapeDtypeStruct((batch_size, t5_len), jnp.int32)

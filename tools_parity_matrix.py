@@ -20,7 +20,10 @@ skip their configs with a note, they never fail the run):
       prompts/coco.csv           COCO captions CSV
       prompts/copro.csv          CoPro CSV
       q16/prompts.p              Q16 learned-prompt pickle
-      q16/clip_vision.safetensors  CLIP ViT-L/14 vision state dict
+      q16/clip_vision.safetensors  CLIP ViT-L/14 vision state dict (also
+                                 used for the COCO offline CLIPScore)
+      inception.safetensors      Inception-v3 weights (COCO FID)
+      coco_ref_images/           COCO reference images (FID ground set)
       reference_results.json     the reference's measured numbers, e.g.
                                  {"nudity_toxic_ratio": 0.0431,
                                   "coco_clip_score": 31.2, ...}
@@ -132,11 +135,15 @@ def run_coco_config(a, out):
           "--model_dir", ckpt, "--num_inference_steps", str(a.steps),
           "--image_length", str(a.image_length), "--batch_size", "2"])
     res = {"coco_images": float(len(os.listdir(os.path.join(save, "all"))))}
-    clip_w = os.path.join(a.assets, "clip_vision.safetensors")
+    # offline metrics use the documented asset layout; absent weights add a
+    # NOTE (never a silent omission — the runbook's contract)
+    clip_w = os.path.join(a.assets, "q16", "clip_vision.safetensors")
     if os.path.exists(clip_w):
         from safe_denoiser_tpu.evals.offline import evaluate_clip_score
         res["coco_clip_score"] = float(evaluate_clip_score(
             os.path.join(save, "all"), csv, weights_path=clip_w))
+    else:
+        a.notes["coco_clip_score"] = f"no CLIP vision weights at {clip_w}"
     inception_w = os.path.join(a.assets, "inception.safetensors")
     coco_ref = os.path.join(a.assets, "coco_ref_images")
     if os.path.exists(inception_w) and os.path.isdir(coco_ref):
@@ -144,6 +151,9 @@ def run_coco_config(a, out):
         res["coco_fid"] = float(evaluate_fid(
             os.path.join(save, "all"), coco_ref,
             weights_path=inception_w))
+    else:
+        a.notes["coco_fid"] = (f"needs {inception_w} + {coco_ref}/ "
+                               "(Inception weights; COCO reference images)")
     return res
 
 
@@ -281,6 +291,7 @@ def main(argv=None):
     if not a.assets:
         ap.error("--assets DIR (or --selftest) is required")
     os.makedirs(a.out, exist_ok=True)
+    a.notes = {}   # per-metric skip notes from inside configs
 
     results, skipped = {}, {}
     for name, fn in CONFIGS:
@@ -302,6 +313,7 @@ def main(argv=None):
         "results": results,
         "reference": reference,
         "skipped": skipped,
+        "notes": a.notes,
         "verdicts": {m: v for m, _, _, _, v in rows},
         "limit": a.limit, "steps": a.steps,
     }
@@ -349,9 +361,12 @@ def _fabricate_selftest_assets() -> str:
     # Q16: tiny CLIP vision tower state dict + 2-prompt pickle
     q16 = os.path.join(root, "q16")
     os.makedirs(q16)
+    # 1 attention head: hidden=32 is not a released tower size, so
+    # infer_clip_vision_config falls back to max(1, 32//64) = 1 — the
+    # fabricated weights must match the config the gate will infer
     hf_cfg = transformers.CLIPVisionConfig(
         image_size=32, patch_size=8, hidden_size=32, num_hidden_layers=2,
-        num_attention_heads=4, intermediate_size=64,
+        num_attention_heads=1, intermediate_size=64,
         hidden_act="quick_gelu", projection_dim=16)
     torch.manual_seed(0)
     hf = transformers.CLIPVisionModelWithProjection(hf_cfg).eval()
