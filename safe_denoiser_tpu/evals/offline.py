@@ -55,7 +55,11 @@ class InceptionFeatures:
                 "(weights_path) for valid FID/KID/IS numbers; pass "
                 "allow_random_init=True only for plumbing tests")
         self.batch_size = batch_size
-        self._fwd = jax.jit(lambda px: self.model.apply(self.params, px))
+        # device-resident params as jit ARGUMENTS (numpy closure constants
+        # re-serialize into every compile; the HTTP-413 rule)
+        self.params = jax.tree_util.tree_map(jax.device_put, self.params)
+        _fwd = jax.jit(lambda p, px: self.model.apply(p, px))
+        self._fwd = lambda px: _fwd(self.params, px)
 
     def __call__(self, paths: list[str]) -> tuple[np.ndarray, np.ndarray]:
         feats, logits = [], []

@@ -79,19 +79,25 @@ class Q16Eval:
             sd = load_state_dict(clip_weights_path)
             if vision_config is None:
                 cfg = infer_clip_vision_config(sd)
-            self.params = convert_clip_vision(sd, cfg)
+            # device-resident once (converters return numpy; numpy jit args
+            # re-upload the 300M-param tower on every gate call)
+            self.params = jax.tree_util.tree_map(
+                jax.device_put, convert_clip_vision(sd, cfg))
         else:
             raise ValueError("Q16Eval needs CLIP ViT-L/14 vision weights "
                              "(clip_weights_path or vision_params)")
         self.vision_config = cfg
         self.model = CLIPVisionModel(cfg)
-        self._embed = jax.jit(
-            lambda px: self.model.apply(self.params, px)[2])
+        # params as a jit ARGUMENT, not a closure constant: closed-over
+        # real-scale towers blow the remote-compile request limit (the
+        # HTTP-413 rule, pipeline/diffusion.py)
+        self._embed = jax.jit(lambda p, px: self.model.apply(p, px)[2])
 
     def compute_embeddings(self, images) -> jax.Array:
         arr = np.stack([np.asarray(img.convert("RGB") if hasattr(img, "convert")
                                    else img) for img in images])
-        return self._embed(preprocess_clip(jnp.asarray(arr),
+        return self._embed(self.params,
+                           preprocess_clip(jnp.asarray(arr),
                                            size=self.vision_config.image_size))
 
     def __call__(self, samples, threshold: float = 0.6):

@@ -141,11 +141,20 @@ class SafeDiffusionPipeline:
                  text_encoder: CLIPTextModel, text_params,
                  tokenizer, scheduler, logger=None):
         self.unet = unet
-        self.unet_params = unet_params
+        # Params MUST live on device once, up front: the weight converters
+        # return NUMPY trees, and numpy args to a jitted function are
+        # re-uploaded on EVERY call — at real scale that is gigabytes per
+        # sampling call through a ~MB/s-latency link (measured: 130-320 s
+        # per 50-step batch-1 case in tools_sustained.py before this fix,
+        # ~1.3 s device time after). device_put with no device keeps the
+        # arrays UNCOMMITTED so mesh-sharded computations can still consume
+        # them. No-op for trees that are already device-resident.
+        _put = lambda tree: jax.tree_util.tree_map(jax.device_put, tree)
+        self.unet_params = _put(unet_params)
         self.vae = vae
-        self.vae_params = vae_params
+        self.vae_params = _put(vae_params)
         self.text_encoder = text_encoder
-        self.text_params = text_params
+        self.text_params = _put(text_params)
         self.tokenizer = tokenizer
         self.scheduler = scheduler
         self.logger = logger
@@ -208,7 +217,9 @@ class SafeDiffusionPipeline:
         if "unet" in sd and not hasattr(sd["unet"], "shape"):
             sd = sd["unet"]
         was_int8 = "quant" in self.unet_params
-        self.unet_params = convert_unet(sd, self.unet.config)
+        # device-resident once (converters return numpy; see __init__ note)
+        self.unet_params = jax.tree_util.tree_map(
+            jax.device_put, convert_unet(sd, self.unet.config))
         if was_int8:  # re-quantize the swapped weights
             self.enable_int8(min_dim=getattr(self, "_int8_min_dim", 1280))
         # params are jit arguments (not closed-over constants), so the
@@ -221,7 +232,8 @@ class SafeDiffusionPipeline:
         apply to float kernels, so load the adapter BEFORE
         :meth:`enable_int8` (an already-int8 tree raises)."""
         from ..training.lora import merge_lora_into
-        self.unet_params = merge_lora_into(self.unet_params, path, scale)
+        self.unet_params = jax.tree_util.tree_map(
+            jax.device_put, merge_lora_into(self.unet_params, path, scale))
 
     def enable_int8(self, min_dim: int = 1280) -> None:
         """Opt-in W8A8 int8 for the UNet's WIDE (level-2/mid, C=1280)

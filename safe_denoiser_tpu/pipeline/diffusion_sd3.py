@@ -80,12 +80,17 @@ class SafeDiffusion3Pipeline:
                  scheduler, logger=None,
                  max_sequence_length: int = 256):
         self.transformer = transformer
-        self.transformer_params = transformer_params
+        # device-resident ONCE: the converters return numpy trees, and
+        # numpy args to a jitted function re-upload on EVERY call — for the
+        # 2B-param MMDiT + 4.7B-param T5 that is the whole checkpoint per
+        # sampling call (see the measured note in diffusion.py.__init__)
+        _put = lambda tree: jax.tree_util.tree_map(jax.device_put, tree)
+        self.transformer_params = _put(transformer_params)
         self.vae = vae
-        self.vae_params = vae_params
-        self.clip_l, self.clip_l_params = clip_l, clip_l_params
-        self.clip_g, self.clip_g_params = clip_g, clip_g_params
-        self.t5, self.t5_params = t5, t5_params
+        self.vae_params = _put(vae_params)
+        self.clip_l, self.clip_l_params = clip_l, _put(clip_l_params)
+        self.clip_g, self.clip_g_params = clip_g, _put(clip_g_params)
+        self.t5, self.t5_params = t5, _put(t5_params)
         self.tokenizer = tokenizer
         self.tokenizer_2 = tokenizer_2
         self.tokenizer_3 = tokenizer_3

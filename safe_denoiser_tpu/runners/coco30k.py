@@ -37,18 +37,21 @@ class InLoopClipScore:
         sd = load_sharded_state_dict(weights_dir)
         text_cfg = CLIPTextConfig(hidden_size=512, num_layers=12, num_heads=8,
                                   intermediate_size=2048, projection_dim=512)
+        _put = lambda t: jax.tree_util.tree_map(jax.device_put, t)
         self.text_model = CLIPTextModel(text_cfg)
-        self.text_params = convert_clip_text(sd, text_cfg)
+        # device-resident once (numpy jit args re-upload per scored image)
+        self.text_params = _put(convert_clip_text(sd, text_cfg))
         self.vision_model = CLIPVisionModel(CLIP_VISION_VIT_B_32)
-        self.vision_params = convert_clip_vision(sd, CLIP_VISION_VIT_B_32)
+        self.vision_params = _put(convert_clip_vision(sd, CLIP_VISION_VIT_B_32))
         self.tokenizer = CLIPTokenizer.from_pretrained(
             os.path.join(weights_dir, "tokenizer"))
         self.preprocess = preprocess_clip
         self._jnp = jnp
-        self._embed_img = jax.jit(
-            lambda px: self.vision_model.apply(self.vision_params, px)[2])
-        self._embed_txt = jax.jit(
-            lambda ids: self.text_model.apply(self.text_params, ids)[3])
+        # params as jit ARGUMENTS (HTTP-413 rule, pipeline/diffusion.py)
+        _ei = jax.jit(lambda p, px: self.vision_model.apply(p, px)[2])
+        self._embed_img = lambda px: _ei(self.vision_params, px)
+        _et = jax.jit(lambda p, ids: self.text_model.apply(p, ids)[3])
+        self._embed_txt = lambda ids: _et(self.text_params, ids)
 
     def __call__(self, image, prompt: str) -> float:
         import numpy as np
