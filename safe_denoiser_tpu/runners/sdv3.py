@@ -201,21 +201,38 @@ def main_coco30k(argv=None):
         logger.log("int8: MMDiT block matmuls quantized (W8A8)")
     repellency_processor, _ = build_sd3_repellency(args, pipe, logger)
 
+    # Overlapped like main_nudity: case i+1's ~7 s scan is enqueued before
+    # case i's transfer + PNG save (SDT_RUNNER_DEPTH=1 = serial order).
+    from collections import deque
+
+    depth = max(1, int(os.environ.get("SDT_RUNNER_DEPTH", "2")))
+    inflight: deque = deque()
+
+    def _drain_one():
+        case, pending, t0 = inflight.popleft()
+        imgs = pending.fetch()
+        logger.log(f"Wall-Clock Time for image generation "
+                   f"(Case#: {case.case_number}): {time.time() - t0:.2f} seconds")
+        save_png(imgs[0], os.path.join(dirs["all"], f"{case.case_number}.png"))
+
     for case in shard_iter(args, iter_prompt_cases(
             dataset, default_guidance=args.guidance_scale,
             valid_case_numbers=args.valid_case_numbers, logger=logger)):
         start = time.time()
-        imgs = pipe(case.prompt,
-                    num_inference_steps=args.num_inference_steps,
-                    guidance_scale=case.guidance,
-                    height=args.image_length, width=args.image_length,
-                    seed=case.seed, safree=args.safree,
-                    sf_alpha=args.sf_alpha,
-                    repellency_processor=repellency_processor,
-                    efficient=args.efficient)
-        logger.log(f"Wall-Clock Time for image generation "
-                   f"(Case#: {case.case_number}): {time.time() - start:.2f} seconds")
-        save_png(imgs[0], os.path.join(dirs["all"], f"{case.case_number}.png"))
+        pending = pipe.dispatch(
+            case.prompt,
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=case.guidance,
+            height=args.image_length, width=args.image_length,
+            seed=case.seed, safree=args.safree,
+            sf_alpha=args.sf_alpha,
+            repellency_processor=repellency_processor,
+            efficient=args.efficient)
+        inflight.append((case, pending, start))
+        while len(inflight) >= depth:
+            _drain_one()
+    while inflight:
+        _drain_one()
     # reference run_coco30k_sdv3.py:440: unconditional merged-config dump
     from .common import dump_run_artifacts
     dump_run_artifacts(args, args.save_dir, None)

@@ -148,8 +148,19 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else int(
         os.environ.get("SDT_SUSTAINED_N", "50"))
     n_small = max(2, n // 5)
-    root = tempfile.mkdtemp(prefix="sustained_")
-    ckpt, task_yaml, onnx_path, csv = _fixtures(root, n_small + n)
+    # SDT_SUSTAINED_ROOT: reuse a previous run's fabricated tree (the
+    # ~4 GB checkpoint takes minutes to write; tunnel wedges can kill a
+    # run after fabrication)
+    root = os.environ.get("SDT_SUSTAINED_ROOT")
+    if root and os.path.isdir(os.path.join(root, "ckpt")):
+        ckpt = os.path.join(root, "ckpt")
+        task_yaml = os.path.join(root, "task.yaml")
+        onnx_path = os.path.join(root, "nudenet.onnx")
+        csv = os.path.join(root, "prompts.csv")
+        print(f"[sustained] reusing fixtures under {root}", flush=True)
+    else:
+        root = tempfile.mkdtemp(prefix="sustained_")
+        ckpt, task_yaml, onnx_path, csv = _fixtures(root, n_small + n)
 
     # prefix subset: the marginal rate between an (n_small)-case run and an
     # (n_small+n)-case run cancels the fixed costs a "sustained" number must
