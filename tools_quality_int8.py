@@ -172,23 +172,42 @@ def run_sd14(tmpdir: str) -> dict:
     pre, _ = run(params, text0, lat0, None, keys0, None)
     refs = jnp.transpose(pre, (0, 3, 1, 2))                  # [M, 4, 64, 64]
     flat = refs.reshape(refs.shape[0], -1).astype(jnp.float32)
-    # Gate threshold from a TRAJECTORY-REGIME β probe, not the bank's own
-    # self-β (bank members include their zero self-distance — their median β
-    # sits far above anything a trajectory x̂₀ reaches, and the first run of
-    # this harness measured exactly 0 calibrated activations). One window-
-    # step x̂₀ batch (t₀, cond branch) against the bank, threshold at its
-    # median → ~half the rows sit at the gate boundary, the hard case for
-    # int8/bf16 agreement.
-    t0 = jnp.asarray(sched.timesteps(STEPS))[0]
+    # Gate threshold from the EXACT in-window β trajectory: step the plain
+    # DDPM loop host-side with the same CFG-combined eps the sampler uses,
+    # and record β(x̂₀) at every window step. (Two earlier calibrations
+    # failed to fire: the bank's self-β median sits far above trajectory β,
+    # and a cond-only step-0 probe underestimates the CFG-amplified x̂₀
+    # distances.) Threshold at the median of the window βs → roughly half
+    # the step×sample gate decisions sit AT the boundary — the hard case
+    # for int8/bf16 agreement.
+    win_lo, win_hi = 780.0, 1000.0
+
+    @jax.jit
+    def probe_step(p, lat, t, text, key):
+        latent_in = jnp.concatenate([lat] * 2, axis=0)
+        eps = model.apply(p, latent_in, t,
+                          text.reshape(2 * batch, *text.shape[2:]))
+        eps = eps.reshape(2, batch, *eps.shape[1:])
+        eps = eps[0] + 7.5 * (eps[1] - eps[0])
+        x0 = sched.pred_original_sample(eps, t, lat)
+        if isinstance(x0, tuple):
+            x0 = x0[0]
+        _, beta = rbf_negative_score_ref(
+            x0.reshape(batch, -1).astype(jnp.float32), flat, 3.15)
+        lat2, _ = sched.step(eps, t, lat, STEPS,
+                             noise=jax.random.normal(key, lat.shape,
+                                                     dtype=jnp.float32))
+        return lat2, beta
+
     lat_p = jax.random.normal(jax.random.fold_in(rng, 3),
                               (batch, 64, 64, 4), dtype=jnp.float32)
-    eps_p = model.apply(params, lat_p, t0, text0[1])
-    x0_p = sched.pred_original_sample(eps_p, t0, lat_p)
-    if isinstance(x0_p, tuple):
-        x0_p = x0_p[0]
-    _, beta_traj = rbf_negative_score_ref(
-        x0_p.reshape(batch, -1).astype(jnp.float32), flat, 3.15)
-    thresh = float(jnp.median(beta_traj))
+    betas = []
+    for si, t in enumerate(np.asarray(sched.timesteps(STEPS))):
+        lat_p, beta = probe_step(params, lat_p, jnp.asarray(t),
+                                 text0, jax.random.fold_in(rng, 600 + si))
+        if win_lo <= float(t) <= win_hi:
+            betas.append(np.asarray(beta))
+    thresh = float(np.median(np.concatenate(betas)))
     rep_cal = RepellencyConfig(method="kernel_fast", sigma=3.15, scale=0.33,
                                beta_threshold=thresh, use_beta_gate=True)
     rep_forced = RepellencyConfig(method="kernel_fast", sigma=3.15,
@@ -197,8 +216,8 @@ def run_sd14(tmpdir: str) -> dict:
 
     classifier = _classifier(tmpdir)
     out = {"family": "sd14", "n": n, "steps": STEPS,
-           "beta_threshold": round(thresh, 4)}
-    print(f"[qa] sd14 setup done (beta_threshold={thresh:.3f}), "
+           "beta_threshold": float(f"{thresh:.3e}")}
+    print(f"[qa] sd14 setup done (beta_threshold={thresh:.3e}), "
           f"{n} samples x 2 gates x 2 arms", file=sys.stderr, flush=True)
 
     for tag, rep in (("cal", rep_cal), ("forced", rep_forced)):
