@@ -11,9 +11,12 @@ Protocol (per family):
     TPU) — NOT the constant-fill bench fabrications: constant kernels
     quantize exactly, so a constant-fill A/B would be vacuous;
   * a negative bank seeded from the model's OWN trajectory latents (a
-    repellency-free pre-pass) so the β gate operates in a realistic
-    distance regime, with the gate threshold set at the median bank β —
-    mixed activations, the hard case for agreement;
+    repellency-free pre-pass); the β gate threshold comes from an EXACT
+    in-window β trajectory probe (CFG-combined x̂₀ at every window step).
+    Measured finding (docs/QUALITY_INT8.md): on random-weight trajectories
+    β underflows to exactly 0 in f32 — the calibrated gate is
+    deterministically closed in both arms (and int8 cannot open it), so
+    the forced run below carries the open-gate evidence;
   * same seeds / text embeddings / bank in both arms; N samples each;
   * measured: NudeNet decision flip rate at 0.6 (structurally-faithful
     fabricated classifier — tests/test_nudenet_graph.py — since the real
