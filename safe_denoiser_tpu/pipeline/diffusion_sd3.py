@@ -342,7 +342,31 @@ class SafeDiffusion3Pipeline:
         projection is computed per prompt, then stacked.
 
         Returns a list of uint8 [H, W, 3] images, one per prompt.
+        ``generate_batch == dispatch_batch(...).fetch()`` byte-for-byte.
         """
+        return self.dispatch_batch(
+            prompts, seeds, guidance_scales,
+            num_inference_steps=num_inference_steps,
+            negative_prompt=negative_prompt,
+            negative_prompt2=negative_prompt2, height=height, width=width,
+            safree=safree, sf_alpha=sf_alpha,
+            repellency_processor=repellency_processor,
+            window=window).fetch()
+
+    def dispatch_batch(self, prompts: Sequence[str],
+                       seeds: Sequence[int],
+                       guidance_scales: Sequence[float],
+                       num_inference_steps: int = 50,
+                       negative_prompt: Optional[str] = None,
+                       negative_prompt2: Optional[str] = None,
+                       height: int = 1024, width: int = 1024,
+                       safree: bool = False, sf_alpha: float = 0.01,
+                       repellency_processor=None,
+                       window: RepellencyWindow = RepellencyWindow(
+                           1000.0, 780.0)) -> "Sd3PendingGeneration":
+        """Async :meth:`generate_batch`: host text prep + enqueued scan AND
+        decode, handle returned immediately (the batcher's two-phase
+        pipelining and any batched runner overlap use this)."""
         b = len(prompts)
         assert len(seeds) == b and len(guidance_scales) == b
         embeds, pooled = self._prepare_batch_embeds(
@@ -363,19 +387,12 @@ class SafeDiffusion3Pipeline:
             jnp.asarray(list(guidance_scales), dtype=jnp.float32),
             num_inference_steps, repellency_cfg, window, height, width,
             rep_bank=self._rep_bank)
-
-        if self.logger is not None:
-            ts, _ = self.scheduler.timesteps_and_sigmas(num_inference_steps)
-            for i in np.nonzero(np.asarray(applied).any(axis=-1))[0]:
-                self.logger.log(
-                    "-" * 10 + f" Repellency applied at timestep {ts[i]} "
-                    + "-" * 10)
-
+        # decode enqueued immediately (async) — nothing here blocks
         z = latents / self.vae.config.scaling_factor \
             + self.vae.config.shift_factor
         image = self._vae_decode_jit(self.vae_params, z)
-        image = np.asarray((image / 2 + 0.5).clip(0, 1))
-        return [(img * 255).round().astype(np.uint8) for img in image]
+        return Sd3PendingGeneration(self, num_inference_steps, latents,
+                                    image, applied)
 
     def load_lora(self, path: str, scale: Optional[float] = None) -> None:
         """Merge a LoRA adapter (training/lora.py) into the MMDiT weights.

@@ -117,8 +117,8 @@ def build_generate_fn(args, pipe, repellency_processor, erase_spec, logger):
     negative_prompt_space = _negative_space(args, erase_spec)
     safe_config = _sld_safe_config(args, erase_spec)
 
-    def run_batch(reqs):
-        imgs = pipe.generate_batch(
+    def _kwargs(reqs):
+        return dict(
             prompts=[r.prompt for r in reqs],
             seeds=[r.seed for r in reqs],
             guidance_scales=[r.guidance_scale for r in reqs],
@@ -130,8 +130,14 @@ def build_generate_fn(args, pipe, repellency_processor, erase_spec, logger):
             safree_dict=sf,
             safe_config=safe_config,
             erase_spec=erase_spec)
-        return imgs
 
+    def run_batch(reqs):
+        return pipe.generate_batch(**_kwargs(reqs))
+
+    # two-phase protocol for the batcher's pipelining (batch k+1's scan is
+    # enqueued before batch k's fetch/PNG/base64 — serving/batcher.py)
+    run_batch.dispatch_batch = lambda reqs: pipe.dispatch_batch(
+        **_kwargs(reqs))
     return run_batch
 
 
@@ -291,8 +297,8 @@ def build_sd3_generate_fn(args, erase_spec, logger):
     """-> run_batch over ``SafeDiffusion3Pipeline.generate_batch``."""
     pipe, repellency_processor = _build_sd3_pipe(args, erase_spec, logger)
 
-    def run_batch(reqs):
-        return pipe.generate_batch(
+    def _kwargs(reqs):
+        return dict(
             prompts=[r.prompt for r in reqs],
             seeds=[r.seed for r in reqs],
             guidance_scales=[r.guidance_scale for r in reqs],
@@ -304,6 +310,11 @@ def build_sd3_generate_fn(args, erase_spec, logger):
             repellency_processor=repellency_processor,
             window=erase_spec.window)
 
+    def run_batch(reqs):
+        return pipe.generate_batch(**_kwargs(reqs))
+
+    run_batch.dispatch_batch = lambda reqs: pipe.dispatch_batch(
+        **_kwargs(reqs))
     return run_batch
 
 
@@ -465,8 +476,10 @@ def _serve_loop(args, run_batch, logger):
     the SD-v1 live/AOT paths and the SD3 path)."""
     from ..serving import DynamicBatcher, GenRequest, make_server
 
-    batcher = DynamicBatcher(run_batch, args.batch_size,
-                             max_delay_s=args.max_delay_ms / 1000.0)
+    batcher = DynamicBatcher(
+        run_batch, args.batch_size,
+        max_delay_s=args.max_delay_ms / 1000.0,
+        dispatch_batch=getattr(run_batch, "dispatch_batch", None))
 
     # warm the compile cache before accepting traffic: one padded batch
     logger.log("warmup: compiling the sampling program...")

@@ -50,10 +50,18 @@ class DynamicBatcher:
 
     def __init__(self, run_batch: Callable[[List[GenRequest]], Sequence[Any]],
                  batch_size: int, max_delay_s: float = 0.05,
-                 max_queue: int = 256):
+                 max_queue: int = 256,
+                 dispatch_batch: Optional[Callable[[List[GenRequest]],
+                                                   Any]] = None):
         if batch_size < 1:
             raise ValueError("batch_size must be >= 1")
         self._run_batch = run_batch
+        # optional two-phase protocol: dispatch_batch(reqs) -> handle with
+        # .fetch() -> results. When provided, the worker enqueues batch
+        # k+1's device work BEFORE fetching batch k (same overlap the
+        # runners use — jax dispatch is async), so under sustained load the
+        # chip never idles on the host's transfer/PNG/base64 work.
+        self._dispatch_batch = dispatch_batch
         self.batch_size = batch_size
         self.max_delay_s = max_delay_s
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
@@ -124,14 +132,57 @@ class DynamicBatcher:
             group.append(nxt)
         return group
 
+    def _resolve(self, futs, results_or_exc) -> None:
+        if isinstance(results_or_exc, Exception):
+            for f in futs:
+                f.set_exception(results_or_exc)
+            return
+        for f, r in zip(futs, results_or_exc):
+            f.set_result(r)
+
+    def _finish(self, pending) -> None:
+        futs, handle = pending
+        try:
+            results = handle.fetch()
+            if len(results) != self.batch_size:
+                raise RuntimeError(
+                    f"dispatch_batch handle returned {len(results)} results "
+                    f"for batch_size {self.batch_size}")
+        except Exception as e:  # noqa: BLE001 — propagate to callers
+            self._resolve(futs, e)
+            return
+        self._resolve(futs, results)
+
     def _loop(self) -> None:
+        pending = None   # (futs, handle) of the in-flight dispatched batch
         while True:
+            if pending is not None and self._q.empty():
+                # nothing queued: resolve the in-flight batch now so a lone
+                # request never waits on a successor that may not come
+                self._finish(pending)
+                pending = None
+                continue
             group = self._take_group()
             if group is None:
+                if pending is not None:
+                    self._finish(pending)
+                    pending = None
                 break
             reqs = [r for r, _ in group]
             futs = [f for _, f in group]
             padded = reqs + [reqs[-1]] * (self.batch_size - len(reqs))
+            if self._dispatch_batch is not None:
+                try:
+                    handle = self._dispatch_batch(padded)
+                except Exception as e:  # noqa: BLE001
+                    self._resolve(futs, e)
+                    continue
+                # batch k+1 is now enqueued on the device; ONLY THEN block
+                # on batch k's transfer + post-processing
+                if pending is not None:
+                    self._finish(pending)
+                pending = (futs, handle)
+                continue
             try:
                 results = self._run_batch(padded)
                 if len(results) != self.batch_size:
@@ -139,9 +190,7 @@ class DynamicBatcher:
                         f"run_batch returned {len(results)} results for "
                         f"batch_size {self.batch_size}")
             except Exception as e:  # noqa: BLE001 — propagate to callers
-                for f in futs:
-                    f.set_exception(e)
+                self._resolve(futs, e)
                 continue
-            for f, r in zip(futs, results):
-                f.set_result(r)
+            self._resolve(futs, results)
         # leftovers after the close() sentinel are handled by close() itself

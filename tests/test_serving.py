@@ -475,3 +475,116 @@ def test_serve_runner_aot_safree_matches_live(tmp_path):
     with pytest.raises(SystemExit, match="text_method"):
         build_aot_generate_fn(args_aot, pipe, None, ERASE_SPECS["std"],
                               logger)
+
+
+class _TwoPhaseStub:
+    """Stub two-phase generate fn recording dispatch/fetch order."""
+
+    def __init__(self, events, fail_dispatch_on=None, fail_fetch_on=None):
+        self.events = events
+        self.n = 0
+        self.fail_dispatch_on = fail_dispatch_on
+        self.fail_fetch_on = fail_fetch_on
+
+    def dispatch(self, reqs):
+        k = self.n
+        self.n += 1
+        self.events.append(f"dispatch{k}")
+        if k == self.fail_dispatch_on:
+            raise RuntimeError(f"dispatch boom {k}")
+        stub = self
+
+        class _H:
+            def fetch(self):
+                stub.events.append(f"fetch{k}")
+                if k == stub.fail_fetch_on:
+                    raise RuntimeError(f"fetch boom {k}")
+                return [r.seed for r in reqs]
+        return _H()
+
+
+def test_batcher_two_phase_pipelines_dispatch_before_fetch():
+    """With dispatch_batch provided, batch k+1 is ENQUEUED before batch k is
+    fetched (the device never idles on host post-processing), and results
+    still route to the right futures."""
+    events = []
+    stub = _TwoPhaseStub(events)
+    b = DynamicBatcher(lambda reqs: [r.seed for r in reqs], batch_size=2,
+                       max_delay_s=0.05, dispatch_batch=stub.dispatch)
+    futs = [b.submit(GenRequest("p", seed=i)) for i in range(6)]
+    assert [f.result(timeout=10) for f in futs] == list(range(6))
+    b.close()
+    # pipelining: the second dispatch precedes the first fetch
+    assert events.index("dispatch1") < events.index("fetch0"), events
+    assert events.index("dispatch2") < events.index("fetch1"), events
+
+
+def test_batcher_two_phase_lone_request_resolves_immediately():
+    events = []
+    stub = _TwoPhaseStub(events)
+    b = DynamicBatcher(lambda reqs: [r.seed for r in reqs], batch_size=2,
+                       max_delay_s=0.02, dispatch_batch=stub.dispatch)
+    assert b.submit(GenRequest("solo", seed=9)).result(timeout=10) == 9
+    b.close()
+    assert events == ["dispatch0", "fetch0"]
+
+
+def test_batcher_two_phase_errors_isolated():
+    """A dispatch OR fetch failure fails only its own batch; the worker
+    keeps serving later batches."""
+    events = []
+    stub = _TwoPhaseStub(events, fail_fetch_on=0)
+    b = DynamicBatcher(lambda reqs: [r.seed for r in reqs], batch_size=1,
+                       max_delay_s=0.01, dispatch_batch=stub.dispatch)
+    f0 = b.submit(GenRequest("a", seed=1))
+    with pytest.raises(RuntimeError, match="fetch boom 0"):
+        f0.result(timeout=10)
+    assert b.submit(GenRequest("b", seed=2)).result(timeout=10) == 2
+    b.close()
+
+    events2 = []
+    stub2 = _TwoPhaseStub(events2, fail_dispatch_on=0)
+    b2 = DynamicBatcher(lambda reqs: [r.seed for r in reqs], batch_size=1,
+                        max_delay_s=0.01, dispatch_batch=stub2.dispatch)
+    g0 = b2.submit(GenRequest("a", seed=1))
+    with pytest.raises(RuntimeError, match="dispatch boom 0"):
+        g0.result(timeout=10)
+    assert b2.submit(GenRequest("b", seed=2)).result(timeout=10) == 2
+    b2.close()
+
+
+def test_serve_two_phase_matches_sync(tmp_path):
+    """The pipelined serving path (build_generate_fn's attached
+    dispatch_batch through the batcher) produces images identical to the
+    sync run_batch path."""
+    from tests.test_e2e_pipeline import _tiny_tokenizer
+    from tests.test_runner_cli import _write_checkpoint
+
+    from safe_denoiser_tpu.pipeline.diffusion import ERASE_SPECS
+    from safe_denoiser_tpu.runners.common import build_pipeline
+    from safe_denoiser_tpu.runners.serve import build_generate_fn, parse_args
+    from safe_denoiser_tpu.utils.logging import Logger
+
+    ckpt = _write_checkpoint(tmp_path, _tiny_tokenizer())
+    args = parse_args(["--model_dir", str(ckpt), "--batch_size", "2",
+                       "--num_inference_steps", "2", "--image_length", "16",
+                       "--save-dir", str(tmp_path / "serve")])
+    logger = Logger(str(tmp_path / "serve_logs.txt"))
+    pipe = build_pipeline(args, logger)
+    run_batch = build_generate_fn(args, pipe, None, ERASE_SPECS["std"],
+                                  logger)
+    assert callable(getattr(run_batch, "dispatch_batch", None))
+
+    b = DynamicBatcher(run_batch, 2, max_delay_s=0.02,
+                       dispatch_batch=run_batch.dispatch_batch)
+    futs = [b.submit(GenRequest("a cat", seed=s, guidance_scale=7.5))
+            for s in (3, 4, 5, 6)]
+    piped = [f.result(timeout=120) for f in futs]
+    b.close()
+
+    sync = run_batch([GenRequest("a cat", seed=s, guidance_scale=7.5)
+                      for s in (3, 4)]) \
+        + run_batch([GenRequest("a cat", seed=s, guidance_scale=7.5)
+                     for s in (5, 6)])
+    for a, c in zip(piped, sync):
+        np.testing.assert_array_equal(a, c)
