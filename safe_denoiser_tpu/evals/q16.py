@@ -79,13 +79,14 @@ class Q16Eval:
             sd = load_state_dict(clip_weights_path)
             if vision_config is None:
                 cfg = infer_clip_vision_config(sd)
-            # device-resident once (converters return numpy; numpy jit args
-            # re-upload the 300M-param tower on every gate call)
-            self.params = jax.tree_util.tree_map(
-                jax.device_put, convert_clip_vision(sd, cfg))
+            self.params = convert_clip_vision(sd, cfg)
         else:
             raise ValueError("Q16Eval needs CLIP ViT-L/14 vision weights "
                              "(clip_weights_path or vision_params)")
+        # device-resident once, on EVERY branch (converters — and callers
+        # passing vision_params — may hand numpy trees; numpy jit args
+        # re-upload the ~300M-param tower on every gate call)
+        self.params = jax.tree_util.tree_map(jax.device_put, self.params)
         self.vision_config = cfg
         self.model = CLIPVisionModel(cfg)
         # params as a jit ARGUMENT, not a closure constant: closed-over

@@ -232,8 +232,8 @@ class SafeDiffusionPipeline:
         apply to float kernels, so load the adapter BEFORE
         :meth:`enable_int8` (an already-int8 tree raises)."""
         from ..training.lora import merge_lora_into
-        self.unet_params = jax.tree_util.tree_map(
-            jax.device_put, merge_lora_into(self.unet_params, path, scale))
+        # merge_lora_into returns jitted outputs (already device-resident)
+        self.unet_params = merge_lora_into(self.unet_params, path, scale)
 
     def enable_int8(self, min_dim: int = 1280) -> None:
         """Opt-in W8A8 int8 for the UNet's WIDE (level-2/mid, C=1280)

@@ -133,12 +133,23 @@ class DynamicBatcher:
         return group
 
     def _resolve(self, futs, results_or_exc) -> None:
+        # a client may have cancelled its Future (e.g. an HTTP handler
+        # timing out); set_result on a cancelled Future raises
+        # InvalidStateError, which must never kill the worker thread
+        from concurrent.futures import InvalidStateError
+
         if isinstance(results_or_exc, Exception):
             for f in futs:
-                f.set_exception(results_or_exc)
+                try:
+                    f.set_exception(results_or_exc)
+                except InvalidStateError:
+                    pass
             return
         for f, r in zip(futs, results_or_exc):
-            f.set_result(r)
+            try:
+                f.set_result(r)
+            except InvalidStateError:
+                pass
 
     def _finish(self, pending) -> None:
         futs, handle = pending
@@ -154,19 +165,20 @@ class DynamicBatcher:
         self._resolve(futs, results)
 
     def _loop(self) -> None:
-        pending = None   # (futs, handle) of the in-flight dispatched batch
+        # Two-phase mode resolves each dispatched batch on a short-lived
+        # finisher thread: batch k's futures resolve as soon as its device
+        # work + transfer completes, even while the worker blocks in
+        # _take_group waiting for batch k+1's group to fill (fetching only
+        # reads device buffers — all DISPATCHES stay on this worker, which
+        # is the thread-safety contract that matters). At most one finisher
+        # is alive: the worker joins it before starting the next, so there
+        # is never more than one batch in flight plus one being fetched.
+        finisher: Optional[threading.Thread] = None
         while True:
-            if pending is not None and self._q.empty():
-                # nothing queued: resolve the in-flight batch now so a lone
-                # request never waits on a successor that may not come
-                self._finish(pending)
-                pending = None
-                continue
             group = self._take_group()
             if group is None:
-                if pending is not None:
-                    self._finish(pending)
-                    pending = None
+                if finisher is not None:
+                    finisher.join()
                 break
             reqs = [r for r, _ in group]
             futs = [f for _, f in group]
@@ -177,11 +189,12 @@ class DynamicBatcher:
                 except Exception as e:  # noqa: BLE001
                     self._resolve(futs, e)
                     continue
-                # batch k+1 is now enqueued on the device; ONLY THEN block
-                # on batch k's transfer + post-processing
-                if pending is not None:
-                    self._finish(pending)
-                pending = (futs, handle)
+                if finisher is not None:
+                    finisher.join()
+                finisher = threading.Thread(
+                    target=self._finish, args=((futs, handle),),
+                    daemon=True, name="sdt-batcher-finish")
+                finisher.start()
                 continue
             try:
                 results = self._run_batch(padded)

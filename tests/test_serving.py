@@ -504,19 +504,42 @@ class _TwoPhaseStub:
 
 
 def test_batcher_two_phase_pipelines_dispatch_before_fetch():
-    """With dispatch_batch provided, batch k+1 is ENQUEUED before batch k is
-    fetched (the device never idles on host post-processing), and results
-    still route to the right futures."""
+    """With dispatch_batch provided, batch k+1 is ENQUEUED while batch k's
+    fetch is still in flight (the device never idles on host
+    post-processing), and results still route to the right futures. Batch
+    0's fetch BLOCKS on a gate so the overlap assertion is deterministic."""
     events = []
-    stub = _TwoPhaseStub(events)
+    gate = threading.Event()
+
+    class _Stub:
+        def __init__(self):
+            self.n = 0
+
+        def dispatch(self, reqs):
+            k = self.n
+            self.n += 1
+            events.append(f"dispatch{k}")
+
+            class _H:
+                def fetch(_h):
+                    if k == 0:
+                        assert gate.wait(timeout=10)
+                    events.append(f"fetch{k}")
+                    return [r.seed for r in reqs]
+            return _H()
+
     b = DynamicBatcher(lambda reqs: [r.seed for r in reqs], batch_size=2,
-                       max_delay_s=0.05, dispatch_batch=stub.dispatch)
-    futs = [b.submit(GenRequest("p", seed=i)) for i in range(6)]
-    assert [f.result(timeout=10) for f in futs] == list(range(6))
+                       max_delay_s=0.05, dispatch_batch=_Stub().dispatch)
+    futs = [b.submit(GenRequest("p", seed=i)) for i in range(4)]
+    # batch 1 must be dispatched while batch 0's fetch is still blocked
+    deadline = time.monotonic() + 5
+    while "dispatch1" not in events and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert "dispatch1" in events and "fetch0" not in events, events
+    gate.set()
+    assert [f.result(timeout=10) for f in futs] == list(range(4))
     b.close()
-    # pipelining: the second dispatch precedes the first fetch
-    assert events.index("dispatch1") < events.index("fetch0"), events
-    assert events.index("dispatch2") < events.index("fetch1"), events
+    assert events.count("fetch0") == 1 and events.count("fetch1") == 1
 
 
 def test_batcher_two_phase_lone_request_resolves_immediately():
@@ -588,3 +611,27 @@ def test_serve_two_phase_matches_sync(tmp_path):
                      for s in (5, 6)])
     for a, c in zip(piped, sync):
         np.testing.assert_array_equal(a, c)
+
+
+def test_batcher_cancelled_future_does_not_kill_worker():
+    """A client-cancelled Future must not raise InvalidStateError inside
+    the worker (which would silently kill it and hang every later
+    request) — in either the sync or the two-phase path."""
+    import threading as _th
+
+    release = _th.Event()
+
+    def run(reqs):
+        release.wait(timeout=10)
+        return [r.seed for r in reqs]
+
+    b = DynamicBatcher(run, batch_size=1, max_delay_s=0.01)
+    f1 = b.submit(GenRequest("a", seed=1))
+    f2 = b.submit(GenRequest("b", seed=2))
+    # cancel the QUEUED (not yet running) request, then release the worker
+    assert f2.cancel() or True  # may race; either way no worker death
+    release.set()
+    assert f1.result(timeout=10) == 1
+    f3 = b.submit(GenRequest("c", seed=3))
+    assert f3.result(timeout=10) == 3   # worker survived
+    b.close()

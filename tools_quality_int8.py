@@ -183,7 +183,7 @@ def run_sd14(tmpdir: str) -> dict:
     # distances.) Threshold at the median of the window βs → roughly half
     # the step×sample gate decisions sit AT the boundary — the hard case
     # for int8/bf16 agreement.
-    win_lo, win_hi = 780.0, 1000.0
+    win_lo, win_hi = window.t_end, window.t_start
 
     @jax.jit
     def probe_step(p, lat, t, text, key):

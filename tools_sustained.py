@@ -152,11 +152,22 @@ def main():
     # ~4 GB checkpoint takes minutes to write; tunnel wedges can kill a
     # run after fabrication)
     root = os.environ.get("SDT_SUSTAINED_ROOT")
-    if root and os.path.isdir(os.path.join(root, "ckpt")):
+    reuse = False
+    if root:
         ckpt = os.path.join(root, "ckpt")
         task_yaml = os.path.join(root, "task.yaml")
         onnx_path = os.path.join(root, "nudenet.onnx")
         csv = os.path.join(root, "prompts.csv")
+        # reuse only a COMPLETE fixture tree whose CSV matches this N —
+        # a stale row count would silently skew the marginal division,
+        # and a mid-fabrication kill leaves a partial ckpt
+        reuse = all(os.path.exists(p) for p in
+                    (task_yaml, onnx_path, csv,
+                     os.path.join(ckpt, "unet"))) and             sum(1 for _ in open(csv)) - 1 == n_small + n
+        if root and not reuse and os.path.isdir(root):
+            print(f"[sustained] NOT reusing {root}: incomplete or "
+                  f"row-count mismatch vs N={n}", flush=True)
+    if reuse:
         print(f"[sustained] reusing fixtures under {root}", flush=True)
     else:
         root = tempfile.mkdtemp(prefix="sustained_")
