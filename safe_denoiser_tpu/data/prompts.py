@@ -30,6 +30,42 @@ def load_prompt_csv(path: str) -> pd.DataFrame:
     return pd.read_csv(path)
 
 
+def load_hf_coco_dataset(path: str, limit: int = 10000) -> pd.DataFrame:
+    """Local HF-datasets branch of the COCO runner (reference
+    run_coco30k.py:284-285 loads ``UCSC-VLAA/Recap-COCO-30K`` from the hub
+    and ``.select(range(10000))``; zero egress here, so ``path`` must be a
+    LOCAL ``datasets.save_to_disk`` dir, a parquet file, or a dir of
+    parquet shards). Returns a DataFrame whose rows carry the HF schema
+    (``caption``/``recaption``/``image_id``) so :func:`iter_prompt_cases`'s
+    recaption branch applies; any ``image`` column (the original COCO
+    pixels) is dropped — the prompt iterator never needs it.
+    """
+    import glob
+    import os
+
+    import datasets
+
+    if os.path.isdir(path) and (
+            os.path.exists(os.path.join(path, "dataset_info.json"))
+            or os.path.exists(os.path.join(path, "dataset_dict.json"))):
+        ds = datasets.load_from_disk(path)
+        if isinstance(ds, datasets.DatasetDict):
+            ds = ds["train"]
+    else:
+        files = ([path] if path.endswith(".parquet")
+                 else sorted(glob.glob(os.path.join(path, "*.parquet"))))
+        if not files:
+            raise FileNotFoundError(
+                f"{path} is neither a datasets.save_to_disk dir nor a "
+                "parquet file/dir")
+        ds = datasets.load_dataset("parquet", data_files=files,
+                                   split="train")
+    ds = ds.select(range(min(limit, len(ds))))
+    if "image" in ds.column_names:
+        ds = ds.remove_columns(["image"])
+    return ds.to_pandas()
+
+
 def iter_prompt_cases(dataset: pd.DataFrame,
                       default_guidance: Optional[float] = None,
                       valid_case_numbers: Optional[str] = None,
@@ -52,6 +88,12 @@ def iter_prompt_cases(dataset: pd.DataFrame,
         elif "unsafe_prompt" in data:                  # CoPro (run_copro.py:443)
             target_prompt = data["unsafe_prompt"]
             case_num = data["idx"] if "idx" in data else _iter
+        elif "recaption" in data:                      # Recap-COCO-30K HF rows
+            # the reference sniffs on "recaption" but generates from the
+            # ORIGINAL caption (run_coco30k.py:410-414, recaption line
+            # commented out there)
+            target_prompt = data["caption"]
+            case_num = data["image_id"] if "image_id" in data else _iter
         else:
             continue
 

@@ -4,7 +4,7 @@ The reference is single-GPU (SURVEY.md §2.4); TP (tp.py) shards the WIDTH of
 the projections, this module shards the LENGTH of the token sequence — the
 axis that actually grows with resolution (SD3 at 1024x1024 is 4096 image
 tokens; the reference runs exactly that shape via its SD3 pipelines,
-/root/reference/diffusers_custom/pipeline_stable_diffusion_3_safe.py). Every
+/root/reference/models/sdv3/sdv3_pipeline.py:904-906 default 1024). Every
 sequence-pointwise op (AdaLN, qkv/out projections, MLP) runs on its local
 token slice for free under GSPMD once the activations are S-sharded; the one
 op with global extent — joint attention — is computed here inside a

@@ -68,6 +68,12 @@ def main(argv=None):
     parser, _ = base_parser("Safe-Denoiser TPU COCO-30k fidelity run")
     parser.add_argument("--clip_weights_dir", type=str, default=None,
                         help="local CLIP ViT-B/32 weights for in-loop score")
+    parser.add_argument("--hf_dataset_dir", type=str, default=None,
+                        help="local Recap-COCO-30K copy: a datasets"
+                             ".save_to_disk dir or parquet file/dir "
+                             "(reference run_coco30k.py:284-285 pulls it "
+                             "from the hub; zero egress here). Overrides "
+                             "--data.")
     args = parser.parse_args(argv)
 
     dirs = make_save_dirs(args.save_dir)
@@ -75,7 +81,11 @@ def main(argv=None):
     for arg in vars(args):
         logger.log(f"{arg}: {getattr(args, arg)}")
 
-    dataset = pd.read_csv(args.data)
+    if args.hf_dataset_dir:
+        from ..data import load_hf_coco_dataset
+        dataset = load_hf_coco_dataset(args.hf_dataset_dir)
+    else:
+        dataset = pd.read_csv(args.data)
     logger.log(f"coco dataset size: {dataset.shape[0]}")
 
     pipe = build_pipeline(args, logger)

@@ -174,3 +174,47 @@ def test_shard_cases_partition_disjoint_and_covering():
         list(shard_cases(iter_prompt_cases(df), 2, 2))
     with _pytest.raises(ValueError):
         list(shard_cases(iter_prompt_cases(df), 0, 0))
+
+
+def test_hf_coco_dataset_branch(tmp_path):
+    """--hf_dataset_dir surface (reference run_coco30k.py:284-285 +
+    410-414): a local save_to_disk dir AND a parquet file both load, cap at
+    the limit, drop the pixel column, and flow through iter_prompt_cases's
+    recaption branch (prompt = ORIGINAL caption, case# = image_id)."""
+    import datasets
+
+    from safe_denoiser_tpu.data import iter_prompt_cases, load_hf_coco_dataset
+
+    rows = {
+        "image_id": [101, 102, 103],
+        "caption": ["a cat", "a dog", "a bus"],
+        "recaption": ["a fluffy cat", "a brown dog", "a red bus"],
+        # stand-in for the pixel column (real rows carry a PIL image)
+        "image": [[0, 1], [2, 3], [4, 5]],
+    }
+    ds = datasets.Dataset.from_dict(rows)
+
+    d_disk = tmp_path / "hf_disk"
+    ds.save_to_disk(str(d_disk))
+    p_parq = tmp_path / "coco.parquet"
+    ds.remove_columns(["image"]).to_parquet(str(p_parq))
+
+    for src in (str(d_disk), str(p_parq)):
+        df = load_hf_coco_dataset(src, limit=2)
+        assert len(df) == 2
+        assert "image" not in df.columns
+        cases = list(iter_prompt_cases(df))
+        assert [c.prompt for c in cases] == ["a cat", "a dog"]  # caption,
+        assert [c.case_number for c in cases] == [101, 102]     # not recaption
+        assert all(c.seed == 42 and c.guidance == 7.5 for c in cases)
+
+    # a dir of parquet shards
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    ds.remove_columns(["image"]).to_parquet(str(shard_dir / "part0.parquet"))
+    df = load_hf_coco_dataset(str(shard_dir))
+    assert len(df) == 3
+
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        load_hf_coco_dataset(str(tmp_path / "empty_nowhere"))
