@@ -381,10 +381,11 @@ class SafeDiffusion3Pipeline:
                 sigma=1.0, normalize_x=True, use_beta_gate=False)
             refs = self._maybe_shard_refs(repellency_processor.get_proj_ref())
 
+        embeds, pooled, seeds_a, gs_a = self._shard_batch_inputs(
+            embeds, pooled, jnp.asarray(list(seeds), dtype=jnp.uint32),
+            jnp.asarray(list(guidance_scales), dtype=jnp.float32))
         latents, applied = self._jitted_sample_batch_fn(
-            self.transformer_params, embeds, pooled, refs,
-            jnp.asarray(list(seeds), dtype=jnp.uint32),
-            jnp.asarray(list(guidance_scales), dtype=jnp.float32),
+            self.transformer_params, embeds, pooled, refs, seeds_a, gs_a,
             num_inference_steps, repellency_cfg, window, height, width,
             rep_bank=self._rep_bank)
         # decode enqueued immediately (async) — nothing here blocks
@@ -432,6 +433,45 @@ class SafeDiffusion3Pipeline:
             return refs
         from ..parallel.bank import shard_bank
         return shard_bank(refs, self._rep_bank.mesh, self._rep_bank.axis)
+
+    _data_mesh = None
+
+    def enable_data_mesh(self, n_devices=None, mesh=None) -> None:
+        """Data-parallel serving for the SD3 family: batched calls shard
+        the batch dim over a 1-D data mesh with MMDiT/VAE weights
+        replicated (same contract as
+        ``SafeDiffusionPipeline.enable_data_mesh`` — see there). The text
+        towers run per-prompt on the host-prep path and stay unreplicated."""
+        from ..parallel import make_mesh, replicate
+        if mesh is None:
+            mesh = make_mesh(n_devices)
+        if self._rep_bank is not None:
+            raise ValueError(
+                "enable_data_mesh with enable_bank_sharding is not "
+                "supported: shard the bank's M axis or the served batch, "
+                "not both (needs a 2-D mesh)")
+        self.transformer_params = replicate(self.transformer_params, mesh)
+        self.vae_params = replicate(self.vae_params, mesh)
+        self._data_mesh = mesh
+
+    def _shard_batch_inputs(self, embeds, pooled, seeds, guidance_scales):
+        """Place a prepared batch over the serving data mesh (no-op without
+        :meth:`enable_data_mesh`): embeds/pooled carry the batch at dim 1
+        ([2, B, ...]); seeds/guidance at dim 0."""
+        if self._data_mesh is None:
+            return embeds, pooled, seeds, guidance_scales
+        from ..parallel import shard_batch
+        n = self._data_mesh.devices.size
+        b = seeds.shape[0]
+        if b % n != 0:
+            raise ValueError(
+                f"served batch size {b} must be divisible by the data "
+                f"mesh's {n} devices (pick --batch_size a multiple of "
+                f"--mesh)")
+        mesh = self._data_mesh
+        return (shard_batch(embeds, mesh, batch_dim=1),
+                shard_batch(pooled, mesh, batch_dim=1),
+                shard_batch(seeds, mesh), shard_batch(guidance_scales, mesh))
 
     def _jitted_sample(self, *args, **kwargs):
         """Scan and decode as separate jits (SIGKILL note in diffusion.py)."""
@@ -548,5 +588,9 @@ class Sd3PendingGeneration:
                     + "-" * 10)
         if return_latents:
             return self._latents
-        image = np.asarray((self._image / 2 + 0.5).clip(0, 1))
+        # host-side postprocess: fetch must only transfer, never dispatch
+        # device ops (serving finisher-thread contract — see
+        # diffusion.postprocess_image_host)
+        from .diffusion import postprocess_image_host
+        image = postprocess_image_host(self._image)
         return [(img * 255).round().astype(np.uint8) for img in image]

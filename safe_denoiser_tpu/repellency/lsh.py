@@ -95,7 +95,11 @@ class LSHRepellency(RepellencyProcessor):
                           self.num_hashtables)
         for i, p in enumerate(reduced):
             self.lsh.index(p, i)
-        self._flat_refs = flat
+        # device-resident ONCE: a numpy arg to the jitted _bucket_scores
+        # re-uploads per call (the ~100x pipeline transfer bug class fixed
+        # in e300b73) — with a real 3k-image bank that would ship hundreds
+        # of MB per diffusion step through the ~1 MB/s tunnel (ADVICE r4)
+        self._flat_refs = jax.device_put(jnp.asarray(flat))
 
     def conditioning(self, x_0_hat, **kwargs):
         """Batched: host-side LSH queries (microseconds) build ONE padded
@@ -121,7 +125,7 @@ class LSHRepellency(RepellencyProcessor):
             idx[i, :len(b)] = b
             mask[i, :len(b)] = 1.0
         out = _bucket_scores(
-            jnp.asarray(flat), jnp.asarray(self._flat_refs),
+            jnp.asarray(flat), self._flat_refs,
             jnp.asarray(idx), jnp.asarray(mask),
             sigma=float(self.sigma), scale=float(self.scale),
             epsilon=float(self.epsilon))

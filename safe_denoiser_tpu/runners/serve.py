@@ -64,6 +64,13 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "(WEAK|MEDIUM|STRONG|MAX)")
     p.add_argument("--shard_bank", action="store_true",
                    default=g("shard_bank", False))
+    p.add_argument("--mesh", type=int, default=g("mesh", None),
+                   help="shard each served batch over an N-device data "
+                        "mesh (weights replicated, batch rows split N "
+                        "ways under GSPMD); --batch_size must be a "
+                        "multiple of N. Incompatible with --shard_bank "
+                        "and --aot_bundle (AOT programs are traced "
+                        "single-device)")
     p.add_argument("--save-dir", type=str, default=g("save_dir", "./serve"))
     p.add_argument("--export_aot", type=str, default=g("export_aot", None),
                    help="export this serving configuration as an AOT "
@@ -89,6 +96,22 @@ def parse_args(argv=None) -> argparse.Namespace:
         args.image_length = 1024 if args.sd3 else 512
     if args.guidance_scale is None:
         args.guidance_scale = 2.5 if args.sd3 else 7.5
+    # --mesh guards belong HERE (no side effects before rejection — main()
+    # creates --save-dir first, and a rejected config must not write it)
+    if args.mesh:
+        if args.aot_bundle:
+            raise SystemExit(
+                "--mesh with --aot_bundle is not supported: the exported "
+                "programs were traced single-device — serve live, or "
+                "export per-chip bundles")
+        if args.shard_bank:
+            raise SystemExit(
+                "--mesh with --shard_bank is not supported: shard the "
+                "served batch or the bank's M axis, not both")
+        if args.batch_size % args.mesh != 0:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must be a multiple of "
+                f"--mesh {args.mesh} (each device takes batch/mesh rows)")
     return args
 
 
@@ -296,6 +319,10 @@ def _build_sd3_pipe(args, erase_spec, logger):
 def build_sd3_generate_fn(args, erase_spec, logger):
     """-> run_batch over ``SafeDiffusion3Pipeline.generate_batch``."""
     pipe, repellency_processor = _build_sd3_pipe(args, erase_spec, logger)
+    if args.mesh:
+        pipe.enable_data_mesh(args.mesh)
+        logger.log(f"data mesh: served batches sharded over {args.mesh} "
+                   f"devices ({args.batch_size // args.mesh} rows/device)")
 
     def _kwargs(reqs):
         return dict(
@@ -466,6 +493,11 @@ def main(argv=None):
         run_batch = build_aot_generate_fn(args, pipe, repellency_processor,
                                           erase_spec, logger)
     else:
+        if args.mesh:
+            pipe.enable_data_mesh(args.mesh)
+            logger.log(f"data mesh: served batches sharded over "
+                       f"{args.mesh} devices "
+                       f"({args.batch_size // args.mesh} rows/device)")
         run_batch = build_generate_fn(args, pipe, repellency_processor,
                                       erase_spec, logger)
     _serve_loop(args, run_batch, logger)

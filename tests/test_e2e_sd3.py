@@ -162,3 +162,38 @@ def test_sd3_generate_batch_repellency_and_safree(sd3_pipe):
     assert len(imgs) == 2 and imgs[0].shape == (16, 16, 3)
     assert any("we remove" in l for l in Log.lines)
     assert any("Repellency applied" in l for l in Log.lines)
+
+
+def test_sd3_data_mesh_batch_matches_unsharded(sd3_pipe):
+    """SD3 serving data mesh (enable_data_mesh): a batch sharded over the
+    virtual 8-CPU mesh reproduces the unsharded rows (f32 fixture models,
+    so the comparison is strict — see test_serving._f32_pipe for why bf16
+    can only be compared loosely)."""
+    prompts = ["a cat", "a dog", "a bus", "a tree",
+               "a boat", "a fish", "a bird", "a car"]
+    seeds = list(range(8))
+    gs = [2.5, 3.5] * 4
+    kw = dict(num_inference_steps=2, height=16, width=16)
+
+    want_lat = sd3_pipe.dispatch_batch(
+        prompts, seeds=seeds, guidance_scales=gs,
+        **kw).fetch(return_latents=True)
+    want = sd3_pipe.generate_batch(prompts, seeds=seeds,
+                                   guidance_scales=gs, **kw)
+
+    sd3_pipe.enable_data_mesh(8)
+    got_lat = sd3_pipe.dispatch_batch(
+        prompts, seeds=seeds, guidance_scales=gs,
+        **kw).fetch(return_latents=True)
+    got = sd3_pipe.generate_batch(prompts, seeds=seeds,
+                                  guidance_scales=gs, **kw)
+
+    np.testing.assert_allclose(np.asarray(got_lat), np.asarray(want_lat),
+                               rtol=1e-4, atol=1e-4)
+    for i, (g, w) in enumerate(zip(got, want)):
+        d = np.abs(g.astype(np.int16) - w.astype(np.int16))
+        assert d.max() <= 1, f"row {i}: max uint8 delta {d.max()}"
+
+    with pytest.raises(ValueError, match="divisible"):
+        sd3_pipe.dispatch_batch(["a"] * 3, seeds=[1, 2, 3],
+                                guidance_scales=[2.5] * 3, **kw)

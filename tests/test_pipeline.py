@@ -220,3 +220,30 @@ def test_window_cond_matches_where_mask(monkeypatch):
     np.testing.assert_array_equal(np.asarray(outs3["0"][1]),
                                   np.asarray(outs3["1"][1]))
     assert np.asarray(outs3["1"][1]).any()
+
+
+def test_postprocess_image_host_matches_eager_jnp():
+    """fetch's host-side postprocess must be bit-identical to the previous
+    on-device eager form ``(x/2 + 0.5).clip(0, 1)`` for both image dtypes
+    the VAEs emit (bf16 compute path, f32 parity path) — the numpy move
+    exists so the serving finisher thread never dispatches device work
+    (ADVICE r4, serving/batcher.py threading contract)."""
+    from safe_denoiser_tpu.pipeline.diffusion import postprocess_image_host
+
+    for dtype in (jnp.bfloat16, jnp.float32):
+        x = (jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+             .astype(dtype) * 1.5)
+        old = np.asarray((x / 2 + 0.5).clip(0, 1))
+        new = postprocess_image_host(x)
+        assert old.dtype == new.dtype
+        np.testing.assert_array_equal(
+            old.view(np.uint16) if old.dtype != np.float32 else old,
+            new.view(np.uint16) if new.dtype != np.float32 else new)
+        # and a dense sweep across the clip edges / rounding boundaries
+        v = jnp.asarray(np.linspace(-1.2, 1.2, 20001,
+                                    dtype=np.float32)).astype(dtype)
+        oldv = np.asarray((v / 2 + 0.5).clip(0, 1))
+        newv = postprocess_image_host(v)
+        np.testing.assert_array_equal(
+            oldv.view(np.uint16) if oldv.dtype != np.float32 else oldv,
+            newv.view(np.uint16) if newv.dtype != np.float32 else newv)
