@@ -324,6 +324,88 @@ def main(argv=None):
     return payload
 
 
+def _reshard_with_torch(weights_dir: str, stem: str, n_shards: int = 2):
+    """Rewrite a single-file safetensors checkpoint dir as a SHARDED
+    torch-safetensors checkpoint: ``{stem}-0000i-of-0000N.safetensors``
+    shards written by ``safetensors.torch.save_file`` plus the HF
+    ``weight_map`` index — the exact layout ``save_pretrained`` emits for
+    models over the shard size limit (the sharded-T5 case our SD3 loader
+    must handle on day one)."""
+    import json
+
+    import torch
+    from safetensors.torch import save_file as torch_save_file
+
+    from safe_denoiser_tpu.models.weights import load_state_dict
+
+    src = os.path.join(weights_dir, "model.safetensors")
+    sd = load_state_dict(src)
+    os.remove(src)
+    keys = sorted(sd)
+    per = (len(keys) + n_shards - 1) // n_shards
+    weight_map, total = {}, 0
+    for i in range(n_shards):
+        fname = f"{stem}-{i + 1:05d}-of-{n_shards:05d}.safetensors"
+        chunk = keys[i * per:(i + 1) * per]
+        torch_save_file(
+            {k: torch.from_numpy(np.ascontiguousarray(sd[k]))
+             for k in chunk},
+            os.path.join(weights_dir, fname))
+        weight_map.update({k: fname for k in chunk})
+        total += sum(int(np.asarray(sd[k]).nbytes) for k in chunk)
+    with open(os.path.join(weights_dir, f"{stem}.safetensors.index.json"),
+              "w") as f:
+        json.dump({"metadata": {"total_size": total},
+                   "weight_map": weight_map}, f)
+
+
+def _export_torch_nudenet(path: str):
+    """A NudeNet-classifier-shaped model (strided conv + BN + depthwise/
+    pointwise separable conv + GAP + dense + softmax — the Xception family
+    classify_pil.py runs) exported through the REAL ``torch.onnx``
+    exporter, with the TF-converted graph's NHWC calling convention: the
+    model takes [N, 256, 256, 3] floats and permutes internally, so the
+    export carries the leading Transpose the real TF-converted file has."""
+    import torch
+    from torch import nn
+
+    class _NudeNetStack(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = nn.Conv2d(3, 8, 3, stride=2, padding=1)
+            self.bn = nn.BatchNorm2d(8)
+            self.dw = nn.Conv2d(8, 8, 3, padding=1, groups=8)
+            self.pw = nn.Conv2d(8, 16, 1)
+            self.fc = nn.Linear(16, 2)
+
+        def forward(self, x):
+            x = x.permute(0, 3, 1, 2)
+            x = torch.relu(self.bn(self.conv(x)))
+            x = torch.relu(self.pw(self.dw(x)))
+            x = x.mean(dim=(2, 3))
+            return torch.softmax(self.fc(x), dim=1)
+
+    torch.manual_seed(0)
+    m = _NudeNetStack().eval()
+    with torch.no_grad():
+        m.bn.running_mean.normal_()
+        m.bn.running_var.uniform_(0.5, 2.0)
+
+    # torch.onnx.export without the `onnx` package installed (the
+    # passthrough shim tests/test_onnx_torch_export.py uses)
+    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+    orig = onnx_proto_utils._add_onnxscript_fn
+    onnx_proto_utils._add_onnxscript_fn = lambda b, custom_opsets: b
+    try:
+        torch.onnx.export(
+            m, (torch.randn(2, 256, 256, 3),), path, dynamo=False,
+            opset_version=13, input_names=["input_1"],
+            output_names=["dense/Softmax:0"],
+            dynamic_axes={"input_1": {0: "batch"}})
+    finally:
+        onnx_proto_utils._add_onnxscript_fn = orig
+
+
 def _fabricate_selftest_assets() -> str:
     """Tiny fabricated asset tree exercising every config path end-to-end
     (the dry run that proves the runbook works before real assets exist)."""
@@ -346,9 +428,31 @@ def _fabricate_selftest_assets() -> str:
     os.rename(str(ck), os.path.join(root, "sd14"))
     write_sd3_checkpoint(pathlib.Path(root) / "sd3", tok)
 
-    model_bytes, _ = _build_graph_and_torch()
-    with open(os.path.join(root, "nudenet.onnx"), "wb") as f:
-        f.write(model_bytes)
+    # REAL-PRODUCER re-authoring (VERDICT r4 #4 — first-contact hardening):
+    # the assets below flow through the same writers the day-one real files
+    # came from, so the selftest exercises our decoders against authentic
+    # byte layouts, not just self-consistent fabrications. The ONNX
+    # attribute-encoding bug only fell to exactly this technique
+    # (tests/test_onnx_torch_export.py).
+
+    # (a) sd14 UNet re-written as a SHARDED torch-safetensors checkpoint
+    # (safetensors.torch writer + HF weight_map index — the layout
+    # diffusers save_pretrained emits for big models)
+    _reshard_with_torch(os.path.join(root, "sd14", "unet"),
+                        "diffusion_pytorch_model")
+
+    # (b) NudeNet classifier exported by the REAL torch.onnx exporter with
+    # the TF-converted graph's calling convention (NHWC float input +
+    # leading Transpose — classify_pil.py:39-96 feeds NHWC /255); falls
+    # back to the hand-built graph if torch's exporter shim moved
+    try:
+        _export_torch_nudenet(os.path.join(root, "nudenet.onnx"))
+    except Exception as e:  # noqa: BLE001
+        print(f"[parity] torch.onnx export unavailable ({e}); "
+              "falling back to the hand-built classifier graph")
+        model_bytes, _ = _build_graph_and_torch()
+        with open(os.path.join(root, "nudenet.onnx"), "wb") as f:
+            f.write(model_bytes)
 
     bank = os.path.join(root, "bank", "tiny")
     os.makedirs(bank)
@@ -373,8 +477,13 @@ def _fabricate_selftest_assets() -> str:
     from safetensors.numpy import save_file
     save_file({k: v.numpy() for k, v in hf.state_dict().items()},
               os.path.join(q16, "clip_vision.safetensors"))
+    # (c) prompts.p as the REAL producer writes it: a pickled torch HALF
+    # tensor (reference run_nudity.py:183-191 loads `.p` via
+    # torch.HalfTensor(pickle.load(...)); the released Q16 file pickles a
+    # torch tensor, whose unpickling goes through torch's reduce hooks)
+    torch.manual_seed(1)
     with open(os.path.join(q16, "prompts.p"), "wb") as f:
-        pickle.dump(rs.randn(2, 16).astype(np.float32), f)
+        pickle.dump(torch.randn(2, 16).half(), f)
 
     with open(os.path.join(root, "reference_results.json"), "w") as f:
         json.dump({"nudity_toxic_ratio": 0.5}, f)

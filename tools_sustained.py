@@ -4,14 +4,21 @@ at full SD-1.4 scale — including CSV iteration, per-case text encode,
 50-step scan, VAE decode, PNG save, and the NudeNet gate — the reference's
 actual per-image wall-clock region (run_nudity.py:414-464 + 439-504).
 
-Three numbers, one JSON line:
+Five numbers, one JSON line:
   * sustained    — overlapped loop (SDT_RUNNER_DEPTH=2, grouped gate), warm
   * serial       — SDT_RUNNER_DEPTH=1 (the reference's serial order), warm
   * device_bound — back-to-back dispatch of the same per-case programs with
                    no host work between fetches (the ceiling at batch 1)
+  * served_b1    — the SERVING path under load (DynamicBatcher two-phase +
+                   HTTP front-end, 4 concurrent clients, batch 1): the
+                   deployment stack's steady-state vs the same batch-1
+                   device bound (SDT_SUSTAINED_SERVED=0 skips)
+  * served_b4    — same with the production batch-4 grouping (should beat
+                   the batch-1 bound: batching amortizes per-step overhead)
 
 Acceptance: sustained within ~5% of device_bound — i.e. the 1-vCPU host
-(PNG encode + numpy ONNX interpreter) is fully hidden behind the chip.
+(PNG encode + numpy ONNX interpreter) is fully hidden behind the chip —
+and served_b1 within ~10% of it (adds base64+PNG per response).
 
 Usage: python tools_sustained.py  [N]      (default SDT_SUSTAINED_N=50)
 Needs the real TPU; writes ~4 GB of fabricated checkpoint to a temp dir.
@@ -107,14 +114,13 @@ def _run(ckpt, task_yaml, onnx_path, csv, save_dir, depth, group):
     return time.perf_counter() - t0
 
 
-def _device_bound(ckpt, task_yaml, n: int) -> float:
-    """Back-to-back dispatch of the identical per-case device programs,
-    fetching with one-deep overlap and doing NO host work: the batch-1
-    ceiling the runner loop is judged against."""
+def _build_pipe_and_proc(ckpt, task_yaml):
+    """One shared full-scale pipeline + repellency processor (the ~4 GB
+    from_pretrained load takes minutes on this 1-vCPU host — the
+    device-bound and served probes must not pay it twice)."""
     from safe_denoiser_tpu.pipeline.diffusion import (
         ERASE_SPECS, SafeDiffusionPipeline)
     from safe_denoiser_tpu.runners.common import build_repellency
-
     from safe_denoiser_tpu.utils.logging import Logger
 
     class _A:  # the few arg fields build_repellency reads
@@ -125,9 +131,16 @@ def _device_bound(ckpt, task_yaml, n: int) -> float:
         num_inference_steps = 50
 
     pipe = SafeDiffusionPipeline.from_pretrained(ckpt)
-    logger = Logger(os.path.join(os.path.dirname(task_yaml), "bound_logs.txt"))
+    logger = Logger(os.path.join(os.path.dirname(task_yaml),
+                                 "bound_logs.txt"))
     proc, _ = build_repellency(_A, pipe, logger)
-    spec = ERASE_SPECS["std_rep"]
+    return pipe, proc, ERASE_SPECS["std_rep"], logger
+
+
+def _device_bound(pipe, proc, spec, n: int) -> float:
+    """Back-to-back dispatch of the identical per-case device programs,
+    fetching with one-deep overlap and doing NO host work: the batch-1
+    ceiling the runner loop is judged against."""
     # warmup (compile hit from the runner runs)
     pipe.dispatch("warm", num_inference_steps=50, seed=0,
                   repellency_processor=proc, erase_spec=spec).fetch()
@@ -142,6 +155,81 @@ def _device_bound(ckpt, task_yaml, n: int) -> float:
         pending = p
     pending.fetch()
     return time.perf_counter() - t0
+
+
+def _served(pipe, proc, spec, logger, task_yaml, n: int,
+            batch_size: int = 1, concurrency: int = 4) -> float:
+    """Steady-state throughput through the SERVING path (VERDICT r4 #5):
+    DynamicBatcher two-phase pipelining + the stdlib HTTP front-end, driven
+    by ``concurrency`` real HTTP clients keeping the queue non-empty —
+    the load the two-phase batcher claim (serving/batcher.py) is about.
+    batch_size=1 makes the number directly comparable to the batch-1
+    device bound; the host tax here is base64+PNG encode per image plus
+    the batcher/HTTP hop."""
+    import base64  # noqa: F401 — responses carry base64 PNGs
+    import http.client
+    import threading
+
+    from safe_denoiser_tpu.runners.serve import build_generate_fn
+    from safe_denoiser_tpu.serving import (DynamicBatcher, GenRequest,
+                                           make_server)
+
+    class _Args:
+        num_inference_steps = 50
+        negative_prompt = None
+        negative_prompt_space = None
+        image_length = 512
+        batch_size = 1
+        safe_level = "STRONG"
+        erase_id = "std_rep"
+        task_config = task_yaml
+        mesh = None
+
+    _Args.batch_size = batch_size
+    run_batch = build_generate_fn(_Args, pipe, proc, spec, logger)
+    batcher = DynamicBatcher(run_batch, batch_size, max_delay_s=0.05,
+                             dispatch_batch=run_batch.dispatch_batch)
+    server = make_server(batcher, port=0, logger=logger)
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+    port = server.server_address[1]
+
+    def _post(seed):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        body = json.dumps({"prompt": f"a photograph case {seed}",
+                           "seed": int(seed), "guidance_scale": 7.5})
+        conn.request("POST", "/generate", body,
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        data = r.read()
+        conn.close()
+        assert r.status == 200, data[:200]
+
+    try:
+        _post(0)                                   # warmup (compile)
+        t0 = time.perf_counter()
+        it = iter(range(n))
+        lock = threading.Lock()
+
+        def _worker():
+            while True:
+                with lock:
+                    seed = next(it, None)
+                if seed is None:
+                    return
+                _post(seed + 7)
+
+        threads = [threading.Thread(target=_worker)
+                   for _ in range(concurrency)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+    finally:
+        server.shutdown()
+        batcher.close()
+    return dt
 
 
 def main():
@@ -194,7 +282,8 @@ def main():
         t_full = _run(ckpt, task_yaml, onnx_path, csv,
                       os.path.join(root, f"{name}_full"), depth, group)
         marg[name] = n / (t_full - t_small)
-    dt_dev = _device_bound(ckpt, task_yaml, n)
+    pipe, proc, spec, logger = _build_pipe_and_proc(ckpt, task_yaml)
+    dt_dev = _device_bound(pipe, proc, spec, n)
 
     line = {
         "metric": "sd14_sustained_runner_throughput",
@@ -205,6 +294,21 @@ def main():
         "device_bound": round(n / dt_dev, 4),
         "overlap_vs_device_bound": round(marg["overlap"] / (n / dt_dev), 4),
     }
+
+    # served mode (VERDICT r4 #5): the same scale through the
+    # batcher+HTTP deployment path, batch 1 for apples-to-apples with the
+    # batch-1 device bound, plus the production batch-4 grouping
+    # (SDT_SUSTAINED_SERVED=0 skips)
+    if os.environ.get("SDT_SUSTAINED_SERVED", "1") == "1":
+        dt_served = _served(pipe, proc, spec, logger, task_yaml, n,
+                            batch_size=1)
+        line["served_b1"] = round(n / dt_served, 4)
+        line["served_b1_vs_device_bound"] = round(
+            (n / dt_served) / (n / dt_dev), 4)
+        dt_served4 = _served(pipe, proc, spec, logger, task_yaml, n,
+                             batch_size=4, concurrency=8)
+        line["served_b4"] = round(n / dt_served4, 4)
+
     print(json.dumps(line), flush=True)
 
 
