@@ -1,21 +1,25 @@
 """Benchmarks: safe-denoiser sampling throughput per chip, one JSON line each.
 
-Covers ALL the driver's benchmark configurations (BASELINE.md 1-5), nine
+Covers ALL the driver's benchmark configurations (BASELINE.md 1-5), eleven
 JSON lines in the default run:
   * sd14_10step_ddim   — config #1: 10-step DDIM nudity scan
   * sd14_e2e           — whole pipeline: tokenize → CLIP encode → 50-step
                          scan → VAE decode (the reference's per-image
                          wall-clock region, run_nudity.py:414-464); the
                          scan runs the quality-cleared int8 wide-block path
-                         (docs/QUALITY_INT8.md; SDT_E2E_INT8=0 → bf16)
+                         (docs/QUALITY_INT8.md; SDT_E2E_INT8=0 → bf16),
+                         and a bf16 CONTROL line precedes it so both
+                         precisions are in every record (ADVICE r4)
   * sd14_sparse        — config #3: artist-erasure sparse (SPELL) repellency
   * sd14_bank3k        — config #4: CoPro's 3,000-image kernel_fast bank
   * sd3_50step         — config #5: SD3-medium MMDiT flow-matching scan with
                          the fast_sdv3 repellency renoising
-  * sd3_e2e            — informational: SD3 full pipeline (triple text
-                         encode incl. T5-XXL + 50-step scan + 1024² VAE
-                         decode), staged timings summed (HBM can't hold
-                         T5-XXL and MMDiT at once)
+  * sd3_e2e            — SD3 full pipeline (triple text encode incl.
+                         T5-XXL + 50-step scan + 1024² VAE decode), staged
+                         timings summed (HBM can't hold T5-XXL and MMDiT at
+                         once); recorded path = quality-cleared int8 MMDiT
+                         scan, with a composed bf16 control line
+                         (VERDICT r4 #1 / ADVICE r4)
   * sd3_int8_50step    — informational beyond-parity config: #5 with W8A8
                          int8 MMDiT block dots (ops/quant.py, +16.3% ABA)
   * sd14_int8_50step   — informational beyond-parity config: the headline
@@ -279,23 +283,30 @@ def _e2e_setup():
             _encode, _scan, _decode)
 
 
-def bench_sd14_e2e():
+def bench_sd14_e2e(int8=None):
     """Whole pipeline wall-clock: tokenize + CLIP-L encode + 50-step scan +
     VAE decode (fabricated real-size weights).
 
     The scan runs the W8A8 int8 wide-block path by default
-    (quantize_unet_params min_dim=1280; SDT_E2E_INT8=0 restores bf16):
-    the bf16 e2e is device-time-bound at 0.9997× the bar
+    (quantize_unet_params min_dim=1280; SDT_E2E_INT8=0 or ``int8=False``
+    restores bf16): the bf16 e2e is device-time-bound at 0.9997× the bar
     (tools_profile_e2e: scan 2579.5 + decode 87.3 + encode 1.0 ms), so
     only a scan win can put the pipeline over 1.0×, and the int8 wide
     blocks are a measured +2.56% scan win with image-level quality
     evidence: 0/64 NudeNet decision flips, repellency-activation agreement
     1.0, latent rel-l2 2.2% (calibrated gate) / 5.7% (forced renoise path)
     on full-size real-random-init towers — tools_quality_int8.py,
-    docs/QUALITY_INT8.md, within the ≤2% BASELINE.md budget."""
+    docs/QUALITY_INT8.md, within the ≤2% BASELINE.md budget. main() also
+    records a bf16 CONTROL line in the default run (ADVICE r4: both
+    precisions visible in every record, the int8 number never stands
+    alone)."""
     import numpy as np
 
-    e2e_int8 = os.environ.get("SDT_E2E_INT8", "1") == "1"
+    e2e_int8 = (os.environ.get("SDT_E2E_INT8", "1") == "1"
+                if int8 is None else bool(int8))
+    # save/restore rather than pop: callers importing this leg directly
+    # (tools harnesses) may run under their own ambient SDT_INT8 (ADVICE r4)
+    prior_int8 = os.environ.get("SDT_INT8")
     if e2e_int8:
         os.environ["SDT_INT8"] = "1"
     try:
@@ -303,7 +314,10 @@ def bench_sd14_e2e():
          _encode, _scan, _decode) = _e2e_setup()
     finally:
         if e2e_int8:
-            os.environ.pop("SDT_INT8", None)
+            if prior_int8 is None:
+                os.environ.pop("SDT_INT8", None)
+            else:
+                os.environ["SDT_INT8"] = prior_int8
 
     rs = np.random.RandomState(0)
 
@@ -479,9 +493,9 @@ def _sd3_step_flops(tf_apply, params, latents, text, pooled):
 
 
 def bench_sd3_e2e():
-    """Whole SD3 pipeline wall-clock (informational leg): triple text encode
-    (CLIP-L + CLIP-bigG penultimate states padded to the joint dim, T5-XXL
-    — the reference's encode, diffusion_sd3.py::_encode_one) + the 50-step
+    """Whole SD3 pipeline wall-clock: triple text encode (CLIP-L +
+    CLIP-bigG penultimate states padded to the joint dim, T5-XXL — the
+    reference's encode, diffusion_sd3.py::_encode_one) + the 50-step
     MMDiT scan + the 1024² 16-channel VAE decode.
 
     STAGED: the three programs are timed separately and the per-batch times
@@ -490,6 +504,17 @@ def bench_sd3_e2e():
     towers are freed before the scan — which matches the reference's serial
     stage order anyway (run_nudity_sdv3.py:351-360); on one chip there is
     no encode/scan overlap to lose, only the ~once-per-batch dispatch gap.
+
+    The recorded line runs the W8A8 int8 MMDiT scan (SDT_E2E_INT8=0
+    restores bf16-only), mirroring the sd14 e2e move: the bf16 SD3 e2e is
+    0.99× the bar (BENCH_r04) while int8 is a measured +16-21% scan win
+    (sd3_int8 leg 1.2156×) with image-level quality evidence — 0/32
+    NudeNet decision flips, 736/736 renoise-activation agreement, within the ≤2%
+    BASELINE.md budget (tools_quality_int8.py sd3, docs/QUALITY_INT8.md).
+    The encode/decode stages are precision-independent, so the bf16
+    CONTROL scan is timed in the same session and the composed bf16 e2e
+    number rides along as ``bf16_control`` (+ its own control line in
+    main()) — the int8 number never stands alone (ADVICE r4).
     """
     import gc
 
@@ -550,6 +575,20 @@ def bench_sd3_e2e():
     t_scan = dt_scan / n_scan
     step_flops = _sd3_step_flops(tf_apply, params, latents, text, pooled)
 
+    # int8 scan (recorded path; same quantize as the sd3_int8 leg / the
+    # runners' --int8). Timed in the SAME session as the bf16 control above
+    # so the two composed e2e numbers share the encode/decode measurements.
+    e2e_int8 = os.environ.get("SDT_E2E_INT8", "1") == "1"
+    t_scan_i8 = step_flops_i8 = None
+    if e2e_int8:
+        from safe_denoiser_tpu.ops.quant import quantize_mmdit_params
+        pq, qt = jax.jit(quantize_mmdit_params)(params["params"])
+        qparams = {"params": pq, "quant": qt}
+        dt_i8, n_i8 = _time_run(run, (qparams, latents, text, pooled, refs))
+        t_scan_i8 = dt_i8 / n_i8
+        step_flops_i8 = _sd3_step_flops(tf_apply, qparams, latents, text,
+                                        pooled)
+
     # ---- stage 3: 1024² VAE decode ----------------------------------------
     vae = AutoencoderKL(SD3_VAE, dtype=jnp.bfloat16)
     p_vae = _fab(vae, jnp.zeros((1, 256, 256, 3)), rng)
@@ -567,9 +606,16 @@ def bench_sd3_e2e():
     dt_dec, n_dec = _time_run(lambda p, z, rng: dec(p, z), (p_vae, latents))
     t_dec = dt_dec / n_dec
 
-    ips = b / (t_enc + t_scan + t_dec)
-    flops_per_img = (enc_flops + STEPS * step_flops + dec_flops) / b
-    return LegResult(ips, _safe_mfu(ips, lambda: flops_per_img))
+    ips_bf16 = b / (t_enc + t_scan + t_dec)
+    flops_bf16 = (enc_flops + STEPS * step_flops + dec_flops) / b
+    if not e2e_int8:
+        return LegResult(ips_bf16, _safe_mfu(ips_bf16, lambda: flops_bf16),
+                         precision="bf16")
+    ips = b / (t_enc + t_scan_i8 + t_dec)
+    flops_i8 = (enc_flops + STEPS * step_flops_i8 + dec_flops) / b
+    return LegResult(ips, _safe_mfu(ips, lambda: flops_i8),
+                     precision="int8_w8a8",
+                     bf16_control=round(ips_bf16, 4))
 
 
 def main():
@@ -631,7 +677,27 @@ def main():
                  lambda: bench_sd14(steps=10, scheduler_kind="ddim"),
                  BASELINE_10STEP)
         if only in (None, "sd14_e2e"):
-            _try("sd14_50step_e2e_pipeline_throughput", bench_sd14_e2e,
+            # BASELINE config 2. Default: int8 wide-block scan under the
+            # BASELINE metric name (precision marker) PLUS a bf16 control
+            # line — both precisions in every default record (ADVICE r4);
+            # the control's failure must never kill the BASELINE line.
+            def _sd14_e2e():
+                if os.environ.get("SDT_E2E_INT8", "1") != "1":
+                    return bench_sd14_e2e()
+                ctrl = None
+                try:
+                    ctrl = bench_sd14_e2e(int8=False)
+                    _emit("sd14_50step_e2e_bf16_control_throughput", ctrl,
+                          BASELINE_IMG_PER_SEC)
+                except Exception:
+                    print("[bench] sd14 e2e bf16 control FAILED "
+                          "(BASELINE leg still runs):", file=sys.stderr)
+                    traceback.print_exc()
+                res = bench_sd14_e2e(int8=True)
+                if ctrl is not None:
+                    res.extra["bf16_control"] = round(float(ctrl), 4)
+                return res
+            _try("sd14_50step_e2e_pipeline_throughput", _sd14_e2e,
                  BASELINE_IMG_PER_SEC)
         if only in (None, "sd14_sparse"):
             _try("sd14_50step_sparse_repellency_throughput", _sd14_sparse,
@@ -643,9 +709,20 @@ def main():
             _try("sd3_50step_safe_denoiser_throughput", bench_sd3,
                  BASELINE_SD3)
         if only in (None, "sd3_e2e"):
-            # informational: the biggest model's full pipeline cost (triple
-            # text encode incl. T5-XXL + scan + 1024² VAE decode), staged
-            _try("sd3_50step_e2e_pipeline_throughput", bench_sd3_e2e,
+            # the biggest model's full pipeline cost (triple text encode
+            # incl. T5-XXL + scan + 1024² VAE decode), staged. Recorded
+            # path = quality-cleared int8 scan (VERDICT r4 #1); the bf16
+            # control composed from the same encode/decode measurements
+            # gets its own line so both precisions are in every record.
+            def _sd3_e2e():
+                res = bench_sd3_e2e()
+                ctrl = (res.extra or {}).get("bf16_control")
+                if ctrl is not None:
+                    _emit("sd3_50step_e2e_bf16_control_throughput",
+                          LegResult(ctrl, None, precision="bf16"),
+                          BASELINE_SD3)
+                return res
+            _try("sd3_50step_e2e_pipeline_throughput", _sd3_e2e,
                  BASELINE_SD3)
         if only in (None, "sd3_int8"):
             # informational beyond-parity config: W8A8 int8 MMDiT block
@@ -729,10 +806,14 @@ def _supervise():
 
     # 7 legs ran in ~1,830 s warm-cache (2026-08-19); sd14_int8 and sd3_e2e
     # compile their own HLO (int8 dtypes / T5-XXL + CLIP-G towers — NOT
-    # cache hits on the headline program). 4,800 leaves headroom for a cold
-    # compile cache without letting a wedged tunnel eat the round
+    # cache hits on the headline program). Round 5 adds the bf16 sd14 e2e
+    # control (one more fused-program measure; its HLO is the pre-r4
+    # default, usually a persistent-cache hit) and the int8 SD3 scan inside
+    # sd3_e2e (makes the later sd3_int8 leg a cache hit). 5,400 leaves
+    # headroom for a cold compile cache without letting a wedged tunnel eat
+    # the round
     rc = _run_child({}, timeout_s=int(os.environ.get("BENCH_TIMEOUT",
-                                                     "4800")))
+                                                     "5400")))
     if os.environ.get("BENCH_ONLY") not in (None, "sd14"):
         return rc   # headline not expected under this BENCH_ONLY
     attempts = 0
