@@ -305,19 +305,22 @@ def bench_sd14_e2e(int8=None):
     e2e_int8 = (os.environ.get("SDT_E2E_INT8", "1") == "1"
                 if int8 is None else bool(int8))
     # save/restore rather than pop: callers importing this leg directly
-    # (tools harnesses) may run under their own ambient SDT_INT8 (ADVICE r4)
+    # (tools harnesses) may run under their own ambient SDT_INT8 (ADVICE r4).
+    # The env is forced BOTH ways — a bf16 control under ambient SDT_INT8=1
+    # would otherwise silently measure the int8 scan under a bf16 label.
     prior_int8 = os.environ.get("SDT_INT8")
     if e2e_int8:
         os.environ["SDT_INT8"] = "1"
+    else:
+        os.environ.pop("SDT_INT8", None)
     try:
         (clip_params, unet_params, vae_params, latents, refs,
          _encode, _scan, _decode) = _e2e_setup()
     finally:
-        if e2e_int8:
-            if prior_int8 is None:
-                os.environ.pop("SDT_INT8", None)
-            else:
-                os.environ["SDT_INT8"] = prior_int8
+        if prior_int8 is None:
+            os.environ.pop("SDT_INT8", None)
+        else:
+            os.environ["SDT_INT8"] = prior_int8
 
     rs = np.random.RandomState(0)
 
@@ -578,16 +581,28 @@ def bench_sd3_e2e():
     # int8 scan (recorded path; same quantize as the sd3_int8 leg / the
     # runners' --int8). Timed in the SAME session as the bf16 control above
     # so the two composed e2e numbers share the encode/decode measurements.
+    # An int8 failure (Mosaic remote-compile crash, wedged tunnel — both
+    # documented failure modes) must NOT lose the already-measured bf16
+    # control: fall back to recording the bf16 composition.
     e2e_int8 = os.environ.get("SDT_E2E_INT8", "1") == "1"
     t_scan_i8 = step_flops_i8 = None
     if e2e_int8:
-        from safe_denoiser_tpu.ops.quant import quantize_mmdit_params
-        pq, qt = jax.jit(quantize_mmdit_params)(params["params"])
-        qparams = {"params": pq, "quant": qt}
-        dt_i8, n_i8 = _time_run(run, (qparams, latents, text, pooled, refs))
-        t_scan_i8 = dt_i8 / n_i8
-        step_flops_i8 = _sd3_step_flops(tf_apply, qparams, latents, text,
-                                        pooled)
+        try:
+            from safe_denoiser_tpu.ops.quant import quantize_mmdit_params
+            pq, qt = jax.jit(quantize_mmdit_params)(params["params"])
+            qparams = {"params": pq, "quant": qt}
+            dt_i8, n_i8 = _time_run(run,
+                                    (qparams, latents, text, pooled, refs))
+            t_scan_i8 = dt_i8 / n_i8
+            step_flops_i8 = _sd3_step_flops(tf_apply, qparams, latents,
+                                            text, pooled)
+        except Exception:
+            import sys
+            import traceback
+            print("[bench] sd3_e2e int8 scan FAILED — recording the bf16 "
+                  "composition instead:", file=sys.stderr)
+            traceback.print_exc()
+            e2e_int8 = False
 
     # ---- stage 3: 1024² VAE decode ----------------------------------------
     vae = AutoencoderKL(SD3_VAE, dtype=jnp.bfloat16)

@@ -50,7 +50,18 @@ def load_hf_coco_dataset(path: str, limit: int = 10000) -> pd.DataFrame:
             or os.path.exists(os.path.join(path, "dataset_dict.json"))):
         ds = datasets.load_from_disk(path)
         if isinstance(ds, datasets.DatasetDict):
-            ds = ds["train"]
+            # a locally-materialized split is often keyed something other
+            # than 'train' — take the only split when there is one, and
+            # name the choices in the error otherwise
+            if "train" in ds:
+                ds = ds["train"]
+            elif len(ds) == 1:
+                ds = next(iter(ds.values()))
+            else:
+                raise ValueError(
+                    f"{path} holds splits {sorted(ds.keys())} and none is "
+                    "'train' — save the split you want with save_to_disk, "
+                    "or point at its subdirectory")
     else:
         files = ([path] if path.endswith(".parquet")
                  else sorted(glob.glob(os.path.join(path, "*.parquet"))))

@@ -363,6 +363,13 @@ class SafeDiffusionPipeline:
         M-sharded over ``mesh``'s ``axis`` and the in-scan kernels psum
         partials over ICI (parallel/bank.py). The production mode for banks
         too large to replicate per chip (a 10k-row SD3 bank is ~10 GB)."""
+        if self._data_mesh is not None:
+            # the conflict guard must hold in BOTH call orders, or the
+            # combination enable_data_mesh declares unsupported sneaks in
+            raise ValueError(
+                "enable_bank_sharding with enable_data_mesh is not "
+                "supported: shard the bank's M axis or the served batch, "
+                "not both (needs a 2-D mesh)")
         from ..parallel.bank import ShardedBank
         self._rep_bank = ShardedBank(mesh, axis=axis, batch_axis=batch_axis)
 

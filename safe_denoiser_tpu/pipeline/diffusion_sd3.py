@@ -425,6 +425,13 @@ class SafeDiffusion3Pipeline:
 
     def enable_bank_sharding(self, mesh, axis: str = "data",
                              batch_axis: Optional[str] = None) -> None:
+        if self._data_mesh is not None:
+            # both call orders must hit the conflict guard (see
+            # enable_data_mesh)
+            raise ValueError(
+                "enable_bank_sharding with enable_data_mesh is not "
+                "supported: shard the bank's M axis or the served batch, "
+                "not both (needs a 2-D mesh)")
         from ..parallel.bank import ShardedBank
         self._rep_bank = ShardedBank(mesh, axis=axis, batch_axis=batch_axis)
 

@@ -64,13 +64,20 @@ def main(argv=None):
         from PIL import Image
 
         # overlapped loop: seed i+1's scan runs while seed i's PNG saves
-        # (dispatch/fetch — the reference loop is fully serial)
+        # (dispatch/fetch — the reference loop is fully serial).
+        # SDT_RUNNER_DEPTH=1 restores the serial order, the same debugging
+        # escape hatch every other runner honors (runners/nudity.py).
+        serial = os.environ.get("SDT_RUNNER_DEPTH") == "1"
         pending = None
         for seed in range(args.num_seeds):
             handle = pipe.dispatch(
                 learned_prompt, seed=seed,
                 num_inference_steps=args.num_inference_steps,
                 guidance_scale=args.guidance_scale)
+            if serial:
+                Image.fromarray(handle.fetch()[0]).save(
+                    os.path.join(args.img_dir, f"{seed}.png"))
+                continue
             if pending is not None:
                 prev_seed, prev = pending
                 img = prev.fetch()[0]

@@ -99,11 +99,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     # --mesh guards belong HERE (no side effects before rejection — main()
     # creates --save-dir first, and a rejected config must not write it)
     if args.mesh:
-        if args.aot_bundle:
+        if args.aot_bundle or args.export_aot:
             raise SystemExit(
-                "--mesh with --aot_bundle is not supported: the exported "
-                "programs were traced single-device — serve live, or "
-                "export per-chip bundles")
+                "--mesh with --aot_bundle/--export_aot is not supported: "
+                "AOT programs are traced single-device — a --mesh request "
+                "on the export path would be silently dropped; serve live")
         if args.shard_bank:
             raise SystemExit(
                 "--mesh with --shard_bank is not supported: shard the "

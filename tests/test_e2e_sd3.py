@@ -181,19 +181,30 @@ def test_sd3_data_mesh_batch_matches_unsharded(sd3_pipe):
     want = sd3_pipe.generate_batch(prompts, seeds=seeds,
                                    guidance_scales=gs, **kw)
 
+    # the fixture is module-scoped: the mesh MUST be reset afterwards or
+    # every later test in the module silently runs mesh-sharded (and odd
+    # batch sizes hit the divisibility guard)
     sd3_pipe.enable_data_mesh(8)
-    got_lat = sd3_pipe.dispatch_batch(
-        prompts, seeds=seeds, guidance_scales=gs,
-        **kw).fetch(return_latents=True)
-    got = sd3_pipe.generate_batch(prompts, seeds=seeds,
-                                  guidance_scales=gs, **kw)
+    try:
+        got_lat = sd3_pipe.dispatch_batch(
+            prompts, seeds=seeds, guidance_scales=gs,
+            **kw).fetch(return_latents=True)
+        got = sd3_pipe.generate_batch(prompts, seeds=seeds,
+                                      guidance_scales=gs, **kw)
 
-    np.testing.assert_allclose(np.asarray(got_lat), np.asarray(want_lat),
-                               rtol=1e-4, atol=1e-4)
-    for i, (g, w) in enumerate(zip(got, want)):
-        d = np.abs(g.astype(np.int16) - w.astype(np.int16))
-        assert d.max() <= 1, f"row {i}: max uint8 delta {d.max()}"
+        np.testing.assert_allclose(np.asarray(got_lat),
+                                   np.asarray(want_lat),
+                                   rtol=1e-4, atol=1e-4)
+        for i, (g, w) in enumerate(zip(got, want)):
+            d = np.abs(g.astype(np.int16) - w.astype(np.int16))
+            assert d.max() <= 1, f"row {i}: max uint8 delta {d.max()}"
 
-    with pytest.raises(ValueError, match="divisible"):
-        sd3_pipe.dispatch_batch(["a"] * 3, seeds=[1, 2, 3],
-                                guidance_scales=[2.5] * 3, **kw)
+        with pytest.raises(ValueError, match="divisible"):
+            sd3_pipe.dispatch_batch(["a"] * 3, seeds=[1, 2, 3],
+                                    guidance_scales=[2.5] * 3, **kw)
+        # both call orders of the mesh/bank conflict guard
+        from safe_denoiser_tpu.parallel import make_mesh
+        with pytest.raises(ValueError, match="bank"):
+            sd3_pipe.enable_bank_sharding(make_mesh(8))
+    finally:
+        sd3_pipe._data_mesh = None

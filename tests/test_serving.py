@@ -786,3 +786,21 @@ def test_serve_mesh_cli_guards(tmp_path):
         with pytest.raises(SystemExit) as e:
             main(["--model_dir", "unused", "--mesh", "2"] + extra)
         assert "--mesh" in str(e.value) or "batch_size" in str(e.value)
+
+
+def test_mesh_bank_conflict_both_orders(tmp_path):
+    """The data-mesh/bank-sharding conflict guard must fire in BOTH call
+    orders (review finding: enable_bank_sharding previously let the
+    combination in when called second)."""
+    from tests.test_e2e_pipeline import _tiny_tokenizer
+    from tests.test_runner_cli import _write_checkpoint
+
+    from safe_denoiser_tpu.parallel import make_mesh
+    from safe_denoiser_tpu.utils.logging import Logger
+
+    ckpt = _write_checkpoint(tmp_path, _tiny_tokenizer())
+    logger = Logger(str(tmp_path / "serve_logs.txt"))
+    pipe = _f32_pipe(ckpt, logger)
+    pipe.enable_data_mesh(8)
+    with pytest.raises(ValueError, match="bank"):
+        pipe.enable_bank_sharding(make_mesh(8))
